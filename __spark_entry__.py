@@ -1,38 +1,503 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: one-pass wide-agg column profile of lineitem
+                 (sf0.001), the engine's core operator.
+queries()      — one callable per implemented operator (SURVEY.md §2);
+                 each takes (spark, sf_dir) and returns a DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query. Aggregates are
+                 ROUNDED identically on both sides so value hashes
+                 match despite summation-order float noise.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the one-pass wide-aggregation column profile."""
+    from advanced_data_profile_spark.operators.stats import profile
+
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    return profile(li)
+
+
+# ---------------------------------------------------------------------------
+# queries — each aliased to match its oracle exactly
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.stats import profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = profile(li, columns=_PROFILE_COLS)
+    return p.select(
+        F.col("column").alias("col_name"),
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        F.round("min_num", 4).alias("min_num"),
+        F.round("max_num", 4).alias("max_num"),
+        F.round("p50", 4).alias("p50"),
+    )
+
+
+def _oracle_profile_lineitem() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               count(*) AS n_rows,
+               count({c}) AS n_nonnull,
+               count(DISTINCT {c}) AS n_distinct,
+               round(avg({c}), 4) AS mean,
+               round(stddev_samp({c}), 4) AS stddev,
+               round(min({c}), 4) AS min_num,
+               round(max({c}), 4) AS max_num,
+               round(quantile_cont({c}, 0.5), 4) AS p50
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_table_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.stats import table_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    return table_summary(li).select(
+        "n_rows", "n_cols", "has_duplicates", "n_nulls_total"
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped fused wide aggregation (the reference's whole
+    phase-2/3 loop collapsed into one agg — SURVEY.md §2.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_topk_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.topk import top_k_values
+
+    cust = _t(spark, sf_dir, "customer")
+    out = top_k_values(cust, ["c_mktsegment"], k=10)
+    return out.select("value", "cnt", F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_topk_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column melt top-k: one pipeline for several columns (A9)."""
+    from advanced_data_profile_spark.operators.topk import top_k_values
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = top_k_values(li, ["l_returnflag", "l_linestatus", "l_shipmode"]
+                       if "l_shipmode" in li.columns
+                       else ["l_returnflag", "l_linestatus"], k=3)
+    return out.select(
+        F.col("column").alias("col_name"), "value", "cnt",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _oracle_topk_per_column() -> str:
+    def one(c: str) -> str:
+        return f"""
+        SELECT '{c}' AS col_name, value, cnt, rank FROM (
+          SELECT {c} AS value, count(*) AS cnt,
+                 row_number() OVER (ORDER BY count(*) DESC, {c} ASC) AS rank
+          FROM lineitem WHERE {c} IS NOT NULL GROUP BY {c}
+        ) WHERE rank <= 3
+        """
+    return " UNION ALL ".join(one(c) for c in ["l_returnflag", "l_linestatus"])
+
+
+def q_entropy_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.topk import entropy
+
+    ev = _t(spark, sf_dir, "events")
+    out = entropy(ev, ["event_type"])
+    return out.select(
+        F.col("column").alias("col_name"), F.round("entropy", 6).alias("entropy")
+    )
+
+
+def q_categorical_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.topk import categorical_confidence
+
+    ev = _t(spark, sf_dir, "events")
+    out = categorical_confidence(ev, ["event_type"])
+    return out.select(
+        F.col("column").alias("col_name"), "entropy", "categorical_confidence"
+    )
+
+
+def q_outlier_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.stats import outlier_pct
+
+    ev = _t(spark, sf_dir, "events")
+    out = outlier_pct(ev, ["value"])
+    return out.select(F.col("column").alias("col_name"), "outlier_pct")
+
+
+def q_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness/kurtosis (Spark built-ins; oracle recomputes
+    from raw central moments)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.skewness("l_quantity"), 4).alias("skew_pop"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_pop"),
+    )
+
+
+def q_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage (salted) duplicate-key detection — J1 in SURVEY.md."""
+    li = _t(spark, sf_dir, "lineitem")
+    stage1 = (
+        li.groupBy("l_orderkey", F.spark_partition_id().alias("__salt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        stage1.groupBy("l_orderkey")
+        .agg(F.sum("c").alias("dup_cnt"))
+        .where(F.col("dup_cnt") > 1)
+        .select(F.col("l_orderkey").alias("key"), "dup_cnt")
+    )
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast anti-join referential check (J2): orders whose custkey
+    is outside a restricted reference set."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ref = cust.where(F.col("c_custkey") < 100).select("c_custkey")
+    orphans = orders.join(
+        F.broadcast(ref), orders.o_custkey == ref.c_custkey, "left_anti"
+    )
+    return (
+        orphans.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("o_custkey").alias("key"), "cnt")
+    )
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FK check orders.o_custkey -> customer (expected clean)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orphans = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    return orders.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed shared-bin histogram (A24 / drift substrate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    binc = F.least(
+        F.greatest(F.floor((F.col("l_quantity") - 1.0) / 4.9), F.lit(0)),
+        F.lit(9),
+    ).cast("bigint")
+    return (
+        li.where(F.col("l_quantity").isNotNull())
+        .groupBy(binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_datepart_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part histogram (A28)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mon"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_minmax_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max datetime (A21), rendered as canonical strings."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_dt"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_dt"),
+    )
+
+
+def q_decimal_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max decimal places per column (A16)."""
+    from advanced_data_profile_spark.functions.numeric import decimal_places
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.max(decimal_places(F.col("l_quantity"))).cast("bigint").alias("dec_quantity"),
+        F.max(decimal_places(F.col("l_discount"))).cast("bigint").alias("dec_discount"),
+    )
+
+
+def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI + binned KS of `value` between the two time halves of events
+    (north_rule drift check), shared fixed bins 0..100 x 20."""
+    ev = _t(spark, sf_dir, "events")
+    med = "2024-01-08"  # fixed split point inside the events range
+    half = F.when(F.col("ts") < med, "a").otherwise("b")
+    binc = F.least(
+        F.greatest(F.floor(F.col("value") / 5.0), F.lit(0)), F.lit(19)
+    ).cast("bigint")
+    hist = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(half.alias("grp"), binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp")
+    wc = w.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    p = F.col("cnt") / F.sum("cnt").over(w)
+    scored = hist.select(
+        "grp", "bin", p.alias("p"), F.sum(p).over(wc).alias("cdf")
+    )
+    a = scored.where(F.col("grp") == "a").select(
+        "bin", F.col("p").alias("pa"), F.col("cdf").alias("ca")
+    )
+    b = scored.where(F.col("grp") == "b").select(
+        "bin", F.col("p").alias("pb"), F.col("cdf").alias("cb")
+    )
+    j = a.join(b, "bin", "full_outer").select(
+        F.coalesce("pa", F.lit(0.0)).alias("pa"),
+        F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        F.coalesce("ca", F.lit(0.0)).alias("ca"),
+        F.coalesce("cb", F.lit(0.0)).alias("cb"),
+    )
+    eps = 1e-6
+    return j.agg(
+        F.round(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias("ks"),
+        F.round(
+            F.sum(
+                ((F.col("pa") + eps) - (F.col("pb") + eps))
+                * F.log((F.col("pa") + eps) / (F.col("pb") + eps))
+            ),
+            6,
+        ).alias("psi"),
+    )
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate summary over documents (dedup: exact tier)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("text")).alias("n_distinct_text"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("text"))).alias("n_dup_rows"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "profile_lineitem": q_profile_lineitem,
+        "table_summary_lineitem": q_table_summary_lineitem,
+        "pricing_summary": q_pricing_summary,
+        "topk_mktsegment": q_topk_mktsegment,
+        "topk_per_column": q_topk_per_column,
+        "entropy_event_type": q_entropy_event_type,
+        "categorical_confidence": q_categorical_confidence,
+        "outlier_pct": q_outlier_pct,
+        "skew_kurt": q_skew_kurt,
+        "uniqueness_violations": q_uniqueness_violations,
+        "referential_orphans": q_referential_orphans,
+        "referential_integrity": q_referential_integrity,
+        "histogram_quantity": q_histogram_quantity,
+        "datepart_histogram": q_datepart_histogram,
+        "minmax_datetime": q_minmax_datetime,
+        "decimal_places": q_decimal_places,
+        "drift_psi_events": q_drift_psi_events,
+        "dedup_exact_documents": q_dedup_exact_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_lineitem": _oracle_profile_lineitem(),
+        "table_summary_lineitem": """
+            SELECT count(*) AS n_rows,
+                   11 AS n_cols,
+                   count(*) > (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+                       AS has_duplicates,
+                   0::BIGINT AS n_nulls_total
+            FROM lineitem
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "topk_mktsegment": """
+            SELECT value, cnt, rank FROM (
+              SELECT c_mktsegment AS value, count(*) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) AS rank
+              FROM customer WHERE c_mktsegment IS NOT NULL
+              GROUP BY c_mktsegment
+            ) t WHERE rank <= 10
+        """,
+        "topk_per_column": _oracle_topk_per_column(),
+        "entropy_event_type": """
+            WITH c AS (
+              SELECT event_type, count(*)::DOUBLE AS cnt FROM events
+              WHERE event_type IS NOT NULL GROUP BY event_type
+            )
+            SELECT 'event_type' AS col_name,
+                   round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy
+            FROM c
+        """,
+        "categorical_confidence": """
+            WITH c AS (
+              SELECT event_type, count(*)::DOUBLE AS cnt FROM events
+              WHERE event_type IS NOT NULL GROUP BY event_type
+            ), s AS (
+              SELECT count(*) AS n_distinct, sum(cnt) AS n,
+                     ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt) AS entropy
+              FROM c
+            )
+            SELECT 'event_type' AS col_name,
+                   round(entropy, 6) AS entropy,
+                   CASE WHEN n_distinct <= 1 OR n_distinct / n >= 0.1 THEN 0.0
+                        ELSE greatest(0.0, round(100.0 - entropy * 10.0, 2))
+                   END AS categorical_confidence
+            FROM s
+        """,
+        "outlier_pct": """
+            WITH m AS (
+              SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events
+            )
+            SELECT 'value' AS col_name,
+                   round(100.0 * sum(CASE WHEN abs(value - mu) / sd > 3
+                                          THEN 1 ELSE 0 END) / count(value), 4)
+                       AS outlier_pct
+            FROM events, m
+            GROUP BY mu, sd
+        """,
+        "skew_kurt": """
+            WITH m AS (
+              SELECT avg(l_quantity) AS mu, count(l_quantity) AS n FROM lineitem
+            )
+            SELECT
+              round((sum(pow(l_quantity - mu, 3)) / n)
+                    / pow(sum(pow(l_quantity - mu, 2)) / n, 1.5), 4) AS skew_pop,
+              round((sum(pow(l_quantity - mu, 4)) / n)
+                    / pow(sum(pow(l_quantity - mu, 2)) / n, 2) - 3, 4) AS kurt_pop
+            FROM lineitem, m
+            GROUP BY mu, n
+        """,
+        "uniqueness_violations": """
+            SELECT l_orderkey AS key, count(*) AS dup_cnt
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "referential_orphans": """
+            SELECT o_custkey AS key, count(*) AS cnt
+            FROM orders
+            WHERE o_custkey NOT IN (
+              SELECT c_custkey FROM customer WHERE c_custkey < 100
+            )
+            GROUP BY o_custkey
+        """,
+        "referential_integrity": """
+            SELECT (SELECT count(*) FROM orders) AS n_rows,
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                       AS n_orphans
+        """,
+        "histogram_quantity": """
+            SELECT least(greatest(floor((l_quantity - 1.0) / 4.9), 0), 9)::BIGINT
+                       AS bin,
+                   count(*) AS cnt
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            GROUP BY 1
+        """,
+        "datepart_histogram": """
+            SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+                   EXTRACT(month FROM o_orderdate)::BIGINT AS mon,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        """,
+        "minmax_datetime": """
+            SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_dt,
+                   strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_dt
+            FROM orders
+        """,
+        "decimal_places": """
+            SELECT max(coalesce(length(string_split(CAST(l_quantity AS VARCHAR), '.')[2]), 0))::BIGINT
+                       AS dec_quantity,
+                   max(coalesce(length(string_split(CAST(l_discount AS VARCHAR), '.')[2]), 0))::BIGINT
+                       AS dec_discount
+            FROM lineitem
+        """,
+        "drift_psi_events": """
+            WITH h AS (
+              SELECT CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'a' ELSE 'b' END AS grp,
+                     least(greatest(floor(value / 5.0), 0), 19)::BIGINT AS bin,
+                     count(*)::DOUBLE AS cnt
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2
+            ), t AS (
+              SELECT grp, bin, cnt,
+                     cnt / sum(cnt) OVER (PARTITION BY grp) AS p,
+                     sum(cnt) OVER (PARTITION BY grp ORDER BY bin) /
+                         sum(cnt) OVER (PARTITION BY grp) AS cdf
+              FROM h
+            ), j AS (
+              SELECT coalesce(a.p, 0) AS pa, coalesce(b.p, 0) AS pb,
+                     coalesce(a.cdf, 0) AS ca, coalesce(b.cdf, 0) AS cb
+              FROM (SELECT * FROM t WHERE grp = 'a') a
+              FULL OUTER JOIN (SELECT * FROM t WHERE grp = 'b') b USING (bin)
+            )
+            SELECT round(max(abs(ca - cb)), 6) AS ks,
+                   round(sum(((pa + 1e-6) - (pb + 1e-6))
+                             * ln((pa + 1e-6) / (pb + 1e-6))), 6) AS psi
+            FROM j
+        """,
+        "dedup_exact_documents": """
+            SELECT count(*) AS n,
+                   count(DISTINCT text) AS n_distinct_text,
+                   count(*) - count(DISTINCT text) AS n_dup_rows
+            FROM documents
+        """,
+    }

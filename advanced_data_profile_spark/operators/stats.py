@@ -1,0 +1,307 @@
+"""One-pass wide-aggregation column profiler.
+
+The reference profiles columns one at a time in Python loops
+(reference Profiler.py:576, 627, 695) — one full-table pass per column
+per metric. Here every per-column statistic for every column is emitted
+as one expression list into a single ``df.agg(...)`` (optionally
+``groupBy(partition_col)``), so Catalyst executes ONE scan with
+map-side partial aggregation before any shuffle. The wide result is
+then melted to one row per (group, column) — the `column_profiles`
+shape of SURVEY.md §1.3.
+
+Scale notes (100 TB design point):
+- the agg is a straight HashAggregate: partials per input partition,
+  one shuffle keyed by the (low-cardinality) group column. No skew risk
+  because group keys are table partitions, each roughly equal sized.
+- exact mode uses ``count_distinct`` / ``percentile`` (expands to extra
+  shuffles) and exists for oracle parity at test scale; ``approx`` mode
+  (default for scale) uses ``approx_count_distinct`` (HLL) and
+  ``percentile_approx`` (GK sketch), both single-pass and mergeable.
+- column pruning: only profiled columns are read; profiling an image
+  table never touches the ``bytes`` payload column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from advanced_data_profile_spark.functions.numeric import (
+    decimal_places,
+    sample_kurtosis,
+    sample_skewness,
+)
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_TIME_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+# Schema of one melted profile row (field order = output column order).
+PROFILE_FIELDS = [
+    ("column", "string"),
+    ("n_rows", "bigint"),
+    ("n_nonnull", "bigint"),
+    ("n_null", "bigint"),
+    ("null_ratio", "double"),
+    ("n_distinct", "bigint"),
+    ("unique_ratio", "double"),
+    ("mean", "double"),
+    ("stddev", "double"),          # sample, ddof=1 (reference parity)
+    ("stddev_pop", "double"),
+    ("min_num", "double"),
+    ("max_num", "double"),
+    ("p25", "double"),
+    ("p50", "double"),
+    ("p75", "double"),
+    ("skewness", "double"),        # pandas-parity G1
+    ("kurtosis", "double"),        # pandas-parity excess G2
+    ("min_str", "string"),
+    ("max_str", "string"),
+    ("max_length", "bigint"),      # A15
+    ("max_decimals", "bigint"),    # A16
+    ("has_non_ascii", "boolean"),  # P4
+]
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC_TYPES)
+
+
+def _is_time(dt: T.DataType) -> bool:
+    return isinstance(dt, _TIME_TYPES)
+
+
+def _null_d() -> Column:
+    return F.lit(None).cast("double")
+
+
+def column_profile_struct(name: str, dt: T.DataType, approx: bool) -> Column:
+    """All stats for one column as a single struct-valued aggregate.
+
+    n_distinct note: exact ``count_distinct`` must NOT live in this
+    struct — mixing DISTINCT aggregates with the heavy percentile /
+    moment aggregates makes Catalyst rewrite the whole agg through an
+    EXPAND (one replicated input copy per distinct group), multiplying
+    the cost of every other aggregate (measured 10x at sf0.1). Exact
+    mode therefore computes distincts in a separate scan (see
+    ``profile``); approx HLL sketches are expand-free and stay fused.
+    """
+    c = F.col(name)
+    n_rows = F.count(F.lit(1))
+    n_nonnull = F.count(c)
+
+    if approx:
+        distinct = F.approx_count_distinct(name)
+    else:
+        distinct = F.lit(None).cast("bigint")  # filled by the distinct pass
+
+    numeric = _is_numeric(dt)
+    timey = _is_time(dt)
+    stringy = isinstance(dt, T.StringType)
+
+    if numeric:
+        cd = c.cast("double")
+        if approx:
+            q = F.percentile_approx(cd, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
+        else:
+            q = F.percentile(cd, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        mean = F.avg(cd)
+        stddev = F.stddev_samp(cd)
+        stddev_pop = F.stddev_pop(cd)
+        mn, mx = F.min(cd), F.max(cd)
+        skew = sample_skewness(cd, n_nonnull)
+        kurt = sample_kurtosis(cd, n_nonnull)
+        p25, p50, p75 = q.getItem(0), q.getItem(1), q.getItem(2)
+        max_dec = F.max(decimal_places(c)).cast("bigint")
+    else:
+        mean = stddev = stddev_pop = mn = mx = skew = kurt = _null_d()
+        p25 = p50 = p75 = _null_d()
+        max_dec = F.lit(None).cast("bigint")
+
+    if numeric or timey:
+        min_str = F.min(c).cast("string")
+        max_str = F.max(c).cast("string")
+    elif stringy:
+        min_str, max_str = F.min(c), F.max(c)
+    else:
+        min_str = max_str = F.lit(None).cast("string")
+
+    if stringy:
+        max_len = F.max(F.length(c)).cast("bigint")
+        non_ascii = F.coalesce(
+            F.max(c.rlike(r"[^\x00-\x7F]").cast("int")) == 1, F.lit(False)
+        )
+    else:
+        max_len = F.max(F.length(c.cast("string"))).cast("bigint")
+        non_ascii = F.lit(False)
+
+    return F.struct(
+        F.lit(name).alias("column"),
+        n_rows.alias("n_rows"),
+        n_nonnull.alias("n_nonnull"),
+        (n_rows - n_nonnull).alias("n_null"),
+        F.when(n_rows > 0, (n_rows - n_nonnull) / n_rows).alias("null_ratio"),
+        distinct.cast("bigint").alias("n_distinct"),
+        F.when(n_rows > 0, distinct / n_rows).alias("unique_ratio"),
+        mean.alias("mean"),
+        stddev.alias("stddev"),
+        stddev_pop.alias("stddev_pop"),
+        mn.alias("min_num"),
+        mx.alias("max_num"),
+        p25.alias("p25"),
+        p50.alias("p50"),
+        p75.alias("p75"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
+        min_str.alias("min_str"),
+        max_str.alias("max_str"),
+        max_len.alias("max_length"),
+        max_dec.alias("max_decimals"),
+        non_ascii.alias("has_non_ascii"),
+    ).alias(f"__p_{name}")
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Profile columns in one aggregation pass (plus, in exact mode, a
+    second distinct-count pass — see column_profile_struct); melt to
+    long format.
+
+    Returns one row per (group_by?, column) with PROFILE_FIELDS.
+    Binary columns are skipped by default (never scan image payloads
+    for stats — reference stats are never over raw bytes either).
+    """
+    if columns is None:
+        columns = [
+            f.name for f in df.schema.fields
+            if not isinstance(f.dataType, (T.BinaryType, T.ArrayType, T.MapType, T.StructType))
+            and f.name != group_by
+        ]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    structs = [column_profile_struct(c, dtypes[c], approx) for c in columns]
+
+    if group_by is not None:
+        agg = df.groupBy(group_by).agg(*structs)
+        keep = [F.col(group_by)]
+    else:
+        agg = df.agg(*structs)
+        keep = []
+
+    melted = agg.select(
+        *keep,
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in columns])).alias("s"),
+    )
+    out = melted.select(*keep, *[F.col(f"s.{f}").alias(f) for f, _ in PROFILE_FIELDS])
+    if approx:
+        return out
+
+    # exact distinct counts: dedicated scan, melted and joined back.
+    # Kept OUT of the main agg to avoid the EXPAND rewrite (docstring
+    # above); this agg has only count_distincts so the expand carries
+    # no heavy expressions.
+    keys = [group_by] if group_by else []
+    dagg = (df.groupBy(*keys) if keys else df).agg(
+        *[F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in columns]
+    )
+    dmelt = dagg.select(
+        *keys,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__d_{c}").cast("bigint").alias("__nd"),
+                )
+                for c in columns
+            ])
+        ).alias("d"),
+    ).select(*keys, "d.column", "d.__nd")
+    joined = out.drop("n_distinct", "unique_ratio").join(
+        F.broadcast(dmelt), on=keys + ["column"], how="left"
+    )
+    joined = joined.withColumn("n_distinct", F.col("__nd")).withColumn(
+        "unique_ratio",
+        F.when(F.col("n_rows") > 0, F.col("__nd") / F.col("n_rows")),
+    ).drop("__nd")
+    order = ([group_by] if group_by else []) + [f for f, _ in PROFILE_FIELDS]
+    return joined.select(*order)
+
+
+def outlier_pct(
+    df: DataFrame,
+    columns: list[str],
+    group_by: str | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """% of non-null values with |z| > threshold (population sigma),
+    per column — reference Profiler.py:359-362 / P3 in SURVEY.md.
+
+    Two fused aggregation passes over the same scan: pass 1 computes
+    (mu, sigma) for every column at once; pass 2 computes all ratios at
+    once. At scale this is 2 scans total for ANY number of columns —
+    versus the reference's 2 scans *per column*.
+    """
+    keys = [group_by] if group_by else []
+    m1 = (df.groupBy(*keys) if keys else df).agg(
+        *[F.avg(c).alias(f"mu_{c}") for c in columns],
+        *[F.stddev_pop(c).alias(f"sd_{c}") for c in columns],
+    )
+    if keys:
+        joined = df.join(F.broadcast(m1), on=keys)
+    else:
+        joined = df.crossJoin(F.broadcast(m1))
+    outlier_exprs = []
+    for c in columns:
+        z_hit = (
+            F.abs(F.col(c) - F.col(f"mu_{c}")) / F.col(f"sd_{c}") > threshold
+        ).cast("int")
+        pct = F.when(
+            F.count(c) > 0,
+            F.round(F.sum(F.coalesce(z_hit, F.lit(0))) * 100.0 / F.count(c), 4),
+        ).otherwise(0.0)
+        outlier_exprs.append(pct.alias(f"__o_{c}"))
+    agg2 = (joined.groupBy(*keys) if keys else joined).agg(*outlier_exprs)
+    melted = agg2.select(
+        *[F.col(k) for k in keys],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("column"), F.col(f"__o_{c}").alias("outlier_pct"))
+                for c in columns
+            ])
+        ).alias("s"),
+    )
+    return melted.select(*keys, "s.column", "s.outlier_pct")
+
+
+def table_summary(df: DataFrame, group_by: str | None = None) -> DataFrame:
+    """Table-level stats: row/col counts, duplicate flag, null totals
+    (reference first_phase/second_phase, Profiler.py:514-622)."""
+    cols = [f.name for f in df.schema.fields if f.name != group_by]
+    n_cols = len(cols)
+    null_counts = [F.count(F.lit(1)) - F.count(F.col(c)) for c in cols]
+    total_nulls = None
+    for e in null_counts:
+        total_nulls = e if total_nulls is None else total_nulls + e
+    # duplicate-row detection via 64-bit hash inequality (A3): exact
+    # count_distinct over the hash — collision odds negligible for a
+    # verdict, and it avoids a groupBy over full-width rows.
+    row_hash = F.xxhash64(*[F.col(c) for c in cols])
+    agg = (df.groupBy(group_by) if group_by else df).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(row_hash).alias("n_distinct_rows"),
+        total_nulls.alias("n_nulls_total"),
+    )
+    return agg.select(
+        *([group_by] if group_by else []),
+        "n_rows",
+        F.lit(n_cols).alias("n_cols"),
+        (F.col("n_rows") > F.col("n_distinct_rows")).alias("has_duplicates"),
+        "n_nulls_total",
+        (F.col("n_rows") * n_cols - F.col("n_nulls_total")).alias("n_nonnull_total"),
+    )

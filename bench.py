@@ -1,0 +1,94 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Also times the end-to-end images validation pipeline (the north_rule
+headline metric, images validated/sec) over a deterministic synthetic
+images table generated once and cached under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from advanced_data_profile_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "profile_lineitem",
+    "pricing_summary",
+    "topk_per_column",
+    "entropy_event_type",
+    "outlier_pct",
+    "skew_kurt",
+    "uniqueness_violations",
+    "referential_integrity",
+    "histogram_quantity",
+    "datepart_histogram",
+    "drift_psi_events",
+]
+
+BENCH_IMAGES = "/tmp/adp_bench_images"
+BENCH_PARTS, BENCH_ROWS = 8, 2000
+
+
+def ensure_images(spark) -> None:
+    marker = f"{BENCH_IMAGES}/_SUCCESS_MARKER"
+    if os.path.exists(marker):
+        return
+    from advanced_data_profile_spark.sources.images import generate_images, write_images
+
+    shutil.rmtree(BENCH_IMAGES, ignore_errors=True)
+    write_images(
+        generate_images(spark, n_parts=BENCH_PARTS, rows_per_part=BENCH_ROWS,
+                        dims=(16, 32, 64)),
+        BENCH_IMAGES,
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="adp-bench")
+    qs = entry_mod.queries()
+
+    # warm-up: JVM + parquet footer reads
+    qs["table_summary_lineitem"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # end-to-end images pipeline (profile + constraints + verify + drift)
+    from advanced_data_profile_spark.plans.pipeline import run_pipeline
+
+    ensure_images(spark)
+    out_dir = "/tmp/adp_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    summary = run_pipeline(spark, BENCH_IMAGES, out_dir)
+    timings["images_pipeline"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_plus_images_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "images_per_sec": summary.get("images_per_sec"),
+        "images_rows": summary.get("rows"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Constraint engine vs the fixture's modulo-rule ground truth."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.operators import constraints as C
+from advanced_data_profile_spark.sources.images import (
+    ground_truth,
+    phash_reference,
+    read_images,
+)
+
+N_PARTS, ROWS = 4, 250
+
+
+@pytest.fixture(scope="module")
+def images(spark, images_path):
+    return read_images(spark, images_path)
+
+
+@pytest.fixture(scope="module")
+def results(spark, images):
+    checks = [
+        C.not_null("caption_not_null", "caption"),
+        C.domain("w_domain", (F.col("w") > 0) & (F.col("w") <= 8192), "w"),
+        C.domain("fmt_known", F.col("fmt").isin("raw", "bmp"), "fmt"),
+        C.unique("image_id_unique", "image_id"),
+        C.referential("phash_ref", "phash", phash_reference(images), "phash"),
+    ]
+    res, vio = C.evaluate(images, checks, part_col="part_id")
+    return res.collect(), vio.collect()
+
+
+def test_verdicts_match_ground_truth(results):
+    res, _ = results
+    gt = ground_truth(N_PARTS, ROWS)
+    by = {(int(r.part_id), r.constraint): r for r in res}
+    for p in range(N_PARTS):
+        assert by[(p, "caption_not_null")].n_violations == gt[p]["caption_violations"]
+        assert by[(p, "w_domain")].n_violations == gt[p]["w_domain_violations"]
+        assert by[(p, "fmt_known")].n_violations == gt[p]["fmt_violations"]
+        assert by[(p, "phash_ref")].n_violations == gt[p]["orphan_phash"]
+        # each dup pair involves 2 rows
+        assert by[(p, "image_id_unique")].n_violations == gt[p]["dup_id_pairs"] * 2
+        for name in ("caption_not_null", "w_domain", "fmt_known",
+                     "image_id_unique", "phash_ref"):
+            r = by[(p, name)]
+            assert r.passed == (r.n_violations == 0)
+            assert r.n_rows == ROWS
+
+
+def test_violation_rows(results):
+    _, vio = results
+    dup = [r for r in vio if r.constraint == "image_id_unique"]
+    # the duplicated id appears as one violation key per partition
+    assert len(dup) == N_PARTS * 2
+    assert all('"duplicate_count":2' in r.detail for r in dup)
+    orphans = [r for r in vio if r.constraint == "phash_ref"]
+    assert len(orphans) == N_PARTS
+    assert all(int(r.key) < 0 for r in orphans)
+
+
+def test_global_uniqueness_catches_cross_partition_dup(images):
+    res, vio = C.evaluate(
+        images, [C.unique("gid", "image_id")], part_col=None
+    )
+    keys = {r.key for r in vio.collect()}
+    # row 0 of parts 1..3 duplicates part 0's row 0 id
+    assert "img-0000-00000000" in keys
+
+
+def test_passing_constraints(spark, images):
+    res, _ = C.evaluate(
+        images,
+        [C.domain("h_domain", (F.col("h") > 0) & (F.col("h") <= 8192), "h")],
+        part_col="part_id",
+    )
+    assert all(r.passed for r in res.collect())
+
+
+def test_dedup_exact(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "c", "c", "c"], "v": range(6)})
+    out = C.dedup_exact(spark.createDataFrame(pdf), "k")
+    assert out.count() == 3
+    assert {r.k for r in out.collect()} == {"a", "b", "c"}
+    # deterministic winner
+    again = C.dedup_exact(spark.createDataFrame(pdf), "k")
+    assert sorted((r.k, r.v) for r in out.collect()) == \
+           sorted((r.k, r.v) for r in again.collect())
+
+
+def test_referential_tpch(spark):
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    res, vio = C.evaluate(
+        orders,
+        [C.referential("cust_fk", "o_custkey", customer, "c_custkey")],
+        part_col=None,
+    )
+    r = res.collect()[0]
+    # TPC-H referential integrity holds
+    assert r.passed and r.n_violations == 0

@@ -1,0 +1,76 @@
+"""End-to-end pipeline: results land, resume is idempotent, verdicts
+match ground truth (the golden-report analogue, SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.plans.manifest import Manifest
+from advanced_data_profile_spark.plans.pipeline import run_pipeline
+from advanced_data_profile_spark.sources.images import ground_truth
+
+N_PARTS, ROWS = 4, 250
+
+
+@pytest.fixture(scope="module")
+def pipe_out(spark, images_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe") / "out")
+    summary = run_pipeline(spark, images_path, out)
+    return out, summary
+
+
+def test_summary(pipe_out):
+    _, s = pipe_out
+    assert s["partitions"] == N_PARTS
+    assert s["rows"] == N_PARTS * ROWS
+    assert s["images_per_sec"] > 0
+
+
+def test_result_tables_exist(spark, pipe_out):
+    out, _ = pipe_out
+    profiles = spark.read.parquet(f"{out}/column_profiles")
+    # 7 metadata columns (no bytes) + caption_len, per partition
+    assert profiles.count() == N_PARTS * 7
+    results = spark.read.parquet(f"{out}/constraint_results")
+    assert results.where(~F.col("passed")).count() > 0
+    assert spark.read.parquet(f"{out}/violations").count() > 0
+    assert spark.read.parquet(f"{out}/drift_results").count() == (N_PARTS - 1) * 3
+
+
+def test_verdict_values(spark, pipe_out):
+    out, _ = pipe_out
+    res = spark.read.parquet(f"{out}/constraint_results")
+    gt = ground_truth(N_PARTS, ROWS)
+    by = {(int(r.part_id), r.constraint): r for r in res.collect()}
+    assert by[(0, "caption_not_null")].n_violations == gt[0]["caption_violations"]
+    assert by[(1, "phash_ref")].n_violations == gt[1]["orphan_phash"]
+    assert by[(2, "h_domain")].passed is True
+
+
+def test_resume_skips_done(spark, images_path, pipe_out):
+    out, _ = pipe_out
+    s2 = run_pipeline(spark, images_path, out)
+    assert s2["partitions"] == 0
+    assert "skipped" in s2
+
+
+def test_manifest_lineage(spark, pipe_out):
+    out, _ = pipe_out
+    m = Manifest(spark, f"{out}/manifest").read().collect()
+    assert len(m) == N_PARTS
+    assert all(r.status == "done" for r in m)
+    assert all(r.n_rows == ROWS for r in m)
+    assert all('"timings"' in r.metrics_json for r in m)
+
+
+def test_partial_resume(spark, images_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe2") / "out")
+    manifest = Manifest(spark, f"{out}/manifest")
+    # simulate a prior interrupted run that finished only partitions 0,1
+    manifest.record("prior", "0", "done", n_rows=ROWS)
+    manifest.record("prior", "1", "done", n_rows=ROWS)
+    s = run_pipeline(spark, images_path, out)
+    assert s["partitions"] == 2  # only 2,3 processed
+    done = {r.part_id for r in manifest.done_parts().collect()}
+    assert done == {"0", "1", "2", "3"}

@@ -1,0 +1,93 @@
+"""Type inference parity with the reference's six logical types
+(reference Profiler.py:203-220; quirks documented in SURVEY.md §1.2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from advanced_data_profile_spark.operators.typeinfer import (
+    FormatCache,
+    apply_types,
+    infer_types,
+)
+
+
+@pytest.fixture(scope="module")
+def mixed_df(spark):
+    pdf = pd.DataFrame({
+        "all_null": pd.Series([None] * 6, dtype="object"),
+        "ints": [1, 2, 3, 4, 5, 6],
+        "float_integral": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "floats": [1.5, 2.25, 3.125, 4.0, 5.5, 6.75],
+        "double_precision": [0.1234567, 1.23456789, 2.2, 3.3, 4.4, 5.5],
+        "date_str": ["2024-01-01", "2024-02-15", "2023-12-31",
+                     "2024-06-01", "2024-07-04", "2024-03-03"],
+        "ts_str": ["2024-01-01 10:30:00", "2024-02-15 00:00:01",
+                   "2023-12-31 23:59:59", "2024-06-01 12:00:00",
+                   "2024-07-04 01:02:03", "2024-03-03 03:03:03"],
+        "slash_date": ["01/15/2024", "02/20/2024", "03/25/2024",
+                       "04/30/2024", "05/05/2024", "06/10/2024"],
+        "numeric_str": ["10", "20", "30", "40", "50", "60"],
+        "float_str": ["1.5", "2.5", "3.5", "4.5", "5.5", "6.5"],
+        "pace": ["5:30", "6:15", "4:45", "5:00", "7:10", "6:40"],
+        "plain": ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"],
+        "bad_year": ["0001-01-01", "2024-01-01", "2024-01-02",
+                     "2024-01-03", "2024-01-04", "2024-01-05"],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_inference(mixed_df):
+    t = infer_types(mixed_df)
+    assert t["all_null"].logical == "empty"
+    assert t["ints"].logical == "integer"
+    # all-integral float downcasts to integer (Profiler.py:533-535)
+    assert t["float_integral"].logical == "integer"
+    assert t["floats"].logical == "float"
+    # > 6 decimal places => "double" (Profiler.py:587-588)
+    assert t["double_precision"].logical == "double"
+    assert t["date_str"].logical == "date"
+    assert t["ts_str"].logical == "timestamp"
+    assert t["slash_date"].logical == "date"
+    assert t["numeric_str"].logical == "integer"
+    assert t["float_str"].logical == "float"
+    # the reference's pace quirk: "5:30" parses as time-of-day
+    assert t["pace"].logical == "timestamp"
+    assert t["plain"].logical == "string"
+    # year outside [1900, 2100] fails validation (Profiler.py:139-144)
+    assert t["bad_year"].logical == "string"
+
+
+def test_apply_types(mixed_df):
+    t = infer_types(mixed_df)
+    typed = apply_types(mixed_df, t)
+    d = dict(typed.dtypes)
+    assert d["date_str"] == "date"
+    assert d["ts_str"] == "timestamp"
+    assert d["numeric_str"] == "bigint"
+    assert d["float_str"] == "double"
+    assert d["plain"] == "string"
+    row = typed.select("date_str", "numeric_str").orderBy("numeric_str").first()
+    assert str(row.date_str) == "2024-01-01"
+    assert row.numeric_str == 10
+
+
+def test_format_cache_roundtrip(tmp_path, mixed_df):
+    path = str(tmp_path / "fmt_cache.json")
+    cache = FormatCache(path)
+    infer_types(mixed_df, cache=cache)
+    assert cache.freq.get("yyyy-MM-dd", 0) >= 1
+    reloaded = FormatCache(path)
+    assert reloaded.freq == cache.freq
+    # higher-frequency format ordered first
+    reloaded.record("yyyy-MM-dd")
+    reloaded.record("yyyy-MM-dd")
+    assert reloaded.ordered(["H:mm", "yyyy-MM-dd"])[0] == "yyyy-MM-dd"
+
+
+def test_sample_confirm_rejects_partial_format(spark):
+    # sample parses but the full column has a non-conforming tail value
+    pdf = pd.DataFrame({"d": ["2024-01-01"] * 50 + ["not-a-date"]})
+    t = infer_types(spark.createDataFrame(pdf).coalesce(1), sample_rows=10)
+    assert t["d"].logical == "string"
