@@ -322,6 +322,328 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity over documents + embeddings
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text metrics: token counts, quality, punctuation."""
+    from advanced_data_profile_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count(c).cast("bigint")).alias("total_tokens"),
+            F.sum(X.bpe_ish_token_count(c)).alias("total_bpe_tokens"),
+            F.round(F.avg(X.quality_score(c)), 4).alias("avg_quality"),
+            F.round(F.avg(X.punct_ratio(c)), 6).alias("avg_punct_ratio"),
+            F.round(F.avg(X.stopword_ratio(c)), 6).alias("avg_stopword_ratio"),
+        )
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the ground-truth lang column."""
+    from advanced_data_profile_spark.functions.text import lang_predict
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_predict(F.col("text")).alias("lang_pred")
+    return (
+        docs.select(F.col("lang"), pred)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(fp).alias("n_distinct_fp"),
+        (F.count(F.lit(1)) - F.count_distinct(fp)).alias("n_norm_dups"),
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return minhash_signatures(docs, "doc_id", "text", k=4)
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for consecutive doc pairs (kernel check;
+    candidate generation at scale goes through LSH — see
+    near_dup_minhash, rows-only)."""
+    from advanced_data_profile_spark.operators.dedup import ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).where(F.col("id_b") < 100)
+    return ngram_jaccard(docs.withColumnRenamed("doc_id", "id"), pairs, "id", "text", 3)
+
+
+def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline (rows-only check: the LSH
+    banding self-join is deterministic but painful in one SQL)."""
+    from advanced_data_profile_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_dedup(docs, "doc_id", "text", k=16, bands=4, threshold=0.8)
+    return out.orderBy("id_a", "id_b")
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.similarity import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return knn_bruteforce(emb, "vec_id", "embedding", q, k=10)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.similarity import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return knn_lsh(emb, "vec_id", "embedding", q, k=10, bits=6, probe_hamming=1)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.dedup import cosine_expr  # noqa: F401
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(norm), 6).alias("avg_norm"),
+            F.round(F.min(norm), 6).alias("min_norm"),
+            F.round(F.max(norm), 6).alias("max_norm"),
+        )
+    )
+
+
+def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "vec_id", "embedding",
+                               threshold=0.22, sign_bits=8)
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.correlation import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_pca_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA feature importance via pyspark.ml (rows-only: SVD loadings
+    have sign/rotation freedom no SQL oracle can pin)."""
+    from advanced_data_profile_spark.operators.correlation import pca_feature_importance
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pca_feature_importance(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], k=4
+    )
+
+
+def _norm_cte(where: str = "") -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_norm
+
+    return (
+        f"SELECT *, {sql_norm('text')} AS __norm FROM documents {where}"
+    )
+
+
+def _oracle_text_stats() -> str:
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    return f"""
+        WITH d AS ({_norm_cte()})
+        SELECT source,
+               count(*) AS n_docs,
+               sum({O.sql_token_count()})::BIGINT AS total_tokens,
+               sum({O.sql_bpe_ish()})::BIGINT AS total_bpe_tokens,
+               round(avg({O.sql_quality_score()}), 4) AS avg_quality,
+               round(avg({O.sql_punct_ratio()}), 6) AS avg_punct_ratio,
+               round(avg(CASE WHEN {O.sql_token_count()} > 0
+                   THEN {O.sql_stopword_hits()}::DOUBLE / {O.sql_token_count()}
+                   ELSE 0.0 END), 6) AS avg_stopword_ratio
+        FROM d GROUP BY source
+    """
+
+
+def _oracle_langid() -> str:
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    return f"""
+        WITH d AS ({_norm_cte()})
+        SELECT lang, {O.sql_lang_predict()} AS lang_pred, count(*) AS cnt
+        FROM d GROUP BY 1, 2
+    """
+
+
+def _oracle_fingerprint() -> str:
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    fp = O.sql_md5_int60("__norm")
+    return f"""
+        WITH d AS ({_norm_cte()})
+        SELECT count(*) AS n,
+               count(DISTINCT {fp}) AS n_distinct_fp,
+               count(*) - count(DISTINCT {fp}) AS n_norm_dups
+        FROM d
+    """
+
+
+def _oracle_minhash() -> str:
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    mins = ", ".join(f"{O.sql_minhash_expr(j)} AS mh{j}" for j in range(4))
+    return f"""
+        WITH d AS ({_norm_cte("WHERE doc_id < 50")}),
+        tok AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(string_split(__norm, ' '))) AS tok
+          FROM d WHERE __norm <> ''
+        )
+        SELECT id, {mins} FROM tok GROUP BY id
+    """
+
+
+def _oracle_simhash() -> str:
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    sums, sig = O.sql_simhash(16)
+    sums_sql = ", ".join(sums)
+    return f"""
+        WITH d AS ({_norm_cte("WHERE doc_id < 50")}),
+        tok AS (
+          SELECT doc_id AS id, tok, count(*)::BIGINT AS cnt FROM (
+            SELECT doc_id, unnest(string_split(__norm, ' ')) AS tok
+            FROM d WHERE __norm <> ''
+          ) GROUP BY doc_id, tok
+        ),
+        h AS (SELECT id, {O.sql_md5_int60('tok')} AS h, cnt FROM tok),
+        s AS (SELECT id, {sums_sql} FROM h GROUP BY id)
+        SELECT id, {sig} AS simhash FROM s
+    """
+
+
+def _oracle_ngram_jaccard() -> str:
+    return """
+        WITH d AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+          FROM documents WHERE doc_id < 100
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_distinct([substr(n, i, 3)
+                                FOR i IN range(1, greatest(strlen(n) - 1, 1))]) AS grams
+          FROM d
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CASE WHEN length(list_distinct(grams_a || grams_b)) > 0
+                     THEN length(list_intersect(grams_a, grams_b))::DOUBLE
+                          / length(list_distinct(grams_a || grams_b))
+                     ELSE 0.0 END, 6) AS jaccard
+        FROM (SELECT doc_id, grams AS grams_a FROM g) a
+        JOIN (SELECT doc_id, grams AS grams_b FROM g) b
+          ON b.doc_id = a.doc_id + 1
+    """
+
+
+def _oracle_knn_bruteforce() -> str:
+    return """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+        FROM embeddings, q
+        ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) DESC,
+                 vec_id ASC
+        LIMIT 10
+    """
+
+
+def _oracle_knn_lsh() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_sign_bucket
+
+    bkt = sql_sign_bucket("embedding", 6)
+    qbkt = sql_sign_bucket("qe", 6)
+    return f"""
+        WITH q AS (
+          SELECT embedding AS qe, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id AS id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+        FROM embeddings, q
+        WHERE bit_count(xor({bkt}, {qbkt})) <= 1
+        ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) DESC,
+                 vec_id ASC
+        LIMIT 10
+    """
+
+
+def _oracle_embedding_norms() -> str:
+    return """
+        SELECT label,
+               count(*) AS n,
+               round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6) AS avg_norm,
+               round(min(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6) AS min_norm,
+               round(max(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6) AS max_norm
+        FROM embeddings GROUP BY label
+    """
+
+
+def _oracle_near_dup_embeddings() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_sign_bucket
+
+    ba = sql_sign_bucket("a.embedding", 8)
+    bb = sql_sign_bucket("b.embedding", 8)
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON {ba} = {bb} AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.22
+    """
+
+
+def _oracle_correlation() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    parts = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for a, b in pairs
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -342,6 +664,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_places": q_decimal_places,
         "drift_psi_events": q_drift_psi_events,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "fingerprint_documents": q_fingerprint_documents,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_documents": q_simhash_documents,
+        "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_minhash": q_near_dup_minhash,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "embedding_norms": q_embedding_norms,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "correlation": q_correlation,
+        "pca_importance": q_pca_importance,
     }
 
 
@@ -500,4 +835,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(DISTINCT text) AS n_dup_rows
             FROM documents
         """,
+        "text_stats": _oracle_text_stats(),
+        "langid": _oracle_langid(),
+        "fingerprint_documents": _oracle_fingerprint(),
+        "minhash_signatures": _oracle_minhash(),
+        "simhash_documents": _oracle_simhash(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        # near_dup_minhash: rows-only (LSH banding self-join)
+        "knn_bruteforce": _oracle_knn_bruteforce(),
+        "knn_lsh": _oracle_knn_lsh(),
+        "embedding_norms": _oracle_embedding_norms(),
+        "near_dup_embeddings": _oracle_near_dup_embeddings(),
+        "correlation": _oracle_correlation(),
+        # pca_importance: rows-only (SVD sign/rotation freedom)
     }

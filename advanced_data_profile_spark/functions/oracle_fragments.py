@@ -1,0 +1,124 @@
+"""DuckDB-dialect SQL fragments mirroring functions.text / operators.dedup
+expressions 1:1, generated from the SAME Python constants — a single
+source of truth so the driver's Spark-vs-DuckDB value-hash comparison
+pins the exact semantics of every text/dedup kernel.
+
+Only used by __spark_entry__.oracle_sql() and tests; the engine itself
+never runs DuckDB.
+"""
+
+from __future__ import annotations
+
+from advanced_data_profile_spark.functions.text import LANG_MARKERS, STOPWORDS_EN
+
+
+def sql_norm(col: str = "text") -> str:
+    return f"trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def sql_token_count(norm: str = "__norm") -> str:
+    return f"(CASE WHEN {norm} = '' THEN 0 ELSE length(string_split({norm}, ' ')) END)"
+
+
+def _sql_list(words: list[str]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+def sql_stopword_hits(norm: str = "__norm") -> str:
+    sw = _sql_list(STOPWORDS_EN)
+    return (
+        f"(CASE WHEN {norm} = '' THEN 0 ELSE "
+        f"length(list_filter(string_split({norm}, ' '), "
+        f"x -> list_contains({sw}, x))) END)"
+    )
+
+
+def sql_punct_ratio(col: str = "text") -> str:
+    return (
+        f"(CASE WHEN length({col}) > 0 THEN "
+        f"(length({col}) - length(regexp_replace({col}, '[^a-zA-Z0-9\\s]', '', 'g')))"
+        f"::DOUBLE / length({col}) ELSE 0.0 END)"
+    )
+
+
+def sql_quality_score(col: str = "text", norm: str = "__norm") -> str:
+    tc = f"{sql_token_count(norm)}::DOUBLE"
+    sw_hits = sql_stopword_hits(norm)
+    sw = f"(CASE WHEN {tc} > 0 THEN {sw_hits}::DOUBLE / {tc} ELSE 0.0 END)"
+    pr = sql_punct_ratio(col)
+    # single-spaced norm: sum of token lengths == strlen - (tc - 1)
+    mwl = (
+        f"(CASE WHEN {tc} > 0 THEN "
+        f"(strlen({norm}) - ({tc} - 1))::DOUBLE / {tc} ELSE 0.0 END)"
+    )
+    len_ok = f"(CASE WHEN {tc} >= 10 AND {tc} <= 5000 THEN 1.0 WHEN {tc} > 0 THEN 0.5 ELSE 0.0 END)"
+    sw_ok = f"(CASE WHEN {sw} >= 0.05 AND {sw} <= 0.6 THEN 1.0 ELSE 0.5 END)"
+    punct_ok = f"(CASE WHEN {pr} <= 0.2 THEN 1.0 WHEN {pr} <= 0.4 THEN 0.5 ELSE 0.0 END)"
+    mwl_ok = f"(CASE WHEN {mwl} >= 2.5 AND {mwl} <= 10 THEN 1.0 ELSE 0.5 END)"
+    return (
+        f"round(0.4 * {len_ok} + 0.3 * {sw_ok} + 0.2 * {punct_ok} + 0.1 * {mwl_ok}, 4)"
+    )
+
+
+def sql_bpe_ish(col: str = "text", norm: str = "__norm") -> str:
+    pieces = (
+        f"(CASE WHEN {norm} = '' THEN 0 ELSE "
+        f"list_sum(list_transform(string_split({norm}, ' '), "
+        f"w -> ceil(strlen(w) / 6.0)))::BIGINT END)"
+    )
+    punct = f"(length({col}) - length(regexp_replace({col}, '[^\\w\\s]', '', 'g')))"
+    return f"({pieces} + coalesce({punct}, 0))::BIGINT"
+
+
+def sql_md5_int60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def sql_lang_predict(col: str = "text", norm: str = "__norm") -> str:
+    """CASE chain replicating functions.text.lang_predict: CJK script
+    short-circuit, then argmax with first-alphabetical tie-break."""
+    langs = sorted(LANG_MARKERS)
+    scores = {}
+    for lang in langs:
+        markers = _sql_list(LANG_MARKERS[lang])
+        scores[lang] = (
+            f"(CASE WHEN {norm} = '' THEN 0 ELSE "
+            f"length(list_filter(string_split({norm}, ' '), "
+            f"x -> list_contains({markers}, x))) END)"
+        )
+    # argmax, first-alphabetical wins ties
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{scores[lang]} >= {scores[o]}" for o in langs[i + 1:]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    argmax = "CASE " + " ".join(cases) + " END"
+    any_hit = " + ".join(scores[lang] for lang in langs)
+    return (
+        f"(CASE WHEN regexp_matches({col}, '[一-鿿]') THEN 'zh' "
+        f"WHEN ({any_hit}) > 0 THEN {argmax} ELSE 'und' END)"
+    )
+
+
+def sql_minhash_expr(j: int, tok: str = "tok") -> str:
+    """min over tokens of md5_int60('<j>:' || token)."""
+    arg = "'" + str(j) + ":' || " + tok
+    return f"min({sql_md5_int60(arg)})"
+
+
+def sql_simhash(bits: int, h: str = "h", cnt: str = "cnt") -> tuple[list[str], str]:
+    """(per-bit sum expressions, final signature expression over s{b})."""
+    sums = [
+        f"sum(CASE WHEN (({h} >> {b}) & 1) = 1 THEN {cnt} ELSE -{cnt} END) AS s{b}"
+        for b in range(bits)
+    ]
+    sig = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return sums, f"({sig})::BIGINT"
+
+
+def sql_sign_bucket(vec: str, bits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"({terms})::BIGINT"

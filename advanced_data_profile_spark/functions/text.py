@@ -1,0 +1,154 @@
+"""Text-analysis expressions for large-scale training-data pipelines:
+tokenization, quality scoring, language-ID heuristics, fingerprints.
+
+All built from JVM-side column expressions (regexp/split/higher-order
+array functions) so they run inside whole-stage codegen — no Python in
+the hot path. Every formula is mirrored 1:1 in the DuckDB oracles of
+__spark_entry__.py, so parity pins the exact semantics.
+
+The hash primitive is md5-based (first 15 hex chars → 60-bit int) —
+chosen over xxhash64 because it is bit-identical across Spark, DuckDB
+and Python, making every downstream fingerprint/minhash/simhash
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small cross-language stopword/marker sets (public common-word lists)
+STOPWORDS_EN = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from not have has had but they you we he she i"
+).split()
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is that it for with as was on are this".split(),
+    "de": "der die das und ist nicht ich ein zu mit den von sich des".split(),
+    "fr": "le la les et de des un une est dans que pour sur avec".split(),
+    "es": "el la los las y de que en un una es por con para del".split(),
+}
+
+
+def norm_text(c: Column) -> Column:
+    """Lowercase, collapse every non-alphanumeric run to one space, trim.
+    (Parity contract: duckdb `trim(regexp_replace(lower(x),'[^a-z0-9]+',' ','g'))`.)"""
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of the normalized text (empty text → empty array)."""
+    n = norm_text(c)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish token estimate: words + digit runs + punctuation
+    marks each count; long words count ceil(len/6) pieces (a public
+    rule-of-thumb approximation of BPE token rates)."""
+    t = tokens(c)
+    word_pieces = F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 6.0).cast("bigint"),
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (word_pieces + F.coalesce(punct, F.lit(0))).cast("bigint")
+
+
+def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    t = tokens(c)
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column) -> Column:
+    """Share of characters that are neither alphanumeric nor whitespace."""
+    non_punct = F.regexp_replace(c, r"[^a-zA-Z0-9\s]", "")
+    return F.when(
+        F.length(c) > 0, (F.length(c) - F.length(non_punct)) / F.length(c)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(c: Column) -> Column:
+    t = tokens(c)
+    total = F.aggregate(t, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w))
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Deterministic 0-1 document quality composite (length band,
+    stopword presence, punctuation sanity, word-length sanity) — the
+    heuristic-filter family used by public web-scale corpus pipelines
+    (C4/Gopher-style rules)."""
+    tc = token_count(c).cast("double")
+    len_ok = F.when((tc >= 10) & (tc <= 5000), 1.0).otherwise(
+        F.when(tc > 0, 0.5).otherwise(0.0)
+    )
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.5)
+    pr = punct_ratio(c)
+    punct_ok = F.when(pr <= 0.2, 1.0).otherwise(F.when(pr <= 0.4, 0.5).otherwise(0.0))
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.5) & (mwl <= 10), 1.0).otherwise(0.5)
+    return F.round(0.4 * len_ok + 0.3 * sw_ok + 0.2 * punct_ok + 0.1 * mwl_ok, 4)
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language (n-gram-free heuristic
+    language ID; fasttext replaces this in prod via mapInPandas)."""
+    t = tokens(c)
+
+    def _hits(markers: list[str]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        # NB: the lambda must take exactly one arg — a second arg would
+        # be bound as the element index by Spark's HOF converter
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+
+    return {lang: _hits(m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_predict(c: Column) -> Column:
+    """Language ID: CJK script detection first (normalization strips
+    CJK codepoints, so marker voting can't see them), then argmax over
+    marker-word hits with deterministic tie-break by language code
+    order; nothing matched → 'und'."""
+    scores = lang_scores(c)
+    langs = sorted(scores)
+    best = None
+    for lang in langs:
+        s = scores[lang]
+        pair = F.struct(s.alias("s"), F.lit(lang).alias("l"))
+        best = pair if best is None else F.when(
+            (pair["s"] > best["s"]), pair
+        ).otherwise(best)
+    marker_vote = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    return F.when(c.rlike("[一-鿿]"), F.lit("zh")).otherwise(marker_vote)
+
+
+def md5_int60(c: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit non-negative int64 —
+    bit-identical in DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def fingerprint(c: Column) -> Column:
+    """Content fingerprint of the normalized text (near-dup at the
+    exact-after-normalization tier)."""
+    return md5_int60(norm_text(c))
+
+
+def char_ngrams(c: Column, n: int = 3) -> Column:
+    """Character n-gram shingles of the normalized text, as an array.
+    Built with sequence+transform (codegen'd), no UDF."""
+    s = norm_text(c)
+    count = F.greatest(F.length(s) - (n - 1), F.lit(0))
+    return F.transform(F.sequence(F.lit(1), count), lambda i: s.substr(i, F.lit(n)))

@@ -1,0 +1,279 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All tiers follow the same scale shape: reduce each document to a small
+signature in one scan (tokens explode → partial-agg collapse), bucket
+signatures so only same-bucket pairs are compared (never an all-pairs
+cross join), then verify candidates. Hashes are md5-derived 60-bit ints
+(functions.text.md5_int60) so signatures are bit-identical in the
+DuckDB oracles.
+
+No reference counterpart (the reference profiles single tables); these
+are the training-data ops the north_star engine needs at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.functions.text import (
+    char_ngrams,
+    fingerprint,
+    md5_int60,
+    norm_text,
+    tokens,
+)
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicates after whitespace/case normalization: hash-groupBy
+    on the 60-bit fingerprint. Returns (fp, dup_cnt, min_id) per group
+    with >1 member. One scan + one shuffle of (fp) pairs."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"), F.min("id").alias("min_id"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+def dedup_exact_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per normalized-content group (the actual
+    dedup, not just detection). Shuffles on fp; at scale this is the
+    standard hash-repartition dedup."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    ranked = df.select("*", fp).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__fp").orderBy(F.col(id_col))),
+    )
+    return ranked.where(F.col("__rn") == 1).drop("__fp", "__rn")
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash over the distinct token set of each doc:
+    mh_j = min over tokens of md5_int60(j || ':' || token).
+
+    One scan: explode distinct tokens, then k min-aggregates in one
+    groupBy(id) — map-side partial min collapses the token fan-out
+    before the shuffle, so shuffle volume is O(docs * k), not tokens.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("tok"))
+    )
+    aggs = [
+        F.min(md5_int60(F.concat(F.lit(f"{j}:"), F.col("tok")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return tok.groupBy("id").agg(*aggs)
+
+
+def lsh_band_buckets(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, bucket) — bucket = hash of the band's minhash slice.
+    Docs sharing any (band, bucket) are candidate near-dups (the
+    standard banding construction: b bands of r rows tune the Jaccard
+    threshold ~ (1/b)^(1/r))."""
+    melted = signatures.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    md5_int60(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("s"),
+    )
+    return melted.select("id", "s.band", "s.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+    The self-join is an equi-join on (band, bucket) — co-partitioned
+    shuffle join; a hot bucket (many near-identical docs) is exactly
+    the AQE skew-join case, enabled in the session."""
+    b = lsh_band_buckets(signatures, bands, rows_per_band)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(
+    signatures: DataFrame, pairs: DataFrame, k: int = 16
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhash components,
+    for candidate pairs only (two broadcast-or-shuffle hash joins on
+    id — never quadratic)."""
+    sa = signatures.select(
+        F.col("id").alias("id_a"),
+        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_a"),
+    )
+    sb = signatures.select(
+        F.col("id").alias("id_b"),
+        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_b"),
+    )
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return j.select(
+        "id_a", "id_b", F.round(agree / F.lit(k), 6).alias("est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 16, bands: int = 4, threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → verified
+    pairs with est_jaccard >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    pairs = lsh_candidate_pairs(sigs, bands, k // bands)
+    sims = minhash_similarity(sigs, pairs, k)
+    return sims.where(F.col("est_jaccard") >= threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """bits-bit SimHash over token multiset: bit b of the signature is
+    1 iff sum over tokens of (cnt if tokenhash bit b else -cnt) > 0.
+
+    One scan: explode tokens → (id, tokenhash, cnt) partial-aggregated,
+    then `bits` conditional sums in one groupBy(id)."""
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", md5_int60(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    sig: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    sigs: DataFrame, max_hamming: int = 3, prefix_bits: int = 8
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming. Candidate
+    generation buckets on the low `prefix_bits` bits (docs within
+    hamming d of each other collide on at least one of a few rotations;
+    one prefix bucket is the cheap single-probe variant) — avoids the
+    quadratic cross join; exact bit_count(xor) verifies."""
+    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    mask = (1 << prefix_bits) - 1
+    j = a.join(
+        b,
+        (F.col("sh_a").bitwiseAND(mask) == F.col("sh_b").bitwiseAND(mask))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return j.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard over distinct character n-gram sets for given
+    (id_a, id_b) pairs. Set ops are array intersections per pair —
+    fine for verified candidate sets, never for all pairs."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    j = pairs.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+    return j.select(
+        "id_a", "id_b",
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6).alias("jaccard"),
+    )
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays via zip_with/aggregate —
+    JVM-side, no UDF. (DuckDB parity: list_cosine_similarity.)"""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str, vec_col: str,
+    threshold: float = 0.95, sign_bits: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold. Candidates are
+    generated by a sign-LSH bucket (signs of the first `sign_bits`
+    components — random-hyperplane LSH with axis-aligned planes, valid
+    because embedding dims are roughly isotropic); exact cosine
+    verifies within buckets."""
+    bucket: Column = F.lit(0).cast("bigint")
+    for i in range(sign_bits):
+        bucket = bucket + F.when(
+            F.col(vec_col).getItem(i) >= 0, F.lit(1 << i)
+        ).otherwise(0)
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  bucket.alias("bkt"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bkt")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bkt")
+    j = a.join(b, ["bkt"]).where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(
+        F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+    )
+    return j.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and LSH/IVF-bucketed approximate variants (scale path).
+
+Brute force is a single scan + TakeOrderedAndProject (Catalyst turns
+orderBy+limit into a per-partition top-k merge — no full sort, no full
+shuffle). The bucketed variant prunes the scan to the query's bucket;
+at 10^12 rows the bucket column would be the table's partition/cluster
+key so pruning happens at the file level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.operators.dedup import cosine_expr
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def knn_bruteforce(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The cosine is
+    a codegen'd zip_with/aggregate; orderBy+limit executes as
+    TakeOrderedAndProject (partial top-k per partition, merged on the
+    driver) — the correct brute-force plan at any scale."""
+    cos = cosine_expr(F.col(vec_col).cast("array<double>"), _query_lit(query_vec))
+    return (
+        df.select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket over the first `bits` components."""
+    b: Column = F.lit(0).cast("bigint")
+    for i in range(bits):
+        b = b + F.when(vec.getItem(i) >= 0, F.lit(1 << i)).otherwise(0)
+    return b
+
+
+def knn_lsh(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float],
+    k: int = 10, bits: int = 6, probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: search only rows whose sign-LSH bucket is
+    within `probe_hamming` bit flips of the query's bucket (multi-probe
+    LSH). Filter prunes before the cosine; with the bucket as a
+    partition key this becomes partition pruning at the scan."""
+    qb = 0
+    for i in range(bits):
+        if query_vec[i] >= 0:
+            qb |= 1 << i
+    bkt = sign_bucket(F.col(vec_col), bits)
+    probe = F.bit_count(bkt.bitwiseXOR(F.lit(qb))) <= probe_hamming
+    cos = cosine_expr(F.col(vec_col).cast("array<double>"), _query_lit(query_vec))
+    return (
+        df.where(probe)
+        .select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-cluster mean vectors (IVF coarse quantizer): posexplode to
+    (label, dim, value), per-dimension avg (partial agg collapses the
+    fan-out map-side), reassemble ordered arrays. Shuffle volume is
+    O(labels x dims), never O(rows). With a provided cluster/label
+    column this is one pass; production IVF would k-means first
+    (pyspark.ml.clustering.KMeans) — same downstream shape."""
+    ex = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    per_dim = ex.groupBy(label_col, "pos").agg(F.avg("val").alias("m"))
+    cents = per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    return cents.join(counts, label_col)
+
+
+def knn_ivf(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str,
+    query_vec: list[float], k: int = 10, n_probe: int = 1,
+) -> DataFrame:
+    """IVF search: rank cluster centroids by cosine to the query, scan
+    only the best n_probe clusters, brute-force within. The centroid
+    table is tiny → computed once, collected, and pushed down as an
+    isin filter (partition pruning when label is the partition key)."""
+    cents = ivf_centroids(df, vec_col, label_col)
+    q = _query_lit(query_vec)
+    ranked = cents.select(
+        F.col(label_col), cosine_expr(F.col("centroid"), q).alias("ccos")
+    ).orderBy(F.desc("ccos")).limit(n_probe)
+    probe_labels = [r[label_col] for r in ranked.collect()]
+    cos = cosine_expr(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.where(F.col(label_col).isin(probe_labels))
+        .select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

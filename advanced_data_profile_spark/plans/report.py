@@ -1,0 +1,97 @@
+"""Report assembly — the analogue of the reference's gzip HTML report
+(reference Profiler.py:1080-1112 renders Jinja → minify → gzip).
+
+Here the report is structured JSON assembled DRIVER-SIDE from the
+small result tables the pipeline wrote (column_profiles,
+constraint_results, drift_results, histograms, manifest) — never from
+raw data. Plots carry (bin, count) pairs, not values (SURVEY.md M8).
+Optionally gzipped like the reference's artifact.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _rows(spark: SparkSession, path: str) -> list[dict]:
+    try:
+        return [r.asDict(recursive=True) for r in spark.read.parquet(path).collect()]
+    except Exception:  # noqa: BLE001 — table may not exist for skipped stages
+        return []
+
+
+def assemble_report(
+    spark: SparkSession, output_dir: str, table_name: str = "images"
+) -> dict:
+    profiles = _rows(spark, f"{output_dir}/column_profiles")
+    constraints = _rows(spark, f"{output_dir}/constraint_results")
+    drift = _rows(spark, f"{output_dir}/drift_results")
+    hists = _rows(spark, f"{output_dir}/histograms")
+    manifest = _rows(spark, f"{output_dir}/manifest")
+    violations = _rows(spark, f"{output_dir}/violations")
+
+    parts = sorted({str(p["part_id"]) for p in profiles})
+    per_partition = {}
+    for pid in parts:
+        pc = [p for p in profiles if str(p["part_id"]) == pid]
+        cr = [c for c in constraints if str(c["part_id"]) == pid]
+        dr = [d for d in drift if str(d["part_id"]) == pid]
+        per_partition[pid] = {
+            "columns": {p["column"]: {k: v for k, v in p.items()
+                                      if k not in ("part_id", "column")}
+                        for p in pc},
+            "constraints": {
+                c["constraint"]: {
+                    "kind": c["kind"],
+                    "n_rows": c["n_rows"],
+                    "n_violations": c["n_violations"],
+                    "passed": bool(c["passed"]),
+                }
+                for c in cr
+            },
+            "drift": {
+                d["constraint"]: {"ks": d.get("ks"), "psi": d.get("psi"),
+                                  "passed": bool(d["passed"])}
+                for d in dr
+            },
+            "passed": all(bool(c["passed"]) for c in cr) and
+                      all(bool(d["passed"]) for d in dr),
+        }
+
+    return {
+        "table": table_name,
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_partitions": len(parts),
+        "total_rows": sum(
+            m["n_rows"] or 0 for m in manifest if m["status"] == "done"
+        ),
+        "overall_passed": all(p["passed"] for p in per_partition.values()),
+        "partitions": per_partition,
+        "histograms": hists,
+        "violation_samples": violations[:200],
+        "lineage": manifest,
+    }
+
+
+def write_report(report: dict, path: str, compress: bool = True) -> str:
+    """Persist like the reference does (gzip) but as JSON."""
+    data = json.dumps(report, default=str, indent=1).encode()
+    if compress:
+        path = path if path.endswith(".gz") else path + ".gz"
+        with gzip.open(path, "wb") as f:
+            f.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+    return path
+
+
+def read_report(path: str) -> dict:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        return json.loads(f.read())

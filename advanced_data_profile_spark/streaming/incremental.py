@@ -1,0 +1,66 @@
+"""Incremental / streaming validation.
+
+The reference is batch-only (SURVEY.md §2.8) and the north_rule's
+"late data" model is new partitions picked up by the manifest anti-join
+(plans.manifest). This module adds the Structured Streaming expression
+of the same constraint counts for deployments where the image table
+arrives as a stream (e.g. a parquet/Kafka landing zone): one streaming
+wide-agg per micro-batch, checkpointed by Spark's own state store.
+
+Scale notes: the aggregation state is bounded — one row per
+(part_id, constraint) — so the state store never grows with data
+volume. foreachBatch is the exactly-once sink seam for appending to
+the same constraint_results table the batch pipeline writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.operators.constraints import Check, _violation_flag
+from advanced_data_profile_spark.sources.images import IMAGES_SCHEMA
+
+
+def stream_images(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    """Streaming scan of the images directory (new partition files are
+    the stream). maxFilesPerTrigger bounds micro-batch size."""
+    return (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_violation_counts(stream: DataFrame, checks: list[Check]) -> DataFrame:
+    """Running per-partition violation counts for row-wise checks —
+    the streaming twin of operators.constraints.evaluate's fused agg."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in checks:
+        if c.kind not in ("not_null", "domain"):
+            raise ValueError(f"streaming supports row-wise checks only, got {c.kind}")
+        aggs.append(F.sum(_violation_flag(c).cast("long")).alias(c.name))
+    return stream.groupBy("part_id").agg(*aggs)
+
+
+def run_incremental_demo(
+    spark: SparkSession, images_path: str, checks: list[Check],
+    query_name: str = "violations",
+) -> DataFrame:
+    """Drive the streaming agg to completion over the existing files
+    (memory sink, synchronous) and return the final counts — used by
+    tests; a deployment would use foreachBatch into the results table
+    with a durable checkpointLocation instead."""
+    stream = stream_images(spark, images_path)
+    agg = streaming_violation_counts(stream, checks)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,73 @@
+"""ANN / similarity search: brute-force cosine top-k + LSH/IVF variants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+
+
+def _numpy_topk(emb, query, k):
+    pdf = emb.toPandas()
+    q = np.array(query)
+    sims = []
+    for _, r in pdf.iterrows():
+        v = np.array(r.embedding, dtype=np.float64)
+        sims.append((round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), r.vec_id))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return sims[:k]
+
+
+def test_knn_bruteforce_matches_numpy(emb, query):
+    got = [(r.cosine, r.id) for r in S.knn_bruteforce(emb, "vec_id", "embedding", query, 10).collect()]
+    expected = _numpy_topk(emb, query, 10)
+    assert got == expected
+    assert got[0] == (1.0, 0)  # the query vector itself
+
+
+def test_knn_bruteforce_plan_is_take_ordered(emb, query):
+    plan = S.knn_bruteforce(emb, "vec_id", "embedding", query, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # partial top-k, no global sort
+
+
+def test_knn_lsh_recall(emb, query):
+    exact = {id_ for _, id_ in _numpy_topk(emb, query, 10)}
+    approx = {r.id for r in S.knn_lsh(emb, "vec_id", "embedding", query, 10, bits=6, probe_hamming=2).collect()}
+    # multi-probe LSH at hamming<=2 over 6 bits should recover most of top-10
+    assert len(exact & approx) >= 5
+    assert 0 in approx
+
+
+def test_knn_ivf(emb, query):
+    out = S.knn_ivf(emb, "vec_id", "embedding", "label", query, k=5, n_probe=10)
+    got = [(r.cosine, r.id) for r in out.collect()]
+    # probing ALL clusters == exact brute force
+    assert got == _numpy_topk(emb, query, 5)
+
+
+def test_ivf_centroids_shape(emb):
+    cents = S.ivf_centroids(emb, "embedding", "label").collect()
+    labels = {r.label for r in cents}
+    assert len(cents) == len(labels)
+    dim = len(emb.first().embedding)
+    assert all(len(r.centroid) == dim for r in cents)
+    assert sum(r.n for r in cents) == emb.count()
+
+
+def test_sign_bucket_deterministic(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [[1.0, -1.0, 1.0], [-1.0, 1.0, 1.0]]}))
+    b = [r.b for r in df.select(S.sign_bucket(F.col("v"), 3).alias("b")).collect()]
+    assert b == [0b101, 0b110]

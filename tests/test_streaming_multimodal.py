@@ -1,0 +1,105 @@
+"""Streaming incremental validation + multimodal kernels + report."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.operators import constraints as C
+from advanced_data_profile_spark.operators.multimodal import (
+    audio_features_stub,
+    image_features,
+    resize_images,
+    video_frame_sample_stub,
+)
+from advanced_data_profile_spark.sources.images import ground_truth, read_images
+from advanced_data_profile_spark.streaming.incremental import run_incremental_demo
+
+N_PARTS, ROWS = 4, 250
+
+
+def test_streaming_violation_counts(spark, images_path):
+    checks = [
+        C.not_null("caption_not_null", "caption"),
+        C.domain("w_domain", (F.col("w") > 0) & (F.col("w") <= 8192), "w"),
+    ]
+    out = run_incremental_demo(spark, images_path, checks).collect()
+    gt = ground_truth(N_PARTS, ROWS)
+    by = {r.part_id: r for r in out}
+    assert len(by) == N_PARTS
+    for p in range(N_PARTS):
+        assert by[p].n_rows == ROWS
+        assert by[p].caption_not_null == gt[p]["caption_violations"]
+        assert by[p].w_domain == gt[p]["w_domain_violations"]
+
+
+def test_streaming_rejects_non_rowwise(spark, images_path):
+    from advanced_data_profile_spark.streaming.incremental import (
+        stream_images,
+        streaming_violation_counts,
+    )
+    stream = stream_images(spark, images_path)
+    with pytest.raises(ValueError):
+        streaming_violation_counts(stream, [C.unique("u", "image_id")])
+
+
+def test_image_features(spark, images_path):
+    images = read_images(spark, images_path).where(F.col("part_id") == 0)
+    feats = image_features(images)
+    rows = feats.collect()
+    assert len(rows) == ROWS
+    ok = [r for r in rows if r.ok]
+    gt = ground_truth(N_PARTS, ROWS)[0]
+    expected_fails = (gt["corrupt_payloads"] + gt["fmt_violations"]
+                      + gt["w_domain_violations"] + gt["dim_mismatch"])
+    assert len(rows) - len(ok) == expected_fails
+    # random uint8 pixels: channel means near 127.5, brightness ~0.5
+    assert all(100 < r.mean_r < 155 for r in ok)
+    assert all(0.4 < r.brightness < 0.6 for r in ok)
+
+
+def test_resize_images(spark, images_path):
+    images = read_images(spark, images_path).where(F.col("part_id") == 1).limit(50)
+    out = resize_images(images, target=8).collect()
+    ok = [r for r in out if r.ok]
+    assert all(r.w == 8 and r.h == 8 and len(r.bytes) == 8 * 8 * 3 for r in ok)
+
+
+def test_audio_stub(spark):
+    rng = np.random.default_rng(0)
+    pcm = (rng.normal(0, 0.2, 16000) * 32767).astype(np.int16).tobytes()
+    pdf = pd.DataFrame({"clip_id": ["a", "b"], "bytes": [pcm, None]})
+    out = {r.clip_id: r for r in audio_features_stub(spark.createDataFrame(pdf)).collect()}
+    assert out["a"].ok and out["a"].duration_sec == pytest.approx(1.0)
+    assert 0.1 < out["a"].rms < 0.3
+    assert not out["b"].ok
+
+
+def test_video_stub_raises(spark, images_path):
+    images = read_images(spark, images_path)
+    with pytest.raises(NotImplementedError):
+        video_frame_sample_stub(images)
+
+
+def test_report_assembly(spark, images_path, tmp_path):
+    from advanced_data_profile_spark.plans.pipeline import run_pipeline
+    from advanced_data_profile_spark.plans.report import (
+        assemble_report,
+        read_report,
+        write_report,
+    )
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, images_path, out)
+    report = assemble_report(spark, out)
+    assert report["n_partitions"] == N_PARTS
+    assert report["total_rows"] == N_PARTS * ROWS
+    assert report["overall_passed"] is False  # planted violations
+    p0 = report["partitions"]["0"]
+    assert p0["constraints"]["caption_not_null"]["n_violations"] == \
+        ground_truth(N_PARTS, ROWS)[0]["caption_violations"]
+    assert "caption" in p0["columns"]
+    path = write_report(report, str(tmp_path / "report.json"))
+    assert read_report(path)["n_partitions"] == N_PARTS

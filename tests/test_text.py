@@ -1,0 +1,103 @@
+"""Text-analysis kernels: tokenization, quality, lang-ID, fingerprints."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.functions import text as X
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    pdf = pd.DataFrame({
+        "t": [
+            "The quick brown fox jumps over the lazy dog and runs away fast",
+            "der hund ist nicht mit der katze und dem vogel zu sehen",
+            "le chat est dans la maison avec les enfants et le chien",
+            "el perro es un animal que vive en la casa con las personas",
+            "这是一个中文句子用来测试语言识别",
+            "",
+            "!!! ??? ###",
+            "xyzzy plugh qwerty",
+        ]
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_token_count(spark, sample):
+    rows = sample.select(X.token_count(F.col("t")).alias("tc")).collect()
+    assert rows[0].tc == 13
+    assert rows[5].tc == 0        # empty
+    assert rows[6].tc == 0        # punctuation only -> normalized empty
+
+
+def test_norm_text(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["  Hello,   WORLD!! 42 "]}))
+    assert df.select(X.norm_text(F.col("t")).alias("n")).first().n == "hello world 42"
+
+
+def test_stopword_punct_ratio(spark, sample):
+    r = sample.select(
+        F.round(X.stopword_ratio(F.col("t")), 4).alias("sw"),
+        F.round(X.punct_ratio(F.col("t")), 4).alias("pr"),
+    ).collect()
+    assert r[0].sw == pytest.approx(3 / 13, abs=1e-4)  # the, the, and
+    assert r[5].sw == 0.0 and r[5].pr == 0.0
+    assert r[6].pr == pytest.approx(9 / 11, abs=1e-4)
+
+
+def test_lang_predict(spark, sample):
+    preds = [r.p for r in sample.select(X.lang_predict(F.col("t")).alias("p")).collect()]
+    assert preds[0] == "en"
+    assert preds[1] == "de"
+    assert preds[2] == "fr"
+    assert preds[3] == "es"
+    assert preds[4] == "zh"
+    assert preds[5] == "und"
+    assert preds[7] == "und"
+
+
+def test_langid_on_documents(spark):
+    # the synthetic corpus text is English-ish SQL vocabulary for every
+    # lang label (labels are random metadata), so the detector must call
+    # it en/und regardless of label — and be deterministic across runs.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {
+        r.p: r.c
+        for r in docs.select(X.lang_predict(F.col("text")).alias("p"))
+        .groupBy("p").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    en_like = counts.get("en", 0) + counts.get("und", 0)
+    assert en_like / sum(counts.values()) > 0.95
+
+
+def test_fingerprint_normalization_invariance(spark):
+    pdf = pd.DataFrame({"t": ["Hello   World", "hello world", "HELLO, WORLD!", "other"]})
+    fps = [
+        r.fp for r in spark.createDataFrame(pdf)
+        .select(X.fingerprint(F.col("t")).alias("fp")).collect()
+    ]
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+    assert all(fp >= 0 for fp in fps)
+
+
+def test_quality_score_bounds(spark, sample):
+    rows = sample.select(X.quality_score(F.col("t")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    assert rows[0].q > rows[6].q  # real sentence beats punctuation soup
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["short words here", "a extraordinarily incomprehensible word"]}))
+    r = [x.b for x in df.select(X.bpe_ish_token_count(F.col("t")).alias("b")).collect()]
+    assert r[0] == 3
+    assert r[1] > 4  # long words split into multiple pieces
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["abcd"]}))
+    grams = df.select(X.char_ngrams(F.col("t"), 3).alias("g")).first().g
+    assert grams == ["abc", "bcd"]
