@@ -644,6 +644,125 @@ def _oracle_correlation() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_box_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.plotdata import box_plot_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = box_plot_stats(li, ["l_quantity", "l_extendedprice"])
+    return out.select(
+        F.col("column").alias("col_name"),
+        *[F.round(c, 4).alias(c) for c in
+          ("q1", "median", "q3", "min", "max", "lo_whisker", "hi_whisker")],
+    )
+
+
+def q_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.plotdata import quantile_grid
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = quantile_grid(li, "l_extendedprice", n=11)
+    return g.select(F.round("p", 6).alias("p"), F.round("sample_q", 4).alias("sample_q"))
+
+
+def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.text_ml import word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    return word_frequencies(docs, "text", top=25)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.text_ml import char_counts, flesch_reading_ease
+
+    docs = _t(spark, sf_dir, "documents")
+    return flesch_reading_ease(docs, "text").crossJoin(char_counts(docs, "text"))
+
+
+def q_tfidf_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top n-grams via pyspark.ml (rows-only: CountVectorizer
+    vocab ordering + Spark IDF smoothing are ml-specific)."""
+    from advanced_data_profile_spark.operators.text_ml import tfidf_top_ngrams
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return tfidf_top_ngrams(docs, "text", ngrams=(1, 2), top=15)
+
+
+def _oracle_box_plot() -> str:
+    def one(c):
+        return f"""
+        SELECT '{c}' AS col_name,
+               round(quantile_cont({c}, 0.25), 4) AS q1,
+               round(quantile_cont({c}, 0.5), 4) AS median,
+               round(quantile_cont({c}, 0.75), 4) AS q3,
+               round(min({c}), 4) AS min,
+               round(max({c}), 4) AS max,
+               round(greatest(quantile_cont({c}, 0.25)
+                     - 1.5 * (quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25)),
+                     min({c})), 4) AS lo_whisker,
+               round(least(quantile_cont({c}, 0.75)
+                     + 1.5 * (quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25)),
+                     max({c})), 4) AS hi_whisker
+        FROM lineitem
+        """
+    return " UNION ALL ".join(one(c) for c in ["l_quantity", "l_extendedprice"])
+
+
+def _oracle_quantile_grid() -> str:
+    parts = [
+        f"SELECT round({i / 10}, 6) AS p, "
+        f"round(quantile_cont(l_extendedprice, {i / 10}), 4) AS sample_q FROM lineitem"
+        for i in range(11)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _oracle_word_frequencies() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_norm
+
+    return f"""
+        WITH tok AS (
+          SELECT unnest(string_split({sql_norm('text')}, ' ')) AS word
+          FROM documents WHERE {sql_norm('text')} <> ''
+        )
+        SELECT word, count(*) AS cnt FROM tok GROUP BY word
+        ORDER BY cnt DESC, word ASC LIMIT 25
+    """
+
+
+def _oracle_readability() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_norm
+
+    norm = sql_norm("text")
+    syl = (
+        "list_sum(list_transform(string_split(__norm, ' '), "
+        "w -> greatest(length(string_split_regex(w, '[aeiouy]+')) - 1, 1)))"
+    )
+    n_words = "length(string_split(__norm, ' '))"
+    sentences = "greatest(length(string_split_regex(text, '[.!?]+')) - 1, 1)"
+    score = (
+        f"(206.835 - 1.015 * ({n_words}::DOUBLE / {sentences}) "
+        f"- 84.6 * ({syl}::DOUBLE / {n_words}))"
+    )
+    mono = (
+        "length(list_filter(list_transform(string_split(__norm, ' '), "
+        "w -> greatest(length(string_split_regex(w, '[aeiouy]+')) - 1, 1)), s -> s = 1))"
+    )
+    poly = (
+        "length(list_filter(list_transform(string_split(__norm, ' '), "
+        "w -> greatest(length(string_split_regex(w, '[aeiouy]+')) - 1, 1)), s -> s >= 3))"
+    )
+    return f"""
+        WITH d AS (SELECT text, {norm} AS __norm FROM documents)
+        SELECT round(avg(CASE WHEN {n_words} >= 5 AND __norm <> '' THEN {score}
+                              ELSE 0.0 END), 4) AS mean_flesch,
+               sum(length(text)) AS n_chars,
+               sum(length(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g'))) AS n_letters_ws,
+               sum(CASE WHEN __norm = '' THEN 0 ELSE {mono} END)::BIGINT AS n_monosyllable_words,
+               sum(CASE WHEN __norm = '' THEN 0 ELSE {poly} END)::BIGINT AS n_polysyllable_words
+        FROM d
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -677,6 +796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         "correlation": q_correlation,
         "pca_importance": q_pca_importance,
+        "box_plot": q_box_plot,
+        "quantile_grid": q_quantile_grid,
+        "word_frequencies": q_word_frequencies,
+        "readability": q_readability,
+        "tfidf_top_ngrams": q_tfidf_top_ngrams,
     }
 
 
@@ -848,4 +972,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embeddings": _oracle_near_dup_embeddings(),
         "correlation": _oracle_correlation(),
         # pca_importance: rows-only (SVD sign/rotation freedom)
+        "box_plot": _oracle_box_plot(),
+        "quantile_grid": _oracle_quantile_grid(),
+        "word_frequencies": _oracle_word_frequencies(),
+        "readability": _oracle_readability(),
+        # tfidf_top_ngrams: rows-only (ml vocab ordering + idf smoothing)
     }

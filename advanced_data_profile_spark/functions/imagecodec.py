@@ -76,7 +76,9 @@ def decode_bmp(payload: bytes, w: int, h: int) -> np.ndarray:
         raise ValueError(f"BMP payload truncated: {len(payload)} < {need}")
     data = np.frombuffer(payload, dtype=np.uint8, count=row_size * bh, offset=off)
     rows = data.reshape(bh, row_size)[:, : bw * 3].reshape(bh, bw, 3)
-    return rows[::-1, :, ::-1].copy()  # back to top-down RGB
+    # top-down RGB as a zero-copy strided VIEW — validation/stats read
+    # it fine; callers needing contiguous memory copy explicitly
+    return rows[::-1, :, ::-1]
 
 
 DECODERS = {"raw": decode_raw, "bmp": decode_bmp}

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,32 +45,62 @@ VERIFY_SCHEMA = (
 )
 
 
-def _validate_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        out = {
-            "image_id": pdf["image_id"],
-            "part_id": pdf["part_id"],
-            "decode_ok": [], "dims_match": [], "fmt_known": [], "error": [],
-        }
-        for payload, w, h, fmt in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
-            fmt_known = fmt in ("raw", "bmp")
+def _validate_arrow(it):
+    """Arrow-native validation kernel: payloads are read as ZERO-COPY
+    memoryview slices of the Arrow data buffer — no per-row Python
+    bytes objects, no pandas conversion. The decode path is
+    memory-bandwidth-bound at high core counts, so eliminating the
+    bytes-object copy is the difference between scaling and not."""
+    import pyarrow as pa
+
+    for batch in it:
+        n = batch.num_rows
+        cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        ws = cols["w"].to_numpy(zero_copy_only=False)
+        hs = cols["h"].to_numpy(zero_copy_only=False)
+        fmts = cols["fmt"].to_pylist()
+        barr = cols["bytes"]
+        if isinstance(barr, pa.ChunkedArray):  # defensive; batches are flat
+            barr = barr.combine_chunks()
+        bufs = barr.buffers()
+        # [validity, offsets, data]; honor the array's logical offset
+        off_dtype = np.int64 if pa.types.is_large_binary(barr.type) else np.int32
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+            barr.offset: barr.offset + n + 1
+        ]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+
+        decode_ok = np.zeros(n, dtype=bool)
+        dims_match = np.zeros(n, dtype=bool)
+        fmt_known = np.zeros(n, dtype=bool)
+        errors: list[str | None] = [None] * n
+        for i in range(n):
+            fmt = fmts[i]
+            fmt_known[i] = fmt in ("raw", "bmp")
             try:
-                px = decode(payload, int(w), int(h), fmt)
-                out["decode_ok"].append(True)
-                out["dims_match"].append(px.shape[0] == h and px.shape[1] == w)
-                out["error"].append(None)
+                if not barr[i].is_valid:
+                    raise ValueError("null payload")
+                payload = data[offsets[i]: offsets[i + 1]]
+                px = decode(payload, int(ws[i]), int(hs[i]), fmt)
+                decode_ok[i] = True
+                dims_match[i] = px.shape[0] == hs[i] and px.shape[1] == ws[i]
             except (ValueError, TypeError) as e:
-                out["decode_ok"].append(False)
-                out["dims_match"].append(False)
-                out["error"].append(str(e)[:200])
-            out["fmt_known"].append(fmt_known)
-        yield pd.DataFrame(out)
+                errors[i] = str(e)[:200]
+        yield pa.RecordBatch.from_arrays(
+            [
+                cols["image_id"], cols["part_id"],
+                pa.array(decode_ok), pa.array(dims_match),
+                pa.array(fmt_known), pa.array(errors, type=pa.string()),
+            ],
+            names=["image_id", "part_id", "decode_ok", "dims_match",
+                   "fmt_known", "error"],
+        )
 
 
 def validate_payloads(images: DataFrame) -> DataFrame:
     """Structural per-image validation; returns one row per image."""
     src = images.select("image_id", "part_id", "bytes", "w", "h", "fmt")
-    return src.mapInPandas(_validate_batch, schema=VALIDATION_SCHEMA)
+    return src.mapInArrow(_validate_arrow, schema=VALIDATION_SCHEMA)
 
 
 def validation_verdicts(validated: DataFrame) -> DataFrame:

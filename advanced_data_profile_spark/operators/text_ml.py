@@ -1,0 +1,135 @@
+"""Heavier text kernels: word frequencies, TF-IDF top n-grams,
+readability (SURVEY.md N1-N4; reference Profiler.py:800-864).
+
+Word frequencies and readability are pure column expressions; TF-IDF
+composes pyspark.ml transformers (RegexTokenizer → NGram →
+CountVectorizer → IDF) with the mean-score reduction done as one
+posexplode aggregation — the distributed equivalent of sklearn
+TfidfVectorizer column means (exact sklearn parity would need its
+tokenizer regex + smooth-idf + l2 norm; semantics here are the Spark-
+standard ones, pinned by tests — documented deviation per SURVEY N1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.functions.text import norm_text, tokens
+
+
+def word_frequencies(df: DataFrame, text_col: str, top: int = 50) -> DataFrame:
+    """Global word counts, top-k (the word-cloud data, N2) — explode +
+    partial-agg count + TakeOrderedAndProject."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(top)
+    )
+
+
+def flesch_reading_ease(df: DataFrame, text_col: str) -> DataFrame:
+    """Flesch reading ease per the public formula
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/word), with a
+    vowel-group syllable approximation (textstat is not in this
+    container; the approximation is a documented deviation, SURVEY N3).
+    Returns the mean over texts with >= 5 words (reference P5 guard,
+    Profiler.py:336-338), else 0."""
+    c = F.col(text_col)
+    t = tokens(c)
+    n_words = F.size(t)
+    sentences = F.greatest(
+        F.size(F.split(c, r"[.!?]+")) - 1, F.lit(1)
+    )
+    # syllables ~ number of vowel groups per word (min 1 per word)
+    syl = F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.split(w, "[aeiouy]+")) - 1, F.lit(1)
+        ),
+    )
+    score = (
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / sentences)
+        - 84.6 * (syl.cast("double") / n_words)
+    )
+    guarded = F.when(n_words >= 5, score).otherwise(0.0)
+    return df.agg(F.round(F.avg(guarded), 4).alias("mean_flesch"))
+
+
+def char_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Aggregate character / letter / monosyllable-ish counts (N4) —
+    sum of per-row counts (equivalent to the reference's concat-then-
+    count for these metrics)."""
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(c, "[^a-zA-Z\\s]", "")
+    t = tokens(c)
+    syl_per_word = F.transform(
+        t, lambda w: F.greatest(F.size(F.split(w, "[aeiouy]+")) - 1, F.lit(1))
+    )
+    mono = F.size(F.filter(syl_per_word, lambda s: s == 1))
+    poly = F.size(F.filter(syl_per_word, lambda s: s >= 3))
+    return df.agg(
+        F.sum(F.length(c)).alias("n_chars"),
+        F.sum(F.length(cleaned) ).alias("n_letters_ws"),
+        F.sum(mono).cast("bigint").alias("n_monosyllable_words"),
+        F.sum(poly).cast("bigint").alias("n_polysyllable_words"),
+    )
+
+
+def tfidf_top_ngrams(
+    df: DataFrame, text_col: str, ngrams: tuple[int, ...] = (1, 2, 3),
+    top: int = 20, vocab_size: int = 4096,
+) -> DataFrame:
+    """Top n-grams by mean TF-IDF score across documents (N1), via
+    pyspark.ml. Mean score per vocabulary term is computed distributed
+    (posexplode of the sparse vectors), only the top-k hits the driver."""
+    from pyspark.ml.feature import IDF, CountVectorizer, NGram, RegexTokenizer
+
+    src = df.select(norm_text(F.col(text_col)).alias("__norm")).where(
+        F.col("__norm") != ""
+    )
+    tok = RegexTokenizer(
+        inputCol="__norm", outputCol="__tok", pattern=" ", minTokenLength=1
+    ).transform(src)
+
+    gram_cols = []
+    out = tok
+    for n in ngrams:
+        col = f"__g{n}"
+        out = NGram(n=n, inputCol="__tok", outputCol=col).transform(out)
+        gram_cols.append(col)
+    out = out.select(F.concat(*[F.col(g) for g in gram_cols]).alias("__grams"))
+
+    cv = CountVectorizer(
+        inputCol="__grams", outputCol="__tf", vocabSize=vocab_size, minDF=1.0
+    ).fit(out)
+    tf = cv.transform(out)
+    idf = IDF(inputCol="__tf", outputCol="__tfidf").fit(tf)
+    scored = idf.transform(tf)
+
+    n_docs = scored.count()
+    # vector -> (idx, value) rows, zeros dropped; mean over ALL docs =
+    # sum/n_docs. vocab_size is bounded so the posexplode fan-out is
+    # O(docs * vocab) worst case — cap vocab, not docs.
+    from pyspark.ml.functions import vector_to_array
+
+    pairs = scored.select(
+        F.posexplode(vector_to_array(F.col("__tfidf"))).alias("idx", "val")
+    ).where(F.col("val") != 0.0)
+    means = (
+        pairs.groupBy("idx")
+        .agg((F.sum("val") / n_docs).alias("mean_tfidf"))
+        .orderBy(F.desc("mean_tfidf"), F.asc("idx"))
+        .limit(top)
+    )
+    vocab = cv.vocabulary
+    rows = means.collect()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(vocab[int(r.idx)], round(float(r.mean_tfidf), 6)) for r in rows],
+        "ngram string, mean_tfidf double",
+    )

@@ -91,17 +91,41 @@ class Manifest:
         """One parquet append for a batch of per-partition rows — a
         manifest commit is one small file per run, never one job per
         partition (a per-partition write is seconds of fixed Spark
-        overhead each; at 10^4 partitions that would dominate the run)."""
+        overhead each; at 10^4 partitions that would dominate the run).
+
+        Written driver-side with pyarrow (milliseconds) instead of a
+        Spark job (seconds of scheduling for an 8-row file); the layout
+        is a plain parquet directory Spark reads back unchanged. On a
+        real cluster this would be an Iceberg/metastore append — also a
+        driver-side metadata commit, same shape."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         now = time.time()
-        rows = [(
-            r["run_id"], str(r["part_id"]), r["status"], r.get("started_at"),
-            now if r["status"] in ("done", "failed") else None,
-            r.get("n_rows"), json.dumps(r.get("metrics") or {}),
-            r.get("input_path"),
-        ) for r in records]
-        self.spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.path)
+        rows = {
+            "run_id": [], "part_id": [], "status": [], "started_at": [],
+            "finished_at": [], "n_rows": [], "metrics_json": [], "input_path": [],
+        }
+        for r in records:
+            rows["run_id"].append(r["run_id"])
+            rows["part_id"].append(str(r["part_id"]))
+            rows["status"].append(r["status"])
+            rows["started_at"].append(r.get("started_at"))
+            rows["finished_at"].append(
+                now if r["status"] in ("done", "failed") else None
+            )
+            rows["n_rows"].append(r.get("n_rows"))
+            rows["metrics_json"].append(json.dumps(r.get("metrics") or {}))
+            rows["input_path"].append(r.get("input_path"))
+        table = pa.table(rows, schema=pa.schema([
+            ("run_id", pa.string()), ("part_id", pa.string()),
+            ("status", pa.string()), ("started_at", pa.float64()),
+            ("finished_at", pa.float64()), ("n_rows", pa.int64()),
+            ("metrics_json", pa.string()), ("input_path", pa.string()),
+        ]))
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.path, fname))
 
 
 def new_run_id() -> str:

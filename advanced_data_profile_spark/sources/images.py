@@ -168,8 +168,16 @@ def generate_images(
 
 
 def write_images(df: DataFrame, path: str) -> None:
-    """Identity-partitioned parquet layout (Iceberg stand-in)."""
-    df.write.mode("overwrite").partitionBy("part_id").parquet(path)
+    """Identity-partitioned parquet layout (Iceberg stand-in).
+
+    Repartitioned by part_id first so each partition directory gets one
+    coherent file instead of (writer-tasks x partitions) shards — the
+    same file-sizing discipline an Iceberg writer enforces with
+    write.distribution-mode=hash."""
+    n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    df.repartition(int(n_parts), F.col("part_id")).write.mode(
+        "overwrite"
+    ).partitionBy("part_id").parquet(path)
 
 
 def read_images(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:

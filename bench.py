@@ -59,8 +59,10 @@ def main() -> None:
     spark = get_spark(app_name="adp-bench")
     qs = entry_mod.queries()
 
-    # warm-up: JVM + parquet footer reads
+    # warm-up: JVM + parquet footer reads + the Python worker pool
+    # (forked workers import pandas on first use; reused afterwards)
     qs["table_summary_lineitem"](spark, sf_dir).collect()
+    spark.range(0, 128, 1, 128).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

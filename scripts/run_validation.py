@@ -1,0 +1,71 @@
+"""spark-submit entry point for the validation pipeline (north_rule:
+"ships via spark-submit --py-files to clusters of N and 4N executors").
+
+Cluster usage:
+    python scripts/make_pyfiles.py              # builds dist/adp_spark.zip
+    spark-submit --py-files dist/adp_spark.zip \\
+        scripts/run_validation.py \\
+        --images <iceberg-or-parquet path> --output <results dir> \\
+        [--format iceberg] [--no-resume] [--no-images] [--report out.json.gz]
+
+Local usage (creates its own local session):
+    python scripts/run_validation.py --images /tmp/imgs --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="image+caption table validation")
+    ap.add_argument("--images", required=True, help="images table path")
+    ap.add_argument("--output", required=True, help="results directory")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-images", action="store_true",
+                    help="skip the payload-decoding verification pass")
+    ap.add_argument("--no-drift", action="store_true")
+    ap.add_argument("--baseline-part", type=int, default=0)
+    ap.add_argument("--approx", action=argparse.BooleanOptionalAction, default=True,
+                    help="sketch mode for distinct/quantiles (default on)")
+    ap.add_argument("--report", default=None, help="also write an assembled JSON report")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from advanced_data_profile_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from advanced_data_profile_spark.plans.report import assemble_report, write_report
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active  # under spark-submit: the cluster session
+    else:
+        from advanced_data_profile_spark.session import get_spark
+
+        spark = get_spark(app_name="adp-validation")
+
+    cfg = PipelineConfig(
+        approx=args.approx,
+        validate_images=not args.no_images,
+        drift=not args.no_drift,
+        baseline_part=args.baseline_part,
+    )
+    summary = run_pipeline(
+        spark, args.images, args.output, resume=not args.no_resume, cfg=cfg
+    )
+    print(json.dumps(summary))
+
+    if args.report:
+        report = assemble_report(spark, args.output)
+        path = write_report(report, args.report)
+        print(f"report written: {path}")
+
+
+if __name__ == "__main__":
+    main()

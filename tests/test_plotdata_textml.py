@@ -1,0 +1,107 @@
+"""Plot-data reductions (A24-A27) + heavier text kernels (N1-N4)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.operators.plotdata import (
+    _norm_ppf,
+    box_plot_stats,
+    ecdf_points,
+    qq_plot_data,
+    quantile_grid,
+)
+from advanced_data_profile_spark.operators.text_ml import (
+    char_counts,
+    flesch_reading_ease,
+    tfidf_top_ngrams,
+    word_frequencies,
+)
+
+
+def test_box_plot_stats(lineitem):
+    rows = {r.column: r for r in box_plot_stats(lineitem, ["l_quantity", "l_extendedprice"]).collect()}
+    pdf = lineitem.select("l_quantity").toPandas()["l_quantity"]
+    r = rows["l_quantity"]
+    assert r.q1 == pytest.approx(pdf.quantile(0.25))
+    assert r.median == pytest.approx(pdf.quantile(0.5))
+    assert r.q3 == pytest.approx(pdf.quantile(0.75))
+    assert r.lo_whisker >= r.min and r.hi_whisker <= r.max
+    assert r.lo_whisker <= r.q1 and r.hi_whisker >= r.q3
+
+
+def test_quantile_grid(lineitem):
+    g = quantile_grid(lineitem, "l_extendedprice", n=5).collect()
+    assert [round(r.p, 2) for r in g] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    vals = [r.sample_q for r in g]
+    assert vals == sorted(vals)
+
+
+def test_norm_ppf_accuracy():
+    # spot-check Acklam approximation against known values
+    assert _norm_ppf(0.5) == pytest.approx(0.0, abs=1e-9)
+    assert _norm_ppf(0.975) == pytest.approx(1.959964, abs=1e-5)
+    assert _norm_ppf(0.025) == pytest.approx(-1.959964, abs=1e-5)
+    assert _norm_ppf(0.999) == pytest.approx(3.090232, abs=1e-4)
+
+
+def test_qq_plot_data(spark):
+    rng = np.random.default_rng(0)
+    df = spark.createDataFrame(pd.DataFrame({"x": rng.normal(5, 2, 20000)}))
+    qq = [r for r in qq_plot_data(df, "x", n=9).collect()
+          if r.theoretical_q is not None and not math.isnan(r.theoretical_q)]
+    # for normal data, sample_q ~ mu + sigma * theoretical_q
+    for r in qq:
+        if 0.1 <= r.p <= 0.9:
+            assert r.sample_q == pytest.approx(5 + 2 * r.theoretical_q, abs=0.15)
+
+
+def test_ecdf_points(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": np.arange(1000, dtype=float)}))
+    pts = ecdf_points(df, "x", n_bins=10).collect()
+    fracs = [r.cum_frac for r in pts]
+    assert fracs == sorted(fracs)
+    assert fracs[-1] == pytest.approx(1.0)
+
+
+def test_word_frequencies(spark):
+    pdf = pd.DataFrame({"t": ["spark spark flame", "spark row row", ""]})
+    out = word_frequencies(spark.createDataFrame(pdf), "t", top=2).collect()
+    assert [(r.word, r.cnt) for r in out] == [("spark", 3), ("row", 2)]
+
+
+def test_flesch_reading_ease(spark):
+    simple = "The cat sat on the mat. It was a big cat. The dog ran fast."
+    df = spark.createDataFrame(pd.DataFrame({"t": [simple]}))
+    score = flesch_reading_ease(df, "t").first().mean_flesch
+    assert 70 < score <= 121  # simple prose scores high
+    short = spark.createDataFrame(pd.DataFrame({"t": ["too short"]}))
+    assert flesch_reading_ease(short, "t").first().mean_flesch == 0.0
+
+
+def test_char_counts(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["cat extraordinary go", "a bb"]}))
+    r = char_counts(df, "t").first()
+    assert r.n_chars == len("cat extraordinary go") + len("a bb")
+    assert r.n_monosyllable_words >= 3  # cat, go, a, bb
+    assert r.n_polysyllable_words == 1  # extraordinary
+
+
+def test_tfidf_top_ngrams(spark):
+    pdf = pd.DataFrame({"t": [
+        "alpha beta gamma", "alpha beta delta", "alpha epsilon zeta",
+        "rare unique tokens here",
+    ]})
+    out = tfidf_top_ngrams(spark.createDataFrame(pdf), "t", ngrams=(1,), top=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    scores = {r.ngram: r.mean_tfidf for r in rows}
+    # 'alpha' appears in 3/4 docs -> low idf; rare terms score higher mean? No:
+    # mean over docs favors frequent-but-distinctive; just sanity-check shape
+    assert all(s > 0 for s in scores.values())
+    assert rows[0].mean_tfidf >= rows[-1].mean_tfidf
