@@ -763,6 +763,79 @@ def _oracle_readability() -> str:
     """
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (window lag +
+    cumulative session ids — the batch form of session_window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ; NTZ->TZ cast uses the UTC session timezone,
+    # matching duckdb's epoch() on naive timestamps
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_gap = ev.select("user_id", "ts", "value", gap.alias("gap"))
+    new_sess = (F.col("gap").isNull() | (F.col("gap") > 1800)).cast("long")
+    sess = with_gap.withColumn(
+        "session_id", F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 4).alias("total_value"),
+        )
+    )
+
+
+def q_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical type inference over string-cast columns (rows-only:
+    the voting protocol is the operator; verdicts are deterministic)."""
+    from advanced_data_profile_spark.operators.typeinfer import infer_types
+
+    orders = _t(spark, sf_dir, "orders")
+    as_strings = orders.select(
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        F.col("o_orderstatus").alias("status_str"),
+    )
+    t = infer_types(as_strings)
+    rows = sorted((c, v.logical) for c, v in t.items())
+    return spark.createDataFrame(rows, "col_name string, logical string")
+
+
+def _oracle_sessionization() -> str:
+    return """
+        WITH g AS (
+          SELECT user_id, ts, value,
+                 epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+          FROM events
+        ), s AS (
+          SELECT user_id, value,
+                 sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g
+        ), per_sess AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 round(sum(value), 4) AS session_value
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS max_session_events,
+               round(sum(session_value), 4) AS total_value
+        FROM per_sess GROUP BY user_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -801,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_frequencies": q_word_frequencies,
         "readability": q_readability,
         "tfidf_top_ngrams": q_tfidf_top_ngrams,
+        "sessionization": q_sessionization,
+        "infer_types": q_infer_types,
     }
 
 
@@ -977,4 +1052,6 @@ def oracle_sql() -> dict[str, str]:
         "word_frequencies": _oracle_word_frequencies(),
         "readability": _oracle_readability(),
         # tfidf_top_ngrams: rows-only (ml vocab ordering + idf smoothing)
+        "sessionization": _oracle_sessionization(),
+        # infer_types: rows-only (driver-side voting protocol)
     }

@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must actually appear in the executed plans (pushdown, pruning,
+broadcast, partial top-k, whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.operators.stats import profile
+from advanced_data_profile_spark.sources.images import phash_reference, read_images
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(lineitem):
+    df = lineitem.where(F.col("l_shipdate") < "1996-01-01").select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+
+def test_column_pruning_excludes_bytes(spark, images_path):
+    images = read_images(spark, images_path)
+    prof = profile(images.drop("bytes"), columns=["w", "h"])
+    plan = _plan(prof)
+    # the parquet ReadSchema must not contain the payload column
+    assert "bytes" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_profile_reads_pruned_schema(lineitem):
+    prof = profile(lineitem, columns=["l_quantity"])
+    read_schema = _plan(prof).split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_referential_uses_broadcast_join(spark, images_path):
+    from advanced_data_profile_spark.operators import constraints as C
+
+    images = read_images(spark, images_path)
+    res, _ = C.evaluate(
+        images,
+        [C.referential("p", "phash", phash_reference(images), "phash")],
+        part_col="part_id",
+    )
+    assert "BroadcastHashJoin" in _plan(res)
+    assert "LeftAnti" in _plan(res)
+
+
+def test_resume_antijoin_is_broadcast(spark, images_path, tmp_path):
+    from advanced_data_profile_spark.plans.manifest import Manifest
+
+    images = read_images(spark, images_path)
+    m = Manifest(spark, str(tmp_path / "m"))
+    m.record("r", "0", "done", n_rows=1)
+    pending = m.pending(images.select("part_id").distinct())
+    assert "BroadcastHashJoin" in _plan(pending)
+
+
+def test_topk_global_is_take_ordered(lineitem):
+    df = lineitem.groupBy("l_returnflag").count().orderBy(F.desc("count")).limit(3)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_wide_agg_is_partial_then_final(lineitem):
+    prof = profile(lineitem, columns=["l_quantity", "l_discount"], approx=True)
+    plan = _plan(prof)
+    # hash aggregate with map-side partial before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_partition_pruning_on_part_id(spark, images_path):
+    images = read_images(spark, images_path)
+    pruned = images.where(F.col("part_id") == 0).select("image_id")
+    plan = _plan(pruned)
+    # partition filters appear as PartitionFilters, not data filters
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: ")[1].split("]")[0]
+    assert "part_id" in seg
+
+
+def test_melt_topk_partial_aggregation(lineitem):
+    from advanced_data_profile_spark.operators.topk import top_k_values
+
+    plan = _plan(top_k_values(lineitem, ["l_returnflag"], k=3))
+    assert plan.count("HashAggregate") >= 2  # partial + final around Exchange
+
+
+def test_hll_sketch_rollup(spark, images_path):
+    from advanced_data_profile_spark.operators.sketches import distinct_rollup
+
+    images = read_images(spark, images_path)
+    per_part, table = distinct_rollup(images, ["image_id", "fmt"])
+    t = {r.column: r.n_distinct_est for r in table.collect()}
+    exact_ids = images.select("image_id").distinct().count()
+    assert t["image_id"] == pytest.approx(exact_ids, rel=0.05)
+    assert t["fmt"] == pytest.approx(4, abs=1)  # raw, bmp, tiff??, ''
+    pp = per_part.collect()
+    assert len(pp) == 4 * 2
+    # merged estimate must be >= any single partition's (union grows)
+    assert t["image_id"] >= max(r.n_distinct_est for r in pp if r.column == "image_id") * 0.95
