@@ -836,6 +836,100 @@ def _oracle_sessionization() -> str:
     """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per (day-of-week, event_type) as a wide matrix."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofweek("ts").cast("bigint").alias("dow"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def _oracle_pivot_events() -> str:
+    cases = ", ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+        SELECT dayofweek(ts)::BIGINT + 1 AS dow, {cases}
+        FROM events GROUP BY 1
+    """
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for every click event, the
+    latest purchase value by the same user at-or-before it. Implemented
+    as union-tag-window (operators/joins.asof_join); oracle is DuckDB's
+    native ASOF JOIN."""
+    from advanced_data_profile_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id")
+    return out.select("event_id", "user_id", "purchase_value")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: event values against nation-derived value
+    bands (inequality join turned equi-join + filter)."""
+    from advanced_data_profile_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    nation = _t(spark, sf_dir, "nation")
+    bands = nation.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 3.0).alias("lo"),
+        (F.col("n_nationkey") * 3.0 + 7.0).alias("hi"),
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=5.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def _oracle_asof_join() -> str:
+    return """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT user_id, ts, round(value, 4) AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id, p.purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """
+
+
+def _oracle_range_join() -> str:
+    return """
+        WITH bands AS (
+          SELECT n_nationkey AS band_id,
+                 n_nationkey * 3.0 AS lo,
+                 n_nationkey * 3.0 + 7.0 AS hi
+          FROM nation
+        )
+        SELECT band_id, count(*) AS n_events, round(avg(value), 4) AS avg_value
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY band_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -876,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_ngrams": q_tfidf_top_ngrams,
         "sessionization": q_sessionization,
         "infer_types": q_infer_types,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "pivot_events": q_pivot_events,
     }
 
 
@@ -1054,4 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         # tfidf_top_ngrams: rows-only (ml vocab ordering + idf smoothing)
         "sessionization": _oracle_sessionization(),
         # infer_types: rows-only (driver-side voting protocol)
+        "asof_join": _oracle_asof_join(),
+        "range_join": _oracle_range_join(),
+        "pivot_events": _oracle_pivot_events(),
     }

@@ -1,0 +1,109 @@
+"""Custom join operators Spark lacks natively: as-of join and range
+join — expressed as compositions of built-in DataFrame ops (no UDFs),
+per the preference order scan > composition > pandas kernel.
+
+As-of join (backward): for each left row, the latest right row with
+right.ts <= left.ts within the same key. Implementation is the classic
+union-tag-sort-window construction:
+
+    union(left tagged 0, right tagged 1)
+      -> window over (key) ordered by (ts, tag DESC)
+      -> last_value of right's payload, ignoring nulls
+      -> keep left rows
+
+One shuffle on the key — the same cost as a regular co-partitioned
+join; no per-key pandas, no cross product. Right rows at the exact
+same ts sort BEFORE the left row (tag DESC), so ties resolve to
+"right value at ts is visible at ts" (pd.merge_asof default).
+
+Range join: equi-bucket the range dimension so each right interval is
+replicated into the buckets it spans and each left point joins only
+its bucket — turning an inequality join (cross-product in naive Spark)
+into an equi-join + residual filter. Bucket width trades replication
+against selectivity; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """left rows + latest right values as of left.on, per `by` key.
+
+    value_cols: right columns to carry (default: all except on/by).
+    direction: 'backward' only (the merge_asof default).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+
+    lhs = left.select(
+        F.col(by), F.col(on), F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    rhs = right.select(
+        F.col(by), F.col(on), F.lit(1).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
+    )
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__tag").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "__tag", "__row",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.where(F.col("__tag") == 0).select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to interval rows with start <= point < end,
+    via bucketization: intervals are exploded into the buckets they
+    overlap (sequence/explode — bounded by interval_len/bucket_width),
+    points map to one bucket, equi-join on bucket, exact filter after.
+    """
+    p = points.withColumn(
+        "__bkt", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor((F.col(end_col) - 1e-9) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "__bkt", how).where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bkt")

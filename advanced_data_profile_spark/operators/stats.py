@@ -279,6 +279,13 @@ def outlier_pct(
     return melted.select(*keys, "s.column", "s.outlier_pct")
 
 
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the relation (A4 'memory usage' —
+    plan statistics instead of the reference's pandas deep memory scan;
+    report-only metadata, never an exact byte count)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def table_summary(df: DataFrame, group_by: str | None = None) -> DataFrame:
     """Table-level stats: row/col counts, duplicate flag, null totals
     (reference first_phase/second_phase, Profiler.py:514-622)."""

@@ -1,0 +1,95 @@
+"""As-of join and range join vs pandas/naive references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from advanced_data_profile_spark.operators.joins import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    rng = np.random.default_rng(0)
+    n_t, n_q = 400, 300
+    trades = pd.DataFrame({
+        "sym": rng.choice(["A", "B", "C"], n_t),
+        "ts": np.sort(rng.integers(0, 10_000, n_t)).astype("int64"),
+        "qty": rng.integers(1, 100, n_t).astype("int64"),
+    })
+    quotes = pd.DataFrame({
+        "sym": rng.choice(["A", "B", "C"], n_q),
+        "ts": np.sort(rng.integers(0, 10_000, n_q)).astype("int64"),
+        "px": np.round(rng.uniform(10, 20, n_q), 2),
+    })
+    # merge_asof requires global sort by key column
+    return trades, quotes
+
+
+def test_asof_join_matches_pandas(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    got = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on="ts", by="sym",
+    ).toPandas().sort_values(["sym", "ts", "qty"]).reset_index(drop=True)
+    want = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"),
+        on="ts", by="sym", direction="backward",
+    ).sort_values(["sym", "ts", "qty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["sym", "ts", "qty", "px"]], want[["sym", "ts", "qty", "px"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_join_no_prior_quote_is_null(spark):
+    trades = pd.DataFrame({"sym": ["A"], "ts": [5], "qty": [1]})
+    quotes = pd.DataFrame({"sym": ["A"], "ts": [10], "px": [9.9]})
+    out = asof_join(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes),
+        on="ts", by="sym",
+    ).collect()
+    assert out[0].px is None
+
+
+def test_asof_join_tie_takes_same_ts(spark):
+    trades = pd.DataFrame({"sym": ["A"], "ts": [10], "qty": [1]})
+    quotes = pd.DataFrame({"sym": ["A", "A"], "ts": [10, 3], "px": [1.5, 9.9]})
+    out = asof_join(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes),
+        on="ts", by="sym",
+    ).collect()
+    assert out[0].px == 1.5  # quote AT ts is visible (merge_asof default)
+
+
+def test_range_join_matches_naive(spark):
+    rng = np.random.default_rng(1)
+    pts = pd.DataFrame({"pid": range(200), "x": rng.uniform(0, 100, 200)})
+    starts = rng.uniform(0, 95, 40)
+    ivs = pd.DataFrame({
+        "iid": range(40), "lo": starts, "hi": starts + rng.uniform(1, 10, 40),
+    })
+    got = range_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        "x", "lo", "hi", bucket_width=5.0,
+    ).select("pid", "iid").collect()
+    got_set = {(r.pid, r.iid) for r in got}
+    want = {
+        (p.pid, i.iid)
+        for _, p in pts.iterrows() for _, i in ivs.iterrows()
+        if i.lo <= p.x < i.hi
+    }
+    assert got_set == want
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # an interval spanning many buckets must still match each point once
+    pts = pd.DataFrame({"pid": [1, 2], "x": [5.0, 45.0]})
+    ivs = pd.DataFrame({"iid": [7], "lo": [0.0], "hi": [50.0]})
+    out = range_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        "x", "lo", "hi", bucket_width=2.0,
+    ).select("pid", "iid").collect()
+    assert sorted((r.pid, r.iid) for r in out) == [(1, 7), (2, 7)]

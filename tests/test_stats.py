@@ -120,3 +120,10 @@ def test_skew_kurt_small_n_guards(spark):
     df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0]}))
     r = profile(df).collect()[0]
     assert r.skewness is None and r.kurtosis is None  # pandas returns NaN too
+
+
+def test_estimated_size_bytes(lineitem):
+    from advanced_data_profile_spark.operators.stats import estimated_size_bytes
+
+    size = estimated_size_bytes(lineitem)
+    assert size > 100_000  # 6k rows x 11 cols is at least ~100KB
