@@ -187,6 +187,18 @@ def profile(
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     structs = [column_profile_struct(c, dtypes[c], approx) for c in columns]
 
+    if not approx:
+        # exact percentile is a sort-heavy aggregate whose parallelism is
+        # capped by input splits (parquet row groups); when the source is
+        # under-split, a cheap narrow-projection shuffle buys full-width
+        # parallelism (~35% faster at sf0.1). Approx mode is single-pass
+        # mergeable sketches and never needs this.
+        sc = df.sparkSession.sparkContext
+        keep_cols = ([group_by] if group_by else []) + columns
+        narrow = df.select(*keep_cols)
+        if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = narrow.repartition(sc.defaultParallelism)
+
     if group_by is not None:
         agg = df.groupBy(group_by).agg(*structs)
         keep = [F.col(group_by)]
