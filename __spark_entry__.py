@@ -861,6 +861,19 @@ def _oracle_pivot_events() -> str:
     """
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct rollup: per-group sketches merged to
+    table level without rescanning raw data (rows-only: sketch
+    estimates are Datasketches-specific)."""
+    from advanced_data_profile_spark.operators.sketches import distinct_rollup
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_group, table = distinct_rollup(
+        li, ["l_orderkey", "l_partkey"], group_by="l_returnflag"
+    )
+    return table.orderBy("column")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): for every click event, the
     latest purchase value by the same user at-or-before it. Implemented
@@ -973,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "pivot_events": q_pivot_events,
+        "hll_rollup": q_hll_rollup,
     }
 
 
