@@ -441,11 +441,29 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-hyperplane sign-LSH near-dup: 4 bands x 8 sign bits
+    (any-band collision), exact-cosine verify. Bucket count per band is
+    2^bits and bits scale with n via dedup.auto_sign_bits at run time;
+    pinned here so the DuckDB oracle replicates the exact construction."""
     from advanced_data_profile_spark.operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, "vec_id", "embedding",
-                               threshold=0.22, sign_bits=8)
+                               threshold=0.22, n_bands=4, bits_per_band=8)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dups at hamming <= 3 via pigeonhole block-LSH
+    (4 blocks of 15 bits — any <=3-bit-different pair agrees exactly on
+    >=1 block, so recall is 1.0 and the result EQUALS brute force; the
+    DuckDB oracle is the brute-force all-pairs answer, an independent
+    construction)."""
+    from advanced_data_profile_spark.operators.dedup import simhash, simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash(docs, "doc_id", "text", bits=60)
+    out = simhash_near_dups(sigs, max_hamming=3, bits=60)
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,18 +637,91 @@ def _oracle_embedding_norms() -> str:
 
 
 def _oracle_near_dup_embeddings() -> str:
+    """Replicates the 4-band x 8-bit any-band-collision construction."""
     from advanced_data_profile_spark.functions.oracle_fragments import sql_sign_bucket
 
-    ba = sql_sign_bucket("a.embedding", 8)
-    bb = sql_sign_bucket("b.embedding", 8)
+    collide = " OR ".join(
+        f"{sql_sign_bucket('a.embedding', 8, k * 8)}"
+        f" = {sql_sign_bucket('b.embedding', 8, k * 8)}"
+        for k in range(4)
+    )
     return f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[],
                                             b.embedding::DOUBLE[]), 6) AS cosine
         FROM embeddings a JOIN embeddings b
-          ON {ba} = {bb} AND a.vec_id < b.vec_id
+          ON a.vec_id < b.vec_id AND ({collide})
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.22
+    """
+
+
+def _oracle_simhash_near_dups() -> str:
+    """Brute-force all-pairs hamming <= 3 over independently recomputed
+    60-bit simhash signatures — validates the Spark block-LSH's
+    guaranteed-recall claim, not just its arithmetic."""
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    sums, sig = O.sql_simhash(60)
+    sums_sql = ", ".join(sums)
+    return f"""
+        WITH d AS ({_norm_cte()}),
+        tok AS (
+          SELECT doc_id AS id, tok, count(*)::BIGINT AS cnt FROM (
+            SELECT doc_id, unnest(string_split(__norm, ' ')) AS tok
+            FROM d WHERE __norm <> ''
+          ) GROUP BY doc_id, tok
+        ),
+        h AS (SELECT id, {O.sql_md5_int60('tok')} AS h, cnt FROM tok),
+        s AS (SELECT id, {sums_sql} FROM h GROUP BY id),
+        sig AS (SELECT id, {sig} AS sh FROM s)
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+
+
+def _oracle_near_dup_minhash() -> str:
+    """Full MinHash+LSH pipeline in DuckDB: signatures (already
+    oracle-pinned), 4-band banding via md5 of the signature slice,
+    distinct same-(band,bucket) pairs, est_jaccard >= 0.8 verify —
+    byte-identical arithmetic to operators.dedup.minhash_dedup."""
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    k, bands, rpb = 16, 4, 4
+    mins = ", ".join(f"{O.sql_minhash_expr(j)} AS mh{j}" for j in range(k))
+    band_selects = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"mh{b * rpb + r}::VARCHAR" for r in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, {O.sql_md5_int60(f'({concat})')} AS bucket FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    return f"""
+        WITH d AS ({_norm_cte()}),
+        tok AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(string_split(__norm, ' '))) AS tok
+          FROM d WHERE __norm <> ''
+        ),
+        sig AS (SELECT id, {mins} FROM tok GROUP BY id),
+        band AS ({bands_sql}),
+        pairs AS (
+          SELECT DISTINCT l.id AS id_a, r.id AS id_b
+          FROM band l JOIN band r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        )
+        SELECT p.id_a, p.id_b, round(({agree}) / {k}.0, 6) AS est_jaccard
+        FROM pairs p
+        JOIN sig a ON a.id = p.id_a
+        JOIN sig b ON b.id = p.id_b
+        WHERE round(({agree}) / {k}.0, 6) >= 0.8
     """
 
 
@@ -755,8 +846,8 @@ def _oracle_readability() -> str:
         WITH d AS (SELECT text, {norm} AS __norm FROM documents)
         SELECT round(avg(CASE WHEN {n_words} >= 5 AND __norm <> '' THEN {score}
                               ELSE 0.0 END), 4) AS mean_flesch,
-               sum(length(text)) AS n_chars,
-               sum(length(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g'))) AS n_letters_ws,
+               sum(length(text))::BIGINT AS n_chars,
+               sum(length(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g')))::BIGINT AS n_letters_ws,
                sum(CASE WHEN __norm = '' THEN 0 ELSE {mono} END)::BIGINT AS n_monosyllable_words,
                sum(CASE WHEN __norm = '' THEN 0 ELSE {poly} END)::BIGINT AS n_polysyllable_words
         FROM d
@@ -795,9 +886,13 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logical type inference over string-cast columns (rows-only:
-    the voting protocol is the operator; verdicts are deterministic)."""
-    from advanced_data_profile_spark.operators.typeinfer import infer_types
+    """Logical type inference over string-cast columns. The format list
+    is pinned to COMMON_FORMATS so the DuckDB try_strptime voting
+    oracle replays the identical first-match decision chain."""
+    from advanced_data_profile_spark.operators.typeinfer import (
+        COMMON_FORMATS,
+        infer_types,
+    )
 
     orders = _t(spark, sf_dir, "orders")
     as_strings = orders.select(
@@ -807,9 +902,86 @@ def q_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("string").alias("price_str"),
         F.col("o_orderstatus").alias("status_str"),
     )
-    t = infer_types(as_strings)
+    t = infer_types(as_strings, formats=list(COMMON_FORMATS))
     rows = sorted((c, v.logical) for c, v in t.items())
     return spark.createDataFrame(rows, "col_name string, logical string")
+
+
+# Spark DateTimeFormatter pattern -> strptime, for the COMMON_FORMATS
+# the pinned infer_types contract query votes over.
+_STRPTIME_MAP: dict[str, str] = {
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "yyyy-MM-dd HH:mm:ss": "%Y-%m-%d %H:%M:%S",
+    "yyyy-MM-dd'T'HH:mm:ss": "%Y-%m-%dT%H:%M:%S",
+    "yyyy/MM/dd": "%Y/%m/%d",
+    "MM/dd/yyyy": "%m/%d/%Y",
+    "dd/MM/yyyy": "%d/%m/%Y",
+    "dd-MM-yyyy": "%d-%m-%Y",
+    "MM-dd-yyyy": "%m-%d-%Y",
+    "yyyyMMdd": "%Y%m%d",
+    "MM/dd/yyyy HH:mm:ss": "%m/%d/%Y %H:%M:%S",
+    "dd/MM/yyyy HH:mm:ss": "%d/%m/%Y %H:%M:%S",
+    "yyyy/MM/dd HH:mm:ss": "%Y/%m/%d %H:%M:%S",
+    "yyyy-MM-dd HH:mm": "%Y-%m-%d %H:%M",
+    "dd MMM yyyy": "%d %b %Y",
+    "MMM dd, yyyy": "%b %d, %Y",
+    "HH:mm:ss": "%H:%M:%S",
+    "H:mm": "%H:%M",
+}
+
+
+def _oracle_infer_types() -> str:
+    """try_strptime voting oracle: per column, the same first-match
+    decision chain infer_types runs (full parse + years in [1900,2100]
+    -> date if all time parts zero else timestamp; else full numeric
+    parse -> integer/float; else string)."""
+    from advanced_data_profile_spark.operators.typeinfer import COMMON_FORMATS
+
+    def col_case(c: str) -> str:
+        whens = []
+        for fmt in COMMON_FORMATS:
+            sp = _STRPTIME_MAP[fmt]
+            ts = f"try_strptime({c}, '{sp}')"
+            hits = f"count({ts}) = count({c})"
+            valid = (
+                f"min(CASE WHEN {ts} IS NOT NULL THEN "
+                f"(year({ts}) BETWEEN 1900 AND 2100)::INT END) = 1"
+            )
+            datelike = (
+                f"min(CASE WHEN {ts} IS NOT NULL THEN "
+                f"(hour({ts}) = 0 AND minute({ts}) = 0 AND second({ts}) = 0)::INT END) = 1"
+            )
+            whens.append(
+                f"WHEN {hits} AND {valid} THEN "
+                f"CASE WHEN {datelike} THEN 'date' ELSE 'timestamp' END"
+            )
+        num = f"try_cast({c} AS DOUBLE)"
+        whens.append(
+            f"WHEN count({num}) = count({c}) THEN "
+            f"CASE WHEN min(CASE WHEN {num} IS NOT NULL THEN "
+            f"({num} = floor({num}))::INT END) = 1 THEN 'integer' ELSE 'float' END"
+        )
+        chain = " ".join(whens)
+        return f"""
+        SELECT '{c}' AS col_name,
+               CASE WHEN count({c}) = 0 THEN 'empty' {chain}
+                    ELSE 'string' END AS logical
+        FROM src
+        """
+
+    cols = ["key_str", "date_str", "ts_str", "price_str", "status_str"]
+    body = " UNION ALL ".join(col_case(c) for c in cols)
+    return f"""
+        WITH src AS (
+          SELECT o_orderkey::VARCHAR AS key_str,
+                 strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+                 o_totalprice::VARCHAR AS price_str,
+                 o_orderstatus AS status_str
+          FROM orders
+        )
+        {body}
+    """
 
 
 def _oracle_sessionization() -> str:
@@ -852,7 +1024,7 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_pivot_events() -> str:
     cases = ", ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
         for t in _EVENT_TYPES
     )
     return f"""
@@ -863,15 +1035,44 @@ def _oracle_pivot_events() -> str:
 
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct rollup: per-group sketches merged to
-    table level without rescanning raw data (rows-only: sketch
-    estimates are Datasketches-specific)."""
+    table level without rescanning raw data. The estimate itself is
+    Datasketches-specific, so the hashable contract is the accuracy
+    bound: exact distinct (recomputed here purely as the check harness)
+    plus a within-5% boolean the oracle pins to TRUE."""
     from advanced_data_profile_spark.operators.sketches import distinct_rollup
 
     li = _t(spark, sf_dir, "lineitem")
-    per_group, table = distinct_rollup(
-        li, ["l_orderkey", "l_partkey"], group_by="l_returnflag"
+    cols = ["l_orderkey", "l_partkey"]
+    per_group, table = distinct_rollup(li, cols, group_by="l_returnflag")
+    exact = li.agg(
+        *[F.count_distinct(F.col(c)).alias(c) for c in cols]
+    ).select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("col_name"), F.col(c).alias("n_exact"))
+                for c in cols
+            ])
+        ).alias("s")
+    ).select("s.col_name", "s.n_exact")
+    est = table.withColumnRenamed("column", "col_name")
+    return est.join(exact, "col_name").select(
+        "col_name",
+        "n_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_exact")) / F.col("n_exact")
+            <= 0.05
+        ).alias("within_5pct"),
     )
-    return table.orderBy("column")
+
+
+def _oracle_hll_rollup() -> str:
+    return """
+        SELECT 'l_orderkey' AS col_name,
+               count(DISTINCT l_orderkey) AS n_exact, TRUE AS within_5pct
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', count(DISTINCT l_partkey), TRUE FROM lineitem
+    """
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "minhash_signatures": q_minhash_signatures,
         "simhash_documents": q_simhash_documents,
+        "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_minhash": q_near_dup_minhash,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1150,8 +1352,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _oracle_fingerprint(),
         "minhash_signatures": _oracle_minhash(),
         "simhash_documents": _oracle_simhash(),
+        "simhash_near_dups": _oracle_simhash_near_dups(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
-        # near_dup_minhash: rows-only (LSH banding self-join)
+        "near_dup_minhash": _oracle_near_dup_minhash(),
         "knn_bruteforce": _oracle_knn_bruteforce(),
         "knn_lsh": _oracle_knn_lsh(),
         "embedding_norms": _oracle_embedding_norms(),
@@ -1164,8 +1367,9 @@ def oracle_sql() -> dict[str, str]:
         "readability": _oracle_readability(),
         # tfidf_top_ngrams: rows-only (ml vocab ordering + idf smoothing)
         "sessionization": _oracle_sessionization(),
-        # infer_types: rows-only (driver-side voting protocol)
+        "infer_types": _oracle_infer_types(),
         "asof_join": _oracle_asof_join(),
         "range_join": _oracle_range_join(),
         "pivot_events": _oracle_pivot_events(),
+        "hll_rollup": _oracle_hll_rollup(),
     }

@@ -117,8 +117,11 @@ def sql_simhash(bits: int, h: str = "h", cnt: str = "cnt") -> tuple[list[str], s
     return sums, f"({sig})::BIGINT"
 
 
-def sql_sign_bucket(vec: str, bits: int) -> str:
+def sql_sign_bucket(vec: str, bits: int, offset: int = 0) -> str:
+    """Sign-LSH bucket from components [offset, offset+bits) — mirrors
+    operators.dedup._sign_bucket (DuckDB lists are 1-indexed)."""
     terms = " + ".join(
-        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+        f"(CASE WHEN {vec}[{offset + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
     )
     return f"({terms})::BIGINT"

@@ -192,24 +192,85 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return agg.select("id", sig.alias("simhash"))
 
 
-def simhash_near_dups(
-    sigs: DataFrame, max_hamming: int = 3, prefix_bits: int = 8
+def _hamming_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Partition [0, bits) into n_blocks contiguous (offset, width)
+    blocks, widths as even as possible."""
+    base, extra = divmod(bits, n_blocks)
+    blocks, off = [], 0
+    for k in range(n_blocks):
+        w = base + (1 if k < extra else 0)
+        blocks.append((off, w))
+        off += w
+    return blocks
+
+
+def simhash_block_buckets(
+    sigs: DataFrame, bits: int = 60, n_blocks: int = 4
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= max_hamming. Candidate
-    generation buckets on the low `prefix_bits` bits (docs within
-    hamming d of each other collide on at least one of a few rotations;
-    one prefix bucket is the cheap single-probe variant) — avoids the
-    quadratic cross join; exact bit_count(xor) verifies."""
-    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    mask = (1 << prefix_bits) - 1
-    j = a.join(
-        b,
-        (F.col("sh_a").bitwiseAND(mask) == F.col("sh_b").bitwiseAND(mask))
-        & (F.col("id_a") < F.col("id_b")),
+    """(id, blk, val, simhash): one row per signature block, where val is
+    the block's bit slice. Pigeonhole Hamming-LSH: any pair within
+    Hamming distance d < n_blocks agrees EXACTLY on >= n_blocks - d
+    blocks, so an equi-join on (blk, val) has recall 1.0 by construction.
+
+    Bucket space per block is 2^(bits/n_blocks) — it scales with the
+    signature width, not a constant: 60-bit sigs with 4 blocks give
+    2^15 = 32768 buckets per block, and wider signatures (multi-word)
+    widen the blocks further. Bucket population tracks true near-dup
+    cluster size instead of n/256."""
+    exploded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("blk"),
+                    F.shiftright(F.col("simhash"), off)
+                    .bitwiseAND((1 << w) - 1)
+                    .alias("val"),
+                )
+                for k, (off, w) in enumerate(_hamming_blocks(bits, n_blocks))
+            ])
+        ).alias("s"),
+    )
+    return exploded.select("id", "s.blk", "s.val", "simhash")
+
+
+def simhash_near_dups(
+    sigs: DataFrame, max_hamming: int = 3, bits: int = 60,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming, exact recall.
+
+    Candidates come from the pigeonhole block-LSH (simhash_block_buckets
+    with n_blocks = max_hamming + 1 by default — the standard Hamming-LSH
+    construction), verified with exact bit_count(xor). The block
+    equi-join is a co-partitioned shuffle join; a hot block value (a
+    big near-dup cluster) is the AQE skew-join case, enabled in the
+    session. Result is EQUAL to the brute-force all-pairs answer
+    (oracle-checked against DuckDB brute force)."""
+    n_blocks = n_blocks or (max_hamming + 1)
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming for recall 1.0")
+    b = simhash_block_buckets(sigs, bits, n_blocks)
+    left = b.alias("l")
+    right = b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return j.select("id_a", "id_b", ham.alias("hamming")).where(
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
 
@@ -252,25 +313,83 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _sign_bucket(vec: Column, offset: int, bits: int) -> Column:
+    """Sign-LSH bucket from components [offset, offset+bits): bit i set
+    iff component offset+i >= 0 (random-hyperplane LSH with axis-aligned
+    planes — valid for roughly isotropic embedding spaces; DuckDB parity
+    via oracle_fragments.sql_sign_bucket)."""
+    b: Column = F.lit(0).cast("bigint")
+    for i in range(bits):
+        b = b + F.when(vec.getItem(offset + i) >= 0, F.lit(1 << i)).otherwise(0)
+    return b
+
+
+def embedding_band_buckets(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_bands: int = 4, bits_per_band: int = 8,
+) -> DataFrame:
+    """(id, band, bkt): one sign-LSH bucket per band, band k built from
+    components [k*bits, (k+1)*bits). Multi-band OR-amplification: a pair
+    is a candidate if it collides in ANY band, so recall rises with
+    n_bands while per-band bucket count 2^bits keeps buckets small."""
+    v = F.col(vec_col)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    _sign_bucket(v, k * bits_per_band, bits_per_band).alias("bkt"),
+                )
+                for k in range(n_bands)
+            ])
+        ).alias("s"),
+    ).select("id", "s.band", "s.bkt")
+    return exploded
+
+
+def auto_sign_bits(n_rows: int, dims: int, n_bands: int = 4) -> int:
+    """bits per band ~ log2(n): keeps expected bucket occupancy O(1),
+    so candidate pairs grow ~linearly with n instead of quadratically.
+    Clamped to what the vector width allows."""
+    import math
+
+    want = max(4, math.ceil(math.log2(max(n_rows, 2))))
+    return max(1, min(want, dims // n_bands))
+
+
 def embedding_near_dups(
     df: DataFrame, id_col: str, vec_col: str,
-    threshold: float = 0.95, sign_bits: int = 8,
+    threshold: float = 0.95, n_bands: int = 4,
+    bits_per_band: int | None = 8,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold. Candidates are
-    generated by a sign-LSH bucket (signs of the first `sign_bits`
-    components — random-hyperplane LSH with axis-aligned planes, valid
-    because embedding dims are roughly isotropic); exact cosine
-    verifies within buckets."""
-    bucket: Column = F.lit(0).cast("bigint")
-    for i in range(sign_bits):
-        bucket = bucket + F.when(
-            F.col(vec_col).getItem(i) >= 0, F.lit(1 << i)
-        ).otherwise(0)
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  bucket.alias("bkt"))
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bkt")
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bkt")
-    j = a.join(b, ["bkt"]).where(F.col("id_a") < F.col("id_b"))
+    """Near-duplicate pairs by cosine >= threshold.
+
+    Candidates are generated by banded multi-hyperplane sign-LSH
+    (embedding_band_buckets): bits_per_band controls bucket count per
+    band (2^bits — pass None to derive ~log2(n) from a count so bucket
+    space scales with the data), n_bands controls recall. Exact cosine
+    (JVM-side zip_with/aggregate) verifies each distinct candidate pair;
+    the band equi-join never goes all-pairs."""
+    if bits_per_band is None:
+        n = df.count()
+        dims = len(df.select(vec_col).first()[0])
+        bits_per_band = auto_sign_bits(n, dims, n_bands)
+    b = embedding_band_buckets(df, id_col, vec_col, n_bands, bits_per_band)
+    cand = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    j = cand.join(va, "id_a").join(vb, "id_b")
     cos = cosine_expr(
         F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
     )

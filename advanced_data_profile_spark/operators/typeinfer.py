@@ -9,14 +9,17 @@ Reference semantics (Profiler.py:203-220):
   string    — fallback
 
 The reference tries ~4k strptime formats per value in Python
-(Profiler.py:97-123, 189-193). Here the vote is columnar: for each
-candidate format, ONE aggregate expression
-``sum(try_to_timestamp(c, fmt) is not null) == count(c)`` decides
-whether the whole column parses — all candidates for all string
-columns are evaluated in a single wide agg (one scan). A persistent
+(Profiler.py:97-123, 189-193). Here the candidate list is the same
+Cartesian product (component orders x separators x time suffixes)
+translated to Spark's DateTimeFormatter dialect, and the vote is
+DATA-PARALLEL rather than plan-wide: the sampled string values are
+exploded to (column, value) rows, cross-joined with a broadcast
+formats relation, and ``try_to_timestamp(value, fmt)`` is evaluated
+once per (value, format) pair — one shuffle of (column, fmt) partial
+counts, never a 4000-expression aggregate. Winning formats are then
+confirmed on the full column in one narrow agg. A persistent
 frequency cache orders candidates so common formats are tried first
-(reference Profiler.py:126-135, 180-186); at scale, voting runs on a
-row sample first and only winning candidates are confirmed full-column.
+(reference Profiler.py:126-135, 180-186).
 
 Parsed dates are validated to year in [1900, 2100]
 (reference Profiler.py:139-144).
@@ -32,9 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Spark datetime-pattern candidates, common-first (reference's 16
-# hard-coded formats, Profiler.py:161-178, translated to Spark dialect;
-# the Cartesian generator's useful combinations collapse into these).
+# Spark datetime-pattern candidates, common-first (the reference's 16
+# hard-coded formats, Profiler.py:161-178, translated to Spark dialect).
+# generate_format_candidates() appends the Cartesian sweep behind these.
 COMMON_FORMATS: list[str] = [
     "yyyy-MM-dd",
     "yyyy-MM-dd HH:mm:ss",
@@ -56,6 +59,55 @@ COMMON_FORMATS: list[str] = [
     # (observed in the golden report, SURVEY.md §1.2); kept deliberately.
     "H:mm",
 ]
+
+# time suffixes for the Cartesian sweep ('' = date-only)
+_TIME_SUFFIXES = [
+    "",
+    " HH:mm:ss",
+    " HH:mm",
+    " HH:mm:ss.SSS",
+    "'T'HH:mm:ss",
+    "'T'HH:mm:ss.SSS",
+    " h:mm a",
+    " hh:mm:ss a",
+]
+
+
+def generate_format_candidates() -> list[str]:
+    """The T1 Cartesian generator (reference Profiler.py:97-123 builds
+    ~4k strptime permutations): component orders x separators x year
+    widths x time suffixes, in Spark pattern dialect. Single-letter
+    M/d/H subsume their zero-padded forms in Java's DateTimeFormatter,
+    so ~250 Spark patterns cover the reference's ~4k strptime strings.
+    COMMON_FORMATS stay at the head so the vote's first-match tie-break
+    is stable with the small list."""
+    dates: list[str] = []
+    for sep in ("-", "/", ".", " "):
+        for order in ("ymd", "dmy", "mdy"):
+            parts = {"y": "yyyy", "m": "M", "d": "d"}
+            dates.append(sep.join(parts[ch] for ch in order))
+        for order in ("dmy", "mdy"):
+            parts = {"y": "yy", "m": "M", "d": "d"}
+            dates.append(sep.join(parts[ch] for ch in order))
+    dates += [
+        "yyyyMMdd",
+        "d MMM yyyy",
+        "MMM d yyyy",
+        "MMM d, yyyy",
+        "MMMM d, yyyy",
+        "d MMMM yyyy",
+    ]
+    out = list(COMMON_FORMATS)
+    out += [d + t for d in dates for t in _TIME_SUFFIXES]
+    out += ["HH:mm:ss.SSS", "h:mm a"]
+    seen: set[str] = set()
+    res: list[str] = []
+    for f in out:
+        if f not in seen:
+            seen.add(f)
+            res.append(f)
+    return res
+
 
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -95,24 +147,73 @@ class FormatCache:
                 json.dump(self.freq, f)
 
 
-def _fmt_exprs(col: str, i: int, fmt: str) -> list:
-    """Three aggregates per (string column, format): parse hit count,
-    all-dates-valid (year 1900-2100), all-time-parts-zero."""
-    ts = F.try_to_timestamp(F.col(col), F.lit(fmt))
-    hit = F.sum(ts.isNotNull().cast("long")).alias(f"__f{i}_hits_{col}")
-    valid = F.min(
-        F.when(
-            ts.isNotNull(),
-            (F.year(ts).between(1900, 2100)).cast("int"),
+def _seeded_sample(df: DataFrame, sample_rows: int | None, seed: int = 42) -> DataFrame:
+    """Seeded uniform row sample (~sample_rows rows) — replaces head
+    sampling (df.limit reads only the first file's rows and funnels the
+    vote through one task after a GlobalLimit; SURVEY O3 prescribes a
+    seeded sample). One cheap count() (parquet row-group metadata) sizes
+    the fraction."""
+    if sample_rows is None:
+        return df
+    n = df.count()
+    if n <= sample_rows:
+        return df
+    return df.sample(fraction=min(1.0, 1.2 * sample_rows / n), seed=seed)
+
+
+def vote_datetime_formats(
+    voter: DataFrame, string_cols: list[str], formats: list[str]
+) -> dict[str, tuple[str, bool]]:
+    """For each string column, the first format (in `formats` order)
+    that parses EVERY non-null sampled value with all years in
+    [1900, 2100]; the bool says whether all time parts are zero (date
+    vs timestamp).
+
+    Shape: melt the sampled values to (col, val), cross-join the tiny
+    broadcast formats relation, evaluate try_to_timestamp once per
+    (value, format), aggregate per (col, fmt_id). Work is
+    rows x formats spread across the cluster — no 3*formats-wide agg.
+    """
+    if not string_cols or voter.isEmpty():
+        return {}
+    spark = voter.sparkSession
+    melted = voter.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("col"), F.col(c).alias("val"))
+                for c in string_cols
+            ])
+        ).alias("s")
+    ).select("s.col", "s.val")
+    fmts = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(formats)], "fmt_id int, fmt string"
+    )
+    ts = F.try_to_timestamp(F.col("val"), F.col("fmt"))
+    agg = (
+        melted.crossJoin(F.broadcast(fmts))
+        .groupBy("col", "fmt_id")
+        .agg(
+            F.count("val").alias("n"),
+            F.sum(ts.isNotNull().cast("long")).alias("hits"),
+            F.min(
+                F.when(ts.isNotNull(), F.year(ts).between(1900, 2100).cast("int"))
+            ).alias("valid"),
+            F.min(
+                F.when(
+                    ts.isNotNull(),
+                    ((F.hour(ts) == 0) & (F.minute(ts) == 0) & (F.second(ts) == 0)).cast("int"),
+                )
+            ).alias("datelike"),
         )
-    ).alias(f"__f{i}_valid_{col}")
-    datelike = F.min(
-        F.when(
-            ts.isNotNull(),
-            ((F.hour(ts) == 0) & (F.minute(ts) == 0) & (F.second(ts) == 0)).cast("int"),
-        )
-    ).alias(f"__f{i}_date_{col}")
-    return [hit, valid, datelike]
+        .where((F.col("hits") == F.col("n")) & (F.col("n") > 0) & (F.col("valid") == 1))
+    )
+    rows = agg.collect()  # <= len(string_cols) * len(formats) tiny rows
+    best: dict[str, tuple[int, str, bool]] = {}
+    for r in rows:
+        cur = best.get(r["col"])
+        if cur is None or r["fmt_id"] < cur[0]:
+            best[r["col"]] = (r["fmt_id"], formats[r["fmt_id"]], r["datelike"] == 1)
+    return {c: (f, d) for c, (_, f, d) in best.items()}
 
 
 def infer_types(
@@ -125,14 +226,14 @@ def infer_types(
     """Infer the reference's logical type per column. Driver-side dict
     result (it drives which stat expressions are emitted downstream).
 
-    sample_rows: vote on a row-limited slice first; a format that wins
-    on the sample is confirmed on the full column in a second agg. At
-    test scale the sample covers the table and the confirm pass is the
-    same size; at 100 TB it turns ~17 full scans of format trials into
-    one small scan + one confirming scan.
+    sample_rows: vote on a seeded uniform sample first; winning
+    datetime formats and string-numeric verdicts are confirmed on the
+    full column in one narrow agg. At test scale the sample covers the
+    table; at 100 TB it turns ~250 full-column format trials into one
+    small sampled vote + one confirming scan.
     """
     cache = cache or FormatCache(None)
-    formats = cache.ordered(list(formats or COMMON_FORMATS))
+    formats = cache.ordered(list(formats or generate_format_candidates()))
     if columns is None:
         columns = [
             f.name for f in df.schema.fields
@@ -166,61 +267,90 @@ def infer_types(
                     f"__numint_{c}"
                 )
             )
-            for i, fmt in enumerate(formats):
-                exprs.extend(_fmt_exprs(c, i, fmt))
 
-    voter = df.limit(sample_rows) if sample_rows else df
+    voter = _seeded_sample(df, sample_rows)
+    if sample_rows is not None:
+        voter = voter.persist()
     row = voter.agg(*exprs).collect()[0].asDict()
+    dt_votes = vote_datetime_formats(voter, string_cols, formats)
+    if sample_rows is not None:
+        voter.unpersist()
 
-    def _decide(c: str, r: dict) -> InferredType:
+    def _decide(c: str) -> InferredType:
         dt = dtypes[c]
-        n = r[f"__n_{c}"]
+        n = row[f"__n_{c}"]
         if n == 0:
             return InferredType("empty")
         if isinstance(dt, _NUMERIC_TYPES):
             if not isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
                 return InferredType("integer")
-            if r[f"__int_{c}"] == 1:
+            if row[f"__int_{c}"] == 1:
                 # reference downcasts all-integral floats (Profiler.py:533-535)
                 return InferredType("integer")
             # "double" = float with > 6 decimal places (Profiler.py:587-588)
-            return InferredType("double" if (r[f"__dec_{c}"] or 0) > 6 else "float")
+            return InferredType("double" if (row[f"__dec_{c}"] or 0) > 6 else "float")
         if isinstance(dt, (T.DateType,)):
             return InferredType("date")
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             return InferredType("timestamp")
         if isinstance(dt, T.StringType):
-            for i, fmt in enumerate(formats):
-                if r[f"__f{i}_hits_{c}"] == n and r[f"__f{i}_valid_{c}"] == 1:
-                    cache.record(fmt)
-                    logical = "date" if r[f"__f{i}_date_{c}"] == 1 else "timestamp"
-                    return InferredType(logical, datetime_format=fmt)
-            if r[f"__numhits_{c}"] == n:
-                return InferredType("integer" if r[f"__numint_{c}"] == 1 else "float")
+            if c in dt_votes:
+                fmt, datelike = dt_votes[c]
+                cache.record(fmt)
+                return InferredType(
+                    "date" if datelike else "timestamp", datetime_format=fmt
+                )
+            if row[f"__numhits_{c}"] == n:
+                return InferredType("integer" if row[f"__numint_{c}"] == 1 else "float")
             return InferredType("string")
         return InferredType("string")
 
-    decisions = {c: _decide(c, row) for c in columns}
+    decisions = {c: _decide(c) for c in columns}
 
-    # confirm sample-voted datetime formats on the full column
+    # confirm sample-voted verdicts on the full column (datetime format
+    # must parse every row; string-numeric must cast every row)
     if sample_rows is not None:
-        confirm = [
+        confirm_dt = [
             (c, t) for c, t in decisions.items()
             if t.datetime_format and t.logical in ("date", "timestamp")
         ]
-        if confirm:
+        confirm_num = [
+            c for c, t in decisions.items()
+            if t.logical in ("integer", "float")
+            and isinstance(dtypes[c], T.StringType)
+        ]
+        if confirm_dt or confirm_num:
             cexprs = []
-            for c, t in confirm:
+            for c, t in confirm_dt:
                 ts = F.try_to_timestamp(F.col(c), F.lit(t.datetime_format))
                 cexprs.append(
                     (
                         F.sum(ts.isNotNull().cast("long")) == F.count(F.col(c))
                     ).alias(f"__ok_{c}")
                 )
+            for c in confirm_num:
+                d = F.col(c).try_cast("double")
+                cexprs.append(
+                    (
+                        F.sum(d.isNotNull().cast("long")) == F.count(F.col(c))
+                    ).alias(f"__ok_{c}")
+                )
+                cexprs.append(
+                    F.min(F.when(d.isNotNull(), (d == F.floor(d)).cast("int"))).alias(
+                        f"__int_{c}"
+                    )
+                )
             crow = df.agg(*cexprs).collect()[0].asDict()
-            for c, t in confirm:
+            for c, t in confirm_dt:
                 if not crow[f"__ok_{c}"]:
                     decisions[c] = InferredType("string")
+            for c in confirm_num:
+                if not crow[f"__ok_{c}"]:
+                    decisions[c] = InferredType("string")
+                else:
+                    decisions[c] = InferredType(
+                        "integer" if crow[f"__int_{c}"] == 1 else "float"
+                    )
     cache.save()
     return decisions
 

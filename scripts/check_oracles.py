@@ -73,11 +73,28 @@ def main() -> int:
             print(f"FAIL {name}: cols {list(s.columns)} vs {list(o.columns)}")
             failures.append(name)
             continue
+        # dtype-kind mismatch (e.g. DuckDB HUGEINT -> object/float vs Spark
+        # bigint) is exactly what breaks the driver's exact value-hash even
+        # when values agree numerically — flag it loudly.
+        kind_mismatch = [
+            c for c in s.columns if s[c].dtype.kind != o[c].dtype.kind
+        ]
         try:
             pd.testing.assert_frame_equal(
                 s, o, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
             )
-            print(f"OK   {name}: {len(s)} rows")
+            if kind_mismatch:
+                print(
+                    f"FAIL {name}: values OK but dtype-kind mismatch "
+                    f"(driver hash would differ): "
+                    + ", ".join(
+                        f"{c}: spark {s[c].dtype} vs oracle {o[c].dtype}"
+                        for c in kind_mismatch
+                    )
+                )
+                failures.append(name)
+            else:
+                print(f"OK   {name}: {len(s)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: values differ\n{str(e)[:500]}")
             failures.append(name)

@@ -58,9 +58,78 @@ def test_simhash_near_dups(corpus):
     by = {r.id: r.simhash for r in sigs.collect()}
     assert by[0] == by[1] == by[4]
     pairs = {(r.id_a, r.id_b): r.hamming
-             for r in D.simhash_near_dups(sigs, max_hamming=6, prefix_bits=4).collect()}
+             for r in D.simhash_near_dups(sigs, max_hamming=6, bits=32).collect()}
     assert pairs.get((0, 4)) == 0
     assert (0, 3) not in pairs
+
+
+def test_simhash_block_lsh_recall_is_exact(spark):
+    """Pigeonhole guarantee: planted signatures within hamming <= 3 of a
+    base MUST all be found — including pairs whose differing bits fall
+    inside any single block (the case the old fixed-prefix probe lost)."""
+    import itertools
+
+    base = 0x0F0F0F0F0F0F0F0 & ((1 << 60) - 1)
+    rows = [(0, base)]
+    rid = 1
+    # flip every 1-, 2- and a sweep of 3-bit combinations across the
+    # whole 60-bit range, including all-in-one-block patterns
+    for b in range(60):
+        rows.append((rid, base ^ (1 << b))); rid += 1
+    for b1, b2 in itertools.combinations(range(0, 60, 7), 2):
+        rows.append((rid, base ^ (1 << b1) ^ (1 << b2))); rid += 1
+    for trio in [(0, 1, 2), (14, 13, 12), (15, 16, 17), (57, 58, 59), (0, 29, 59)]:
+        m = 0
+        for b in trio:
+            m ^= 1 << b
+        rows.append((rid, base ^ m)); rid += 1
+    far = base ^ ((1 << 10) - 1)  # hamming 10 from base
+    rows.append((rid, far))
+    sigs = spark.createDataFrame(rows, "id long, simhash long")
+    got = {(r.id_a, r.id_b) for r in D.simhash_near_dups(sigs, 3, bits=60).collect()}
+    # brute-force expectation
+    sig_by = dict(rows)
+    want = {
+        (a, b)
+        for a in sig_by for b in sig_by if a < b
+        and bin(sig_by[a] ^ sig_by[b]).count("1") <= 3
+    }
+    assert got == want  # recall AND precision exactly 1.0
+
+
+def test_lsh_candidate_growth_is_linear(spark):
+    """Doubling n with n-scaled bits (auto_sign_bits) must not blow up
+    candidate pairs quadratically — the 100 TB shape check."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def mk(n):
+        vecs = rng.normal(size=(n, 64)).astype(float).tolist()
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+        )
+
+    def n_candidates(df, n):
+        bits = D.auto_sign_bits(n, 64, n_bands=4)
+        b = D.embedding_band_buckets(df, "id", "v", 4, bits)
+        return (
+            b.alias("l")
+            .join(
+                b.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bkt") == F.col("r.bkt"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select("l.id", "r.id")
+            .distinct()
+            .count()
+        )
+
+    c1 = n_candidates(mk(256), 256)
+    c2 = n_candidates(mk(512), 512)
+    # quadratic would be ~4x; linear-with-extra-bit is ~<=2.5x
+    assert c2 <= max(4 * c1, 60) if c1 < 20 else c2 <= 3.0 * c1
 
 
 def test_ngram_jaccard(corpus):
@@ -82,6 +151,25 @@ def test_embedding_near_dups(spark):
     })
     df = spark.createDataFrame(pdf)
     out = {(r.id_a, r.id_b): r.cosine
-           for r in D.embedding_near_dups(df, "id", "v", threshold=0.9, sign_bits=4).collect()}
+           for r in D.embedding_near_dups(df, "id", "v", threshold=0.9,
+                                          n_bands=2, bits_per_band=4).collect()}
     assert out.get((1, 2)) == 1.0
-    assert (1, 3) not in out  # bucketed out (different signs)
+    assert (1, 3) not in out  # no band collides (sign flips in both halves)
+
+
+def test_embedding_banded_recall_on_planted_pairs(spark):
+    """Planted near-identical vectors must survive banding + verify;
+    auto bits path (bits_per_band=None) must also find them."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        rows.append((100 + i, (v + rng.normal(scale=0.01, size=32)).tolist()))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = D.embedding_near_dups(df, "id", "v", threshold=0.99,
+                                n_bands=4, bits_per_band=None)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(i, 100 + i) for i in range(20)} <= got

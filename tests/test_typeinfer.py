@@ -86,6 +86,47 @@ def test_format_cache_roundtrip(tmp_path, mixed_df):
     assert reloaded.ordered(["H:mm", "yyyy-MM-dd"])[0] == "yyyy-MM-dd"
 
 
+def test_format_generator_breadth(spark):
+    """T1 Cartesian generator: >= 20 diverse real-world formats all
+    classified date/timestamp (reference Profiler.py:97-123 sweep)."""
+    import pandas as pd
+
+    samples = {
+        # fmt-name -> (values, expected logical)
+        "iso": (["2024-01-02", "2023-12-31"], "date"),
+        "iso_ts": (["2024-01-02 10:30:00", "2023-12-31 23:59:59"], "timestamp"),
+        "iso_t": (["2024-01-02T10:30:00", "2023-12-31T23:59:59"], "timestamp"),
+        "iso_millis": (["2024-01-02T10:30:00.123", "2023-12-31T23:59:59.999"], "timestamp"),
+        "dotted_dmy": (["02.01.2024", "31.12.2023"], "date"),
+        "dotted_dmy_ts": (["02.01.2024 10:30:00", "31.12.2023 08:00:00"], "timestamp"),
+        "slash_mdy": (["01/15/2024", "12/31/2023"], "date"),
+        "slash_ymd": (["2024/01/02", "2023/12/31"], "date"),
+        "dash_dmy": (["02-01-2024", "31-12-2024"], "date"),
+        "compact": (["20240102", "20231231"], "date"),
+        "space_dmy": (["02 01 2024", "31 12 2023"], "date"),
+        "mon_name": (["02 Jan 2024", "31 Dec 2023"], "date"),
+        "mon_name_comma": (["Jan 02, 2024", "Dec 31, 2023"], "date"),
+        "mon_d_y": (["Jan 2 2024", "Dec 31 2023"], "date"),
+        "full_month": (["January 2, 2024", "December 31, 2023"], "date"),
+        "d_full_month": (["2 January 2024", "31 December 2023"], "date"),
+        "ampm": (["01/15/2024 1:30 PM", "12/31/2023 11:59 AM"], "timestamp"),
+        "ampm_sec": (["01/15/2024 01:30:05 PM", "12/31/2023 11:59:59 AM"], "timestamp"),
+        "iso_min": (["2024-01-02 10:30", "2023-12-31 23:59"], "timestamp"),
+        "time_only": (["10:30:05", "23:59:59"], "timestamp"),
+        "pace": (["5:30", "6:40"], "timestamp"),
+        "slash_ts": (["2024/01/02 10:30:00", "2023/12/31 08:00:00"], "timestamp"),
+        "two_digit_year": (["02/01/24", "31/12/23"], "date"),
+    }
+    assert len(samples) >= 20
+    pdf = pd.DataFrame({k: v[0] for k, v in samples.items()})
+    t = infer_types(spark.createDataFrame(pdf))
+    bad = {
+        k: t[k].logical for k, (_, want) in samples.items()
+        if t[k].logical != want
+    }
+    assert not bad, f"misclassified: {bad}"
+
+
 def test_sample_confirm_rejects_partial_format(spark):
     # sample parses but the full column has a non-conforming tail value
     pdf = pd.DataFrame({"d": ["2024-01-01"] * 50 + ["not-a-date"]})
