@@ -68,6 +68,96 @@ def _violation_flag(chk: Check) -> Column:
     raise ValueError(chk.kind)
 
 
+def rowwise_count_exprs(rowwise: list[Check]) -> list[Column]:
+    """The per-check violation-count aggregate expressions — exposed so
+    callers (plans.pipeline) can FUSE them into another wide aggregation
+    over the same scan (e.g. the column profile) instead of paying a
+    second pass."""
+    return [
+        F.sum(_violation_flag(c).cast("long")).alias(f"__v_{i}")
+        for i, c in enumerate(rowwise)
+    ]
+
+
+def rowwise_results_from_agg(
+    agg: DataFrame, rowwise: list[Check], part_col: str | None
+) -> DataFrame:
+    """Melt a wide aggregate carrying `n_rows` + rowwise_count_exprs
+    columns into RESULT_COLUMNS rows."""
+    part_expr = (
+        F.col(part_col).cast("string") if part_col else F.lit("__all__")
+    ).alias("part_id")
+    melted = agg.select(
+        part_expr,
+        F.col("n_rows"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c.name).alias("constraint"),
+                    F.lit(c.kind).alias("kind"),
+                    F.col(f"__v_{i}").alias("n_violations"),
+                )
+                for i, c in enumerate(rowwise)
+            ])
+        ).alias("s"),
+    )
+    return melted.select(
+        "part_id", "s.constraint", "s.kind", "n_rows", "s.n_violations",
+        (F.col("s.n_violations") == 0).alias("passed"),
+    )
+
+
+def rowwise_violation_samples(
+    df: DataFrame,
+    rowwise: list[Check],
+    part_col: str | None,
+    sample_violations: int,
+) -> DataFrame:
+    """Violation samples: ONE scan for all row-wise checks — filter to
+    rows violating anything (predicate pushdown), explode the violated
+    constraint names, keep k per (partition, constraint) via a window
+    over the (small) violating subset."""
+    part_expr = (
+        F.col(part_col).cast("string") if part_col else F.lit("__all__")
+    ).alias("part_id")
+    flags = [(c, _violation_flag(c)) for c in rowwise]
+    any_flag = None
+    for _, fl in flags:
+        any_flag = fl if any_flag is None else (any_flag | fl)
+    detail_cols = [F.col(x) for x, t in df.dtypes if t != "binary"]
+    exploded = (
+        df.where(any_flag)
+        .select(
+            part_expr,
+            F.explode(
+                F.filter(
+                    F.array(*[
+                        F.when(
+                            fl,
+                            F.struct(
+                                F.lit(c.name).alias("constraint"),
+                                (
+                                    F.col(c.column).cast("string")
+                                    if c.column else F.lit(None).cast("string")
+                                ).alias("key"),
+                            ),
+                        )
+                        for c, fl in flags
+                    ]),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("s"),
+            F.to_json(F.struct(*detail_cols)).alias("detail"),
+        )
+    )
+    w = Window.partitionBy("part_id", "s.constraint").orderBy(F.col("s.key"))
+    return (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= sample_violations)
+        .select("part_id", "s.constraint", "s.key", "detail")
+    )
+
+
 def evaluate(
     df: DataFrame,
     checks: list[Check],
@@ -81,7 +171,7 @@ def evaluate(
     for row-level checks, ALL violating keys for unique/referential.
     """
     keys = [part_col] if part_col else []
-    part_expr = F.col(part_col) if part_col else F.lit("__all__").alias("part_id")
+    part_str = (F.col(part_col).cast("string") if part_col else F.lit("__all__"))
 
     rowwise = [c for c in checks if c.kind in ("not_null", "domain")]
     uniques = [c for c in checks if c.kind == "unique"]
@@ -94,76 +184,16 @@ def evaluate(
     if rowwise:
         agg = (df.groupBy(*keys) if keys else df).agg(
             F.count(F.lit(1)).alias("n_rows"),
-            *[
-                F.sum(_violation_flag(c).cast("long")).alias(f"__v_{i}")
-                for i, c in enumerate(rowwise)
-            ],
+            *rowwise_count_exprs(rowwise),
         )
-        melted = agg.select(
-            part_expr.cast("string").alias("part_id") if part_col else F.lit("__all__").alias("part_id"),
-            F.col("n_rows"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(c.name).alias("constraint"),
-                        F.lit(c.kind).alias("kind"),
-                        F.col(f"__v_{i}").alias("n_violations"),
-                    )
-                    for i, c in enumerate(rowwise)
-                ])
-            ).alias("s"),
-        )
-        results.append(
-            melted.select(
-                "part_id", "s.constraint", "s.kind", "n_rows", "s.n_violations",
-                (F.col("s.n_violations") == 0).alias("passed"),
-            )
-        )
-        # violation samples: ONE scan for all row-wise checks — filter
-        # to rows violating anything (predicate pushdown), explode the
-        # violated constraint names, keep k per (partition, constraint)
-        # via a window over the (small) violating subset.
-        flags = [(c, _violation_flag(c)) for c in rowwise]
-        any_flag = None
-        for _, fl in flags:
-            any_flag = fl if any_flag is None else (any_flag | fl)
-        detail_cols = [F.col(x) for x, t in df.dtypes if t != "binary"]
-        exploded = (
-            df.where(any_flag)
-            .select(
-                part_expr.cast("string").alias("part_id"),
-                F.explode(
-                    F.filter(
-                        F.array(*[
-                            F.when(
-                                fl,
-                                F.struct(
-                                    F.lit(c.name).alias("constraint"),
-                                    (
-                                        F.col(c.column).cast("string")
-                                        if c.column else F.lit(None).cast("string")
-                                    ).alias("key"),
-                                ),
-                            )
-                            for c, fl in flags
-                        ]),
-                        lambda x: x.isNotNull(),
-                    )
-                ).alias("s"),
-                F.to_json(F.struct(*detail_cols)).alias("detail"),
-            )
-        )
-        w = Window.partitionBy("part_id", "s.constraint").orderBy(F.col("s.key"))
+        results.append(rowwise_results_from_agg(agg, rowwise, part_col))
         violations.append(
-            exploded.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= sample_violations)
-            .select("part_id", "s.constraint", "s.key", "detail")
+            rowwise_violation_samples(df, rowwise, part_col, sample_violations)
         )
 
     # per-partition totals shared by unique/referential verdicts —
     # cached because it is tiny (one row per partition) and otherwise
     # re-scanned by every downstream action
-    part_str = (F.col(part_col).cast("string") if part_col else F.lit("__all__"))
     totals = None
     if uniques or refs:
         totals = (df.groupBy(*keys) if keys else df).agg(
@@ -172,11 +202,17 @@ def evaluate(
         totals = totals.persist()
 
     # --- uniqueness: explicit two-stage (salted) aggregation ---
-    # stage 1 pre-aggregates per (key, input-split) so a duplicate-heavy
-    # key never concentrates raw rows on one reducer; stage 2 merges.
-    # Only the (small) duplicate-key set is persisted — verdicts AND
-    # violation rows both derive from it, so the full-data aggregation
-    # runs exactly once per check.
+    # stage 1 pre-aggregates per (part, key, input-split) so a
+    # duplicate-heavy key never concentrates raw rows on one reducer;
+    # stage 2 merges per (part, key); stage 3 merges per key GLOBALLY —
+    # uniqueness is a table-wide invariant, so a key duplicated ACROSS
+    # partitions is a violation even though each partition sees it once.
+    # Violations are attributed back to every partition holding a
+    # globally-duplicated key. Only the (small) duplicate-key set is
+    # persisted — verdicts AND violation rows both derive from it.
+    # NB: the scope is the partitions in `df`; on a resumed run that is
+    # the pending set (cross-RUN global uniqueness needs a dedicated
+    # full-table pass — see pipeline docstring).
     for c in uniques:
         salt = F.spark_partition_id().alias("__salt")
         stage1 = (
@@ -184,11 +220,26 @@ def evaluate(
             .groupBy(*keys, "__key", "__salt")
             .agg(F.count(F.lit(1)).alias("__pc"))
         )
-        per_key = stage1.groupBy(*keys, "__key").agg(F.sum("__pc").alias("cnt"))
-        dup_keys = per_key.where(F.col("cnt") > 1).persist()
-        viol = (dup_keys.groupBy(*keys) if keys else dup_keys).agg(
-            F.sum("cnt").alias("n_violations")
+        per_key_part = stage1.groupBy(*keys, "__key").agg(
+            F.sum("__pc").alias("part_cnt")
         )
+        if keys:
+            per_key = per_key_part.groupBy("__key").agg(
+                F.sum("part_cnt").alias("cnt")
+            )
+            dup_global = per_key.where(F.col("cnt") > 1)
+            # attribute: every (part, key) row whose key is globally dup
+            dup_keys = per_key_part.join(dup_global, "__key").persist()
+            viol = dup_keys.groupBy(*keys).agg(
+                F.sum("part_cnt").alias("n_violations")
+            )
+        else:
+            dup_keys = (
+                per_key_part.where(F.col("part_cnt") > 1)
+                .withColumn("cnt", F.col("part_cnt"))
+                .persist()
+            )
+            viol = dup_keys.agg(F.sum("part_cnt").alias("n_violations"))
         res = (
             totals.join(viol, on=keys, how="left") if keys
             else totals.crossJoin(viol)

@@ -60,13 +60,20 @@ def histogram(
                 F.width_bucket(
                     F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_bins)
                 ).alias("bin"),
+                # bin-grid metadata rides along so a stored histogram is
+                # self-describing: a later run comparing against it can
+                # REUSE these edges instead of recomputing bounds from
+                # different data (bins from different edges are not
+                # comparable — the resume path depends on this)
+                F.lit(float(lo)).alias("lo"),
+                F.lit(float(hi)).alias("hi"),
             )
         )
     return (
         df.select(F.col(group_by).alias("grp"), F.explode(F.array(*structs)).alias("s"))
-        .select("grp", "s.column", "s.bin")
+        .select("grp", "s.column", "s.bin", "s.lo", "s.hi")
         .where(F.col("bin").isNotNull())
-        .groupBy("grp", "column", "bin")
+        .groupBy("grp", "column", "bin", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -110,8 +117,12 @@ def ks_psi(
     wcum = wtot.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     p = F.col("cnt") / F.sum("cnt").over(wtot)
     q = F.col("bcnt") / F.sum("bcnt").over(wtot)
-    ps = (p + eps) / (1.0 + eps * 1000)
-    qs = (q + eps) / (1.0 + eps * 1000)
+    # unnormalized epsilon smoothing (same convention as the
+    # oracle-checked q_drift_psi_events): renormalizing by
+    # (1 + eps * n_bins) would need the actual bin count — a hard-coded
+    # constant silently biases the (ps - qs) term when bins differ
+    ps = p + eps
+    qs = q + eps
     scored = counts.select(
         "grp", "column", "bin",
         F.abs(F.sum(p).over(wcum) - F.sum(q).over(wcum)).alias("cdf_gap"),

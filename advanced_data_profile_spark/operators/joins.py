@@ -92,18 +92,24 @@ def range_join(
     points map to one bucket, equi-join on bucket, exact filter after.
     """
     p = points.withColumn(
-        "__bkt", F.floor(F.col(point_col) / bucket_width).cast("long")
+        "__bkt_p", F.floor(F.col(point_col) / bucket_width).cast("long")
     )
-    iv = intervals.withColumn(
-        "__bkt",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bucket_width).cast("long"),
-                F.floor((F.col(end_col) - 1e-9) / bucket_width).cast("long"),
-            )
-        ),
+    lo_b = F.floor(F.col(start_col) / bucket_width).cast("long")
+    hi_b = F.floor((F.col(end_col) - 1e-9) / bucket_width).cast("long")
+    # empty/inverted intervals match nothing and would otherwise produce
+    # a descending (negative-step) sequence replicating them into wrong
+    # buckets; filter them out before the explode
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bkt_i", F.explode(F.sequence(lo_b, F.greatest(lo_b, hi_b)))
     )
-    joined = p.join(iv, "__bkt", how).where(
-        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    # the range predicate belongs IN the join condition: applying it as
+    # a post-join .where() would drop the null-extended rows of outer
+    # joins, silently turning how='left' into inner
+    cond = (
+        (p["__bkt_p"] == iv["__bkt_i"])
+        & (p[point_col] >= iv[start_col])
+        & (p[point_col] < iv[end_col])
     )
-    return joined.drop("__bkt")
+    # no post-join dedupe needed: a point lives in exactly one bucket,
+    # so it can meet each interval at most once even after replication
+    return p.join(iv, cond, how).drop("__bkt_p", "__bkt_i")

@@ -8,22 +8,33 @@ whose latest manifest status is `done` (broadcast anti-join). Result
 tables are overwritten per-partition (dynamic partition overwrite) so
 re-runs are idempotent.
 
-Scan economy per run (any number of partitions/columns):
-  1 scan  — metadata-column profile (bytes pruned out)
-  1 scan  — row-wise constraint counts (fused wide agg)
-  1 scan  — uniqueness (two-stage agg) + referential anti-join
+Scan economy per run (any number of partitions/columns, approx mode):
+  1 scan  — metadata profile + row-wise constraint counts, FUSED into
+            one wide aggregation (both are aggs over the same pruned
+            metadata columns — fusing removes a whole scan + job)
+  1 scan  — uniqueness (two-stage salted agg, global-within-run with
+            per-partition attribution) + referential anti-join
   1 scan  — payload validation (the only scan that reads `bytes`)
-  2 scans — drift bounds + histogram (numeric metadata only)
-plus violation-sample scans for failed checks only.
+  1 scan  — drift histogram (bin edges reused from the fused profile,
+            or from the STORED baseline histogram on resume)
+plus a violation-sample scan (filter-pushdown, violating rows only).
+
+Uniqueness scope note: within one run the check is global across the
+partitions being processed (cross-partition duplicates are detected and
+attributed to every partition holding the key). Across resumed runs the
+already-done partitions are not rescanned — a cross-RUN global check is
+a dedicated full-table pass, not part of the incremental pipeline.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from advanced_data_profile_spark.operators import constraints as C
 from advanced_data_profile_spark.operators.drift import drift_verdicts, histogram, ks_psi
@@ -31,7 +42,11 @@ from advanced_data_profile_spark.operators.image_verify import (
     validate_payloads,
     validation_verdicts,
 )
-from advanced_data_profile_spark.operators.stats import profile
+from advanced_data_profile_spark.operators.stats import (
+    PROFILE_FIELDS,
+    column_profile_struct,
+    profile,
+)
 from advanced_data_profile_spark.plans.manifest import Manifest, new_run_id
 from advanced_data_profile_spark.sources.images import phash_reference, read_images
 
@@ -62,6 +77,9 @@ def image_checks(images_ref: DataFrame, cfg: PipelineConfig) -> list[C.Check]:
         C.referential("phash_ref", "phash", images_ref, "phash"),
         *cfg.extra_checks,
     ]
+
+
+_SKIP_PROFILE_TYPES = (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
 
 
 def run_pipeline(
@@ -107,25 +125,62 @@ def run_pipeline(
     # partition pruning: isin on the partition column prunes at the scan
     df = images.where(F.col("part_id").isin(pending_ids))
     meta = df.withColumn("caption_len", F.length("caption"))
+    meta_nb = meta.drop("bytes")
 
-    # The profile / metadata-constraint / payload-decode stages have no
-    # dependencies on each other, so their materializations are
-    # submitted as CONCURRENT Spark jobs from driver threads (standard
-    # multi-job driver practice; local scheduler interleaves tasks).
-    # This removes most of the serial per-job latency floor that
-    # otherwise caps scaling on short runs. Split sizing: metadata-only
-    # scans get large splits via a separate child session config (split
-    # accounting counts the pruned-out bytes column, so the default
-    # would over-parallelize scans that read ~2% of each file); the
-    # decode pass keeps small splits for balanced bytes-reading tasks.
+    checks = image_checks(
+        phash_ref if phash_ref is not None else phash_reference(images), cfg
+    )
+    rowwise = [c for c in checks if c.kind in ("not_null", "domain")]
+    others = [c for c in checks if c.kind in ("unique", "referential")]
+
+    # The profile/constraint-count scan, the uniqueness/referential
+    # checks and the payload-decode pass have no dependencies on each
+    # other, so their materializations are submitted as CONCURRENT
+    # Spark jobs from driver threads (standard multi-job driver
+    # practice; the scheduler interleaves tasks). Split sizing:
+    # metadata-only scans get large splits via the parent session
+    # config (split accounting counts the pruned-out bytes column, so
+    # the default would over-parallelize scans that read ~2% of each
+    # file); the decode pass keeps small splits in a child session for
+    # balanced bytes-reading tasks.
     from concurrent.futures import ThreadPoolExecutor
 
     spark.conf.set("spark.sql.files.maxPartitionBytes", "256m")
-    ref = phash_ref if phash_ref is not None else phash_reference(images)
-    profiles_df = profile(meta.drop("bytes"), group_by="part_id", approx=cfg.approx)
-    results, violations = C.evaluate(
-        df, image_checks(ref, cfg), part_col="part_id",
-        sample_violations=cfg.sample_violations,
+
+    if cfg.approx:
+        # FUSED wide agg: every profile stat AND every row-wise
+        # constraint count in one scan/job.
+        dtypes = {f.name: f.dataType for f in meta_nb.schema.fields}
+        prof_cols = [
+            f.name for f in meta_nb.schema.fields
+            if not isinstance(f.dataType, _SKIP_PROFILE_TYPES)
+            and f.name != "part_id"
+        ]
+        wide = meta_nb.groupBy("part_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[column_profile_struct(c, dtypes[c], True) for c in prof_cols],
+            *C.rowwise_count_exprs(rowwise),
+        )
+
+        def _profiles_from(w: DataFrame) -> DataFrame:
+            melted = w.select(
+                "part_id",
+                F.explode(
+                    F.array(*[F.col(f"__p_{c}") for c in prof_cols])
+                ).alias("s"),
+            )
+            return melted.select(
+                "part_id", *[F.col(f"s.{f}").alias(f) for f, _ in PROFILE_FIELDS]
+            )
+    else:
+        wide = None
+        profiles_df = profile(meta_nb, group_by="part_id", approx=False)
+
+    vio_row = C.rowwise_violation_samples(
+        meta, rowwise, "part_id", cfg.sample_violations
+    )
+    res_other, vio_other = C.evaluate(
+        df, others, part_col="part_id", sample_violations=cfg.sample_violations
     )
 
     t = time.time()
@@ -138,9 +193,37 @@ def run_pipeline(
         return out
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_prof = pool.submit(_mat, "profile", profiles_df)
-        f_res = pool.submit(_mat, "constraint_counts", results)
-        f_vio = pool.submit(_mat, "violations", violations)
+        if cfg.approx:
+            def _fused():
+                w = _mat("profile_and_counts", wide)
+                # derived melts reuse the persisted wide rows (one per
+                # partition) — no extra scan
+                return (
+                    _materialize(_profiles_from(w)),
+                    _materialize(C.rowwise_results_from_agg(w, rowwise, "part_id")),
+                )
+            f_prof = pool.submit(_fused)
+        else:
+            def _unfused():
+                p = _mat("profile", profiles_df)
+                r = _mat(
+                    "constraint_counts",
+                    C.rowwise_results_from_agg(
+                        meta_nb.groupBy("part_id").agg(
+                            F.count(F.lit(1)).alias("n_rows"),
+                            *C.rowwise_count_exprs(rowwise),
+                        ),
+                        rowwise,
+                        "part_id",
+                    ),
+                )
+                return p, r
+            f_prof = pool.submit(_unfused)
+        f_other = pool.submit(
+            lambda: (_mat("unique_referential", res_other),
+                     _materialize(vio_other))
+        )
+        f_vio = pool.submit(_mat, "violations", vio_row)
         if cfg.validate_images:
             def _decode():
                 # plan the decode scan with small splits in a child
@@ -152,54 +235,101 @@ def run_pipeline(
                 )
                 return _mat("decode_verify", validation_verdicts(validate_payloads(df2)))
             f_ver = pool.submit(_decode)
-        profiles = f_prof.result()
-        results = f_res.result()
-        violations = f_vio.result()
-        if cfg.validate_images:
-            verdicts = f_ver.result()
+        profiles, results_row = f_prof.result()
+        results_other, violations_other = f_other.result()
+        violations_row = f_vio.result()
+        verdicts = f_ver.result() if cfg.validate_images else None
     timings["compute"] = time.time() - t
     timings.update(stage_t)
 
-    t = time.time()
-    profiles.write.mode("overwrite").partitionBy("part_id").parquet(
-        f"{output_dir}/column_profiles"
-    )
-    if cfg.validate_images:
-        # verdicts live in a sibling session; align by collect-free
-        # union through a common parent plan is not possible, so write
-        # both parts into the same output (parquet schema-identical)
-        results.write.mode("overwrite").partitionBy("part_id").parquet(
-            f"{output_dir}/constraint_results"
-        )
-        verdicts.write.mode("append").partitionBy("part_id").parquet(
-            f"{output_dir}/constraint_results"
-        )
-    else:
-        results.write.mode("overwrite").partitionBy("part_id").parquet(
-            f"{output_dir}/constraint_results"
-        )
-    violations.write.mode("overwrite").parquet(f"{output_dir}/violations")
-    timings["writes"] = time.time() - t
+    results = results_row.unionByName(results_other)
+    violations = violations_row.unionByName(violations_other)
 
-    if cfg.drift:
-        t = time.time()
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "256m")
+    # --- writes and drift overlap: both depend only on the persisted
+    # results above, so they run as concurrent driver jobs too ---
+    t = time.time()
+
+    def _write_main():
+        profiles.write.mode("overwrite").partitionBy("part_id").parquet(
+            f"{output_dir}/column_profiles"
+        )
+        violations.write.mode("overwrite").partitionBy("part_id").parquet(
+            f"{output_dir}/violations"
+        )
+        # verdicts (sibling session) append AFTER the overwrite of the
+        # same path — strictly ordered within this task
+        results.write.mode("overwrite").partitionBy("part_id").parquet(
+            f"{output_dir}/constraint_results"
+        )
+        if verdicts is not None:
+            verdicts.write.mode("append").partitionBy("part_id").parquet(
+                f"{output_dir}/constraint_results"
+            )
+
+    def _drift():
         cols = [c for c in cfg.drift_columns if c in meta.columns]
-        # histogram bounds come from the already-persisted profiles
-        # (min_num/max_num per column) — no extra scan
-        prow = profiles.select("column", "min_num", "max_num").collect()
-        bounds = {}
-        for c in cols:
-            vals = [(r.min_num, r.max_num) for r in prow if r.column == c]
-            mns = [v[0] for v in vals if v[0] is not None]
-            mxs = [v[1] for v in vals if v[1] is not None]
-            bounds[c] = (min(mns) if mns else None, max(mxs) if mxs else None)
+        hist_path = f"{output_dir}/histograms"
+        stored_base = None
+        bounds = None
+        if str(cfg.baseline_part) not in [str(p) for p in pending_ids] and (
+            os.path.exists(hist_path)
+        ):
+            # resumed run whose baseline partition is already done: the
+            # stored baseline histogram is the comparison target, and
+            # its bin edges PIN the grid (bins from different edges are
+            # not comparable)
+            stored = spark.read.parquet(hist_path).where(
+                F.col("grp") == cfg.baseline_part
+            )
+            base_rows = stored.select("column", "lo", "hi").distinct().collect()
+            if base_rows:
+                stored_base = stored.select("grp", "column", "bin", "lo", "hi", "cnt")
+                bounds = {r.column: (r.lo, r.hi) for r in base_rows}
+        if bounds is None:
+            # histogram bounds from the already-persisted profiles
+            # (min_num/max_num per column) — no extra scan
+            prow = profiles.select("column", "min_num", "max_num").collect()
+            bounds = {}
+            for c in cols:
+                vals = [(r.min_num, r.max_num) for r in prow if r.column == c]
+                mns = [v[0] for v in vals if v[0] is not None]
+                mxs = [v[1] for v in vals if v[1] is not None]
+                bounds[c] = (min(mns) if mns else None, max(mxs) if mxs else None)
         hist = _materialize(histogram(meta, cols, "part_id", bounds))
-        hist.write.mode("overwrite").parquet(f"{output_dir}/histograms")
-        scores = ks_psi(hist, cfg.baseline_part)
+        # per-partition dynamic overwrite: resume must never wipe the
+        # stored baseline (or any other partition's) histogram
+        hist.withColumn("part_id", F.col("grp")).write.mode("overwrite").partitionBy(
+            "part_id"
+        ).parquet(hist_path)
+        have_baseline = stored_base is not None or str(cfg.baseline_part) in [
+            str(p) for p in pending_ids
+        ]
+        if not have_baseline:
+            # no baseline anywhere (e.g. prior run recorded partitions
+            # done without writing histograms): the histograms above are
+            # still stored for future runs, but there is nothing to
+            # compare against — emitting null-scored "failed" rows would
+            # be a silent lie
+            timings["drift_skipped_no_baseline"] = 0.0
+            return
+        hist_all = (
+            hist.unionByName(stored_base) if stored_base is not None else hist
+        )
+        scores = ks_psi(hist_all, cfg.baseline_part)
         dv = drift_verdicts(scores, cfg.ks_threshold, cfg.psi_threshold)
-        dv.write.mode("overwrite").parquet(f"{output_dir}/drift_results")
-        timings["drift"] = time.time() - t
+        dv.write.mode("overwrite").partitionBy("part_id").parquet(
+            f"{output_dir}/drift_results"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fw = pool.submit(_write_main)
+        fd = pool.submit(_drift) if cfg.drift else None
+        s = time.time()
+        fw.result()
+        timings["writes"] = time.time() - s
+        if fd is not None:
+            fd.result()
+    timings["writes_and_drift"] = time.time() - t
 
     # per-partition lineage + metrics rows — commit point. Row counts
     # come from the already-persisted profiles (no extra scan).

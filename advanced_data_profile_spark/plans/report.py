@@ -63,12 +63,22 @@ def assemble_report(
                       all(bool(d["passed"]) for d in dr),
         }
 
+    # the manifest is append-only: a partition re-processed across runs
+    # has multiple rows — count only the LATEST row per partition (the
+    # same max_by convention as Manifest.done_parts)
+    latest: dict[str, dict] = {}
+    for m in manifest:
+        ts = m.get("finished_at") or m.get("started_at") or 0
+        if m["part_id"] not in latest or ts >= latest[m["part_id"]][0]:
+            latest[m["part_id"]] = (ts, m)
+
     return {
         "table": table_name,
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_partitions": len(parts),
         "total_rows": sum(
-            m["n_rows"] or 0 for m in manifest if m["status"] == "done"
+            m["n_rows"] or 0
+            for _, m in latest.values() if m["status"] == "done"
         ),
         "overall_passed": all(p["passed"] for p in per_partition.values()),
         "partitions": per_partition,

@@ -43,8 +43,12 @@ def test_verdicts_match_ground_truth(results):
         assert by[(p, "w_domain")].n_violations == gt[p]["w_domain_violations"]
         assert by[(p, "fmt_known")].n_violations == gt[p]["fmt_violations"]
         assert by[(p, "phash_ref")].n_violations == gt[p]["orphan_phash"]
-        # each dup pair involves 2 rows
-        assert by[(p, "image_id_unique")].n_violations == gt[p]["dup_id_pairs"] * 2
+        # each within-part dup pair involves 2 rows, plus 1 row per part
+        # for the cross-partition duplicate (row 0 of parts > 0 copies
+        # part 0's row-0 id): uniqueness is GLOBAL with per-partition
+        # attribution
+        assert by[(p, "image_id_unique")].n_violations == \
+            gt[p]["dup_id_pairs"] * 2 + 1
         for name in ("caption_not_null", "w_domain", "fmt_known",
                      "image_id_unique", "phash_ref"):
             r = by[(p, name)]
@@ -55,9 +59,13 @@ def test_verdicts_match_ground_truth(results):
 def test_violation_rows(results):
     _, vio = results
     dup = [r for r in vio if r.constraint == "image_id_unique"]
-    # the duplicated id appears as one violation key per partition
-    assert len(dup) == N_PARTS * 2
-    assert all('"duplicate_count":2' in r.detail for r in dup)
+    # per partition: the within-part dup keys plus the cross-partition
+    # key (attributed to every partition holding it, global count 4)
+    assert len(dup) == N_PARTS * 3
+    within = [r for r in dup if '"duplicate_count":2' in r.detail]
+    cross = [r for r in dup if '"duplicate_count":4' in r.detail]
+    assert len(within) == N_PARTS * 2
+    assert len(cross) == N_PARTS
     orphans = [r for r in vio if r.constraint == "phash_ref"]
     assert len(orphans) == N_PARTS
     assert all(int(r.key) < 0 for r in orphans)

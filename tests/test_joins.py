@@ -84,6 +84,29 @@ def test_range_join_matches_naive(spark):
     assert got_set == want
 
 
+def test_range_join_left_keeps_unmatched_points(spark):
+    # how='left' must keep points outside every interval (the range
+    # predicate lives in the join condition, not a post-join filter)
+    pts = pd.DataFrame({"pid": [1, 2, 3], "x": [5.0, 500.0, 45.0]})
+    ivs = pd.DataFrame({"iid": [7], "lo": [0.0], "hi": [50.0]})
+    out = range_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        "x", "lo", "hi", bucket_width=10.0, how="left",
+    ).select("pid", "iid").collect()
+    got = sorted((r.pid, r.iid) for r in out)
+    assert got == [(1, 7), (2, None), (3, 7)]
+
+
+def test_range_join_ignores_inverted_intervals(spark):
+    pts = pd.DataFrame({"pid": [1], "x": [5.0]})
+    ivs = pd.DataFrame({"iid": [1, 2], "lo": [10.0, 0.0], "hi": [0.0, 10.0]})
+    out = range_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        "x", "lo", "hi", bucket_width=2.0,
+    ).select("pid", "iid").collect()
+    assert [(r.pid, r.iid) for r in out] == [(1, 2)]
+
+
 def test_range_join_no_duplicate_pairs(spark):
     # an interval spanning many buckets must still match each point once
     pts = pd.DataFrame({"pid": [1, 2], "x": [5.0, 45.0]})

@@ -64,6 +64,44 @@ def test_manifest_lineage(spark, pipe_out):
     assert all('"timings"' in r.metrics_json for r in m)
 
 
+def test_resume_drift_uses_stored_baseline(spark, images_path, tmp_path_factory):
+    """A resumed run whose baseline partition is already done must score
+    drift against the STORED baseline histogram (same bin grid), not an
+    empty one (null scores)."""
+    base = tmp_path_factory.mktemp("pipe3")
+    out = str(base / "out")
+    first_half = str(base / "imgs01")
+    spark.read.parquet(images_path).where(F.col("part_id") < 2).write.parquet(
+        first_half
+    )
+    s1 = run_pipeline(spark, first_half, out)
+    assert s1["partitions"] == 2
+    # second run over the FULL table resumes: only parts 2,3 pending
+    s2 = run_pipeline(spark, images_path, out)
+    assert s2["partitions"] == 2
+    dr = spark.read.parquet(f"{out}/drift_results").collect()
+    late = [r for r in dr if int(r.part_id) in (2, 3)]
+    assert len(late) == 2 * 3  # 3 drift columns per late partition
+    assert all(r.ks is not None and r.psi is not None for r in late)
+    # the baseline's stored histogram survived the resumed run's write
+    hist = spark.read.parquet(f"{out}/histograms")
+    assert hist.where(F.col("grp") == 0).count() > 0
+
+
+def test_pipeline_catches_cross_partition_duplicate_ids(spark, pipe_out):
+    """The fixture plants row 0 of every part > 0 duplicating part 0's
+    row-0 image_id; the pipeline's uniqueness check is global so these
+    must FAIL the verdict."""
+    out, _ = pipe_out
+    res = spark.read.parquet(f"{out}/constraint_results")
+    uniq = {int(r.part_id): r for r in
+            res.where(F.col("constraint") == "image_id_unique").collect()}
+    gt = ground_truth(N_PARTS, ROWS)
+    for p in range(N_PARTS):
+        assert uniq[p].n_violations == gt[p]["dup_id_pairs"] * 2 + 1
+        assert uniq[p].passed is False
+
+
 def test_partial_resume(spark, images_path, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("pipe2") / "out")
     manifest = Manifest(spark, f"{out}/manifest")
