@@ -27,18 +27,6 @@ def sample_kurtosis(c: Column, n: Column) -> Column:
     return F.when(n >= 4, adj)
 
 
-def zscore_outlier_pct(df, col: str, threshold: float = 3.0) -> Column:
-    """% of non-null rows with |z| > threshold, z from population stddev.
-
-    Mirrors reference Profiler.py:359-362 (scipy zscore, ddof=0).
-    Two aggregation passes fused into one plan via a scalar subquery-free
-    window-less formulation: first pass computes mu/sigma, second pass the
-    ratio. Returned as a 1-row DataFrame expression helper; callers that
-    profile many columns should use :func:`outlier_pct_exprs` to batch.
-    """
-    raise NotImplementedError("use outlier_pct(df, cols) in operators.stats")
-
-
 def decimal_places(c: Column) -> Column:
     """Max number of digits after the decimal point, as rendered by a
     plain string cast (reference Profiler.py:584-588 splits on '.')."""

@@ -9,7 +9,11 @@ never runs DuckDB.
 
 from __future__ import annotations
 
-from advanced_data_profile_spark.functions.text import LANG_MARKERS, STOPWORDS_EN
+from advanced_data_profile_spark.functions.text import (
+    LANG_MARKERS,
+    SCRIPT_RULES,
+    STOPWORDS_EN,
+)
 
 
 def sql_norm(col: str = "text") -> str:
@@ -76,8 +80,9 @@ def sql_md5_int60(expr: str) -> str:
 
 
 def sql_lang_predict(col: str = "text", norm: str = "__norm") -> str:
-    """CASE chain replicating functions.text.lang_predict: CJK script
-    short-circuit, then argmax with first-alphabetical tie-break."""
+    """CASE chain replicating functions.text.lang_predict: script
+    short-circuits in SCRIPT_RULES order, then argmax with
+    first-alphabetical tie-break."""
     langs = sorted(LANG_MARKERS)
     scores = {}
     for lang in langs:
@@ -95,8 +100,12 @@ def sql_lang_predict(col: str = "text", norm: str = "__norm") -> str:
         cases.append(f"WHEN {cond} THEN '{lang}'")
     argmax = "CASE " + " ".join(cases) + " END"
     any_hit = " + ".join(scores[lang] for lang in langs)
+    script_whens = " ".join(
+        f"WHEN regexp_matches({col}, '{pattern}') THEN '{lang}'"
+        for lang, pattern in SCRIPT_RULES
+    )
     return (
-        f"(CASE WHEN regexp_matches({col}, '[一-鿿]') THEN 'zh' "
+        f"(CASE {script_whens} "
         f"WHEN ({any_hit}) > 0 THEN {argmax} ELSE 'und' END)"
     )
 

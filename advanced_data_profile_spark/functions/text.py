@@ -28,7 +28,34 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": "der die das und ist nicht ich ein zu mit den von sich des".split(),
     "fr": "le la les et de des un une est dans que pour sur avec".split(),
     "es": "el la los las y de que en un una es por con para del".split(),
+    # markers must survive norm_text (ASCII [a-z0-9] only): accented
+    # function words (för, się, için, și...) are stripped by the
+    # normalizer and can never match
+    "it": "il lo gli di che non per una sono della nel alla".split(),
+    "pt": "o os do da dos das um uma para com mais ser foi".split(),
+    "nl": "de het een van ik niet dat zijn maar ze er ook".split(),
+    "sv": "och att det som jag inte du av har till vi om".split(),
+    "pl": "nie na jest to czy tak jak ale bardzo jego przez co".split(),
+    "tr": "bir bu ve gibi daha ama ne kadar olarak sonra kendi".split(),
+    "id": "yang dan di ini itu dengan untuk tidak dari akan".split(),
+    "ro": "de la cu este un o care pentru mai din nu sa".split(),
 }
+
+# Script-detection rules, FIRST MATCH WINS (normalization strips these
+# codepoints, so marker voting can't see them). Kana before Han: real
+# Japanese text mixes kana with kanji; pure-Han text is Chinese.
+# Each entry: (language code, character-class regex fragment).
+SCRIPT_RULES: list[tuple[str, str]] = [
+    ("ja", "[ぁ-ゟ゠-ヿ]"),      # hiragana + katakana
+    ("ko", "[가-힣]"),           # hangul syllables
+    ("zh", "[一-鿿]"),           # CJK unified ideographs
+    ("ru", "[А-яЁё]"),           # cyrillic
+    ("ar", "[؀-ۿ]"),             # arabic
+    ("el", "[Ͱ-Ͽ]"),             # greek
+    ("he", "[א-ת]"),             # hebrew
+    ("th", "[ก-๛]"),             # thai
+    ("hi", "[ऀ-ॿ]"),            # devanagari
+]
 
 
 def norm_text(c: Column) -> Column:
@@ -117,10 +144,12 @@ def lang_scores(c: Column) -> dict[str, Column]:
 
 
 def lang_predict(c: Column) -> Column:
-    """Language ID: CJK script detection first (normalization strips
-    CJK codepoints, so marker voting can't see them), then argmax over
-    marker-word hits with deterministic tie-break by language code
-    order; nothing matched → 'und'."""
+    """Language ID: script detection first, in SCRIPT_RULES order
+    (normalization strips non-latin codepoints, so marker voting can't
+    see them), then argmax over marker-word hits with deterministic
+    tie-break by language code order; nothing matched → 'und'.
+    A production swap-in (fasttext lid.176) plugs into the SAME
+    distinct→mapInPandas path — operators.text_ml.lang_id_distinct."""
     scores = lang_scores(c)
     langs = sorted(scores)
     best = None
@@ -130,8 +159,10 @@ def lang_predict(c: Column) -> Column:
         best = pair if best is None else F.when(
             (pair["s"] > best["s"]), pair
         ).otherwise(best)
-    marker_vote = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
-    return F.when(c.rlike("[一-鿿]"), F.lit("zh")).otherwise(marker_vote)
+    out = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    for lang, pattern in reversed(SCRIPT_RULES):
+        out = F.when(c.rlike(pattern), F.lit(lang)).otherwise(out)
+    return out
 
 
 def md5_int60(c: Column) -> Column:

@@ -1,11 +1,12 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample over opaque binary payloads with typed metadata.
 
-The image path is REAL (numpy raw/BMP codec); audio/video decoding
-needs libs absent from this container, so those kernels are
-deterministic STUBS behind the same Spark plumbing — schema, Arrow
-batching, partitioning and UDF signatures are production-shaped, and
-swapping the stub for soundfile/ffmpeg is a one-function change.
+The image path is REAL (numpy raw/BMP codec) and so is the audio path
+(pure-numpy RIFF/WAVE PCM parser, functions.audiocodec). Video
+container demuxing needs ffmpeg (absent here), so that one kernel is a
+declared STUB behind the same Spark plumbing — schema, Arrow batching,
+partitioning and UDF signature are production-shaped, and swapping in
+pyav is a one-function change.
 
 All kernels are mapInPandas over pruned column sets: a featurize pass
 reads ONLY (id, bytes, w, h, fmt) — Catalyst never drags caption or
@@ -96,38 +97,42 @@ def resize_images(images: DataFrame, target: int = 8) -> DataFrame:
     return src.mapInPandas(fn, schema=RESIZE_SCHEMA)
 
 
-def audio_features_stub(clips: DataFrame, id_col: str = "clip_id",
-                        bytes_col: str = "bytes") -> DataFrame:
-    """STUB: audio decode needs soundfile/librosa (absent here). The
-    stub treats the payload as raw int16 PCM @ 16 kHz — deterministic
-    and wrong for real codecs, but the Spark plumbing (batch shape,
-    schema, null handling) is the production one. Replace the body
-    marked below with a real decoder to productionize."""
+def audio_features(clips: DataFrame, id_col: str = "clip_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """REAL audio featurize for WAV (RIFF PCM) payloads — duration,
+    RMS, zero crossings — via the pure-numpy functions.audiocodec
+    parser (public spec, no soundfile/librosa needed). Compressed
+    codecs are a one-function swap inside this same kernel; undecodable
+    payloads produce ok=False rows, never task failures."""
+    from advanced_data_profile_spark.functions.audiocodec import decode_wav
+
     src = clips.select(id_col, bytes_col)
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for cid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                if payload is None or len(payload) < 2:
+                try:
+                    rate, x = decode_wav(payload)
+                    rows.append((
+                        cid,
+                        float(len(x) / rate),
+                        float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+                        int(np.count_nonzero(np.diff(np.signbit(x)))),
+                        True,
+                    ))
+                except (ValueError, TypeError):
                     rows.append((cid, None, None, None, False))
-                    continue
-                # --- stub decode: raw PCM int16 mono @16kHz ---
-                pcm = np.frombuffer(payload[: len(payload) // 2 * 2], dtype=np.int16)
-                x = pcm.astype(np.float64) / 32768.0
-                rows.append((
-                    cid,
-                    float(len(x) / 16000.0),
-                    float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
-                    int(np.count_nonzero(np.diff(np.signbit(x)))),
-                    True,
-                ))
             yield pd.DataFrame(
                 rows, columns=["clip_id", "duration_sec", "rms",
                                "zero_crossings", "ok"]
             )
 
     return src.mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# backward-compat alias (round-1 name); the kernel is no longer a stub
+audio_features_stub = audio_features
 
 
 def video_frame_sample_stub(videos: DataFrame, id_col: str = "video_id",

@@ -12,10 +12,88 @@ standard ones, pinned by tests — documented deviation per SURVEY N1).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from advanced_data_profile_spark.functions.text import norm_text, tokens
+
+
+def marker_predict_series(texts) -> pd.Series:
+    """Python mirror of functions.text.lang_predict (script rules, then
+    marker argmax with first-alphabetical tie-break) — the model-absent
+    fallback for lang_id_distinct. Same single-source constants, so the
+    two paths agree token-for-token."""
+    import re
+
+    from advanced_data_profile_spark.functions.text import LANG_MARKERS, SCRIPT_RULES
+
+    markers = {lang: set(ws) for lang, ws in LANG_MARKERS.items()}
+    langs = sorted(markers)
+    script_res = [(lang, re.compile(p)) for lang, p in SCRIPT_RULES]
+    norm_re = re.compile(r"[^a-z0-9]+")
+
+    def one(t) -> str:
+        if t is None:
+            return "und"
+        for lang, rx in script_res:
+            if rx.search(t):
+                return lang
+        toks = [w for w in norm_re.sub(" ", t.lower()).strip().split(" ") if w]
+        best_lang, best_score = "und", 0
+        for lang in langs:
+            s = sum(1 for w in toks if w in markers[lang])
+            if s > best_score:
+                best_lang, best_score = lang, s
+        return best_lang if best_score > 0 else "und"
+
+    return pd.Series([one(t) for t in texts], dtype="object")
+
+
+def lang_id_distinct(
+    df: DataFrame,
+    text_col: str,
+    predict_fn=None,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Language ID over DISTINCT text values via mapInPandas, joined
+    back — the SURVEY §2.4 shape mirroring the reference's
+    `detect_language` over unique values (Profiler.py:226-259): web
+    corpora are duplicate-heavy, so the (expensive, Python-side) model
+    runs once per distinct value, and the join back to rows is a plain
+    equi-join Catalyst can shuffle-plan.
+
+    predict_fn: pd.Series[str] -> pd.Series[str] batch model. Default:
+    fasttext lid.176 when importable (production), else the marker
+    heuristic mirror (identical to the JVM-side lang_predict)."""
+    if predict_fn is None:
+        try:  # pragma: no cover - fasttext absent in this container
+            import fasttext  # noqa: F401
+
+            def predict_fn(texts):
+                import fasttext as ft
+
+                model = ft.load_model("lid.176.bin")
+                labels = [
+                    model.predict(t.replace("\n", " "))[0][0].removeprefix("__label__")
+                    if t else "und"
+                    for t in texts
+                ]
+                return pd.Series(labels, dtype="object")
+        except ImportError:
+            predict_fn = marker_predict_series
+
+    distinct = df.select(F.col(text_col).alias("__text")).distinct()
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "__text": pdf["__text"],
+                out_col: predict_fn(pdf["__text"]),
+            })
+
+    labeled = distinct.mapInPandas(fn, schema=f"__text string, {out_col} string")
+    return df.join(labeled, df[text_col] == labeled["__text"], "left").drop("__text")
 
 
 def word_frequencies(df: DataFrame, text_col: str, top: int = 50) -> DataFrame:

@@ -250,19 +250,33 @@ def run_pipeline(
     t = time.time()
 
     def _write_main():
-        profiles.write.mode("overwrite").partitionBy("part_id").parquet(
+        # results are tiny and already persisted — coalesce(1) so each
+        # dynamic-partition-overwrite commit moves a handful of files,
+        # not shuffle_partitions x n_parts empty splits
+        profiles.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/column_profiles"
         )
-        violations.write.mode("overwrite").partitionBy("part_id").parquet(
+        # ~100 seeded random rows for the report (reference ships a
+        # random sample, Profiler.py:542-543 / O3) — metadata only,
+        # never payload bytes; sampled from ONE pending partition so
+        # the scan prunes to 1/n_parts of the (already column-pruned)
+        # input instead of re-reading the table
+        sample = (
+            meta_nb.where(F.col("part_id") == pending_ids[0])
+            .sample(fraction=0.25, seed=42)
+            .limit(100)
+        )
+        sample.write.mode("overwrite").parquet(f"{output_dir}/row_sample")
+        violations.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/violations"
         )
         # verdicts (sibling session) append AFTER the overwrite of the
         # same path — strictly ordered within this task
-        results.write.mode("overwrite").partitionBy("part_id").parquet(
+        results.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/constraint_results"
         )
         if verdicts is not None:
-            verdicts.write.mode("append").partitionBy("part_id").parquet(
+            verdicts.coalesce(1).write.mode("append").partitionBy("part_id").parquet(
                 f"{output_dir}/constraint_results"
             )
 
@@ -298,9 +312,9 @@ def run_pipeline(
         hist = _materialize(histogram(meta, cols, "part_id", bounds))
         # per-partition dynamic overwrite: resume must never wipe the
         # stored baseline (or any other partition's) histogram
-        hist.withColumn("part_id", F.col("grp")).write.mode("overwrite").partitionBy(
-            "part_id"
-        ).parquet(hist_path)
+        hist.withColumn("part_id", F.col("grp")).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("part_id").parquet(hist_path)
         have_baseline = stored_base is not None or str(cfg.baseline_part) in [
             str(p) for p in pending_ids
         ]

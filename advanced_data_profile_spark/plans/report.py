@@ -34,6 +34,7 @@ def assemble_report(
     hists = _rows(spark, f"{output_dir}/histograms")
     manifest = _rows(spark, f"{output_dir}/manifest")
     violations = _rows(spark, f"{output_dir}/violations")
+    row_sample = _rows(spark, f"{output_dir}/row_sample")
 
     parts = sorted({str(p["part_id"]) for p in profiles})
     per_partition = {}
@@ -84,6 +85,7 @@ def assemble_report(
         "partitions": per_partition,
         "histograms": hists,
         "violation_samples": violations[:200],
+        "row_sample": row_sample[:100],
         "lineage": manifest,
     }
 

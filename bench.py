@@ -35,19 +35,23 @@ HEADLINE = [
 
 BENCH_IMAGES = "/tmp/adp_bench_images"
 BENCH_PARTS, BENCH_ROWS = 8, 2000
+# steady-state fixture: decode-dominant payloads at enough volume that
+# fixed per-run costs amortize (the small fixture's images/sec is
+# fixed-cost dominated and understates the engine ~10-20x)
+BIG_IMAGES = "/tmp/adp_bench_images_big"
+BIG_PARTS, BIG_ROWS = 32, 4000
 
 
-def ensure_images(spark) -> None:
-    marker = f"{BENCH_IMAGES}/_SUCCESS_MARKER"
+def ensure_images(spark, path: str, n_parts: int, rows: int, dims) -> None:
+    marker = f"{path}/_SUCCESS_MARKER"
     if os.path.exists(marker):
         return
     from advanced_data_profile_spark.sources.images import generate_images, write_images
 
-    shutil.rmtree(BENCH_IMAGES, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
     write_images(
-        generate_images(spark, n_parts=BENCH_PARTS, rows_per_part=BENCH_ROWS,
-                        dims=(16, 32, 64)),
-        BENCH_IMAGES,
+        generate_images(spark, n_parts=n_parts, rows_per_part=rows, dims=dims),
+        path,
     )
     with open(marker, "w") as f:
         f.write("ok")
@@ -73,12 +77,24 @@ def main() -> None:
     # end-to-end images pipeline (profile + constraints + verify + drift)
     from advanced_data_profile_spark.plans.pipeline import run_pipeline
 
-    ensure_images(spark)
+    ensure_images(spark, BENCH_IMAGES, BENCH_PARTS, BENCH_ROWS, (16, 32, 64))
     out_dir = "/tmp/adp_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     summary = run_pipeline(spark, BENCH_IMAGES, out_dir)
     timings["images_pipeline"] = round(time.time() - t0, 3)
+
+    # steady-state images/sec: 128k decode-dominant images, measured on
+    # the SECOND run (first pass warms the page cache + JIT for this
+    # payload size — a long-running cluster is always in that state;
+    # same discipline as scripts/scaling_bench.py)
+    ensure_images(spark, BIG_IMAGES, BIG_PARTS, BIG_ROWS, (64, 128))
+    big_out = "/tmp/adp_bench_out_big"
+    for _ in range(2):
+        shutil.rmtree(big_out, ignore_errors=True)
+        t0 = time.time()
+        big = run_pipeline(spark, BIG_IMAGES, big_out)
+        timings["images_pipeline_steady"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -89,6 +105,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "images_per_sec": summary.get("images_per_sec"),
         "images_rows": summary.get("rows"),
+        "images_per_sec_steady": big.get("images_per_sec"),
+        "images_rows_steady": big.get("rows"),
     }))
 
 

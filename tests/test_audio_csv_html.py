@@ -1,0 +1,174 @@
+"""WAV audio featurize (real codec), CSV source parity, HTML report."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from advanced_data_profile_spark.functions.audiocodec import decode_wav, encode_wav
+
+
+def test_wav_roundtrip_exact():
+    rate = 16000
+    t = np.arange(rate // 2) / rate          # 0.5 s
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)  # 440 Hz sine
+    payload = encode_wav(x, rate)
+    got_rate, got = decode_wav(payload)
+    assert got_rate == rate
+    assert len(got) == len(x)
+    # int16 quantization error only
+    assert float(np.abs(got - x).max()) < 1.0 / 32000
+
+
+def test_wav_rejects_non_wav():
+    with pytest.raises(ValueError):
+        decode_wav(b"definitely not audio")
+    with pytest.raises(ValueError):
+        decode_wav(None)
+
+
+def test_audio_features_sine(spark):
+    from advanced_data_profile_spark.operators.multimodal import audio_features
+
+    rate, dur, freq, amp = 16000, 0.5, 440.0, 0.5
+    t = np.arange(int(rate * dur)) / rate
+    x = amp * np.sin(2 * np.pi * freq * t)
+    clips = spark.createDataFrame(
+        pd.DataFrame({
+            "clip_id": ["sine", "junk"],
+            "bytes": [encode_wav(x, rate), b"not-audio"],
+        })
+    )
+    rows = {r.clip_id: r for r in audio_features(clips).collect()}
+    s = rows["sine"]
+    assert s.ok
+    assert s.duration_sec == pytest.approx(dur, abs=1e-9)
+    assert s.rms == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    # a sine at f Hz crosses zero ~2*f*dur times
+    assert abs(s.zero_crossings - 2 * freq * dur) <= 2
+    assert rows["junk"].ok is False
+    assert rows["junk"].duration_sec is None
+
+
+def test_lang_id_distinct_matches_expr(spark):
+    """The distinct->mapInPandas path must agree with the JVM-side
+    lang_predict expression on every fixture row (single-source
+    constants)."""
+    from pyspark.sql import functions as F
+
+    from advanced_data_profile_spark.functions.text import lang_predict
+    from advanced_data_profile_spark.operators.text_ml import lang_id_distinct
+
+    texts = [
+        "the quick brown fox and the lazy dog are on this hill",
+        "der hund und die katze sind nicht mit dem vogel zu sehen",
+        "le chat et le chien sont dans la maison avec les enfants",
+        "el perro y el gato que viven en la casa son grandes",
+        "il gatto e il cane che sono della casa non vanno per strada",
+        "o gato e o cachorro da casa para um passeio com mais amigos",
+        "de hond en de kat zijn niet in het huis maar ze zijn er wel",
+        "och jag vet inte om det som du har sagt till oss",
+        "nie wiem czy to jest tak jak on bardzo chce przez caly dzien",
+        "yang ini dan itu tidak akan pergi dari sini dengan cepat",
+        "这是一个中文句子",
+        "これはひらがなのテキストです",
+        "한국어 문장입니다",
+        "Это русское предложение",
+        "هذه جملة عربية",
+        "",
+        "zzz qqq xxx",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    via_udf = {
+        r.text: r.lang_pred
+        for r in lang_id_distinct(df, "text").collect()
+    }
+    via_expr = {
+        r.text: r.p
+        for r in df.select("text", lang_predict(F.col("text")).alias("p")).collect()
+    }
+    assert via_udf == via_expr
+    # spot-check scripts + a few markers
+    assert via_expr["这是一个中文句子"] == "zh"
+    assert via_expr["これはひらがなのテキストです"] == "ja"
+    assert via_expr["한국어 문장입니다"] == "ko"
+    assert via_expr["Это русское предложение"] == "ru"
+    assert via_expr["هذه جملة عربية"] == "ar"
+    assert via_expr["zzz qqq xxx"] == "und"
+    assert via_expr[texts[0]] == "en"
+    assert via_expr[texts[1]] == "de"
+
+
+def test_csv_parity_end_to_end(spark, tmp_path):
+    """CSV -> infer_types -> apply_types -> profile, the reference's
+    load path (Profiler.py:525-537) on a pinned small CSV."""
+    from advanced_data_profile_spark.operators.stats import profile
+    from advanced_data_profile_spark.sources.csvfile import read_csv, read_csv_typed
+
+    pdf = pd.DataFrame({
+        "id": range(1, 509),
+        "price": [round(1.5 + i * 0.25, 2) for i in range(508)],
+        "day": pd.date_range("2023-01-01", periods=508).strftime("%Y-%m-%d"),
+        "name": [f"row {i}" for i in range(508)],
+    })
+    path = str(tmp_path / "in.csv")
+    pdf.to_csv(path, index=False)
+
+    raw = read_csv(spark, path)
+    assert dict(raw.dtypes) == {c: "string" for c in pdf.columns}
+
+    typed, decisions = read_csv_typed(spark, path, sample_rows=100)
+    assert decisions["id"].logical == "integer"
+    assert decisions["price"].logical == "float"
+    assert decisions["day"].logical == "date"
+    assert decisions["name"].logical == "string"
+    d = dict(typed.dtypes)
+    assert d["id"] == "bigint" and d["day"] == "date"
+
+    prof = {r.column: r for r in profile(typed).collect()}
+    assert prof["id"].n_rows == 508
+    assert prof["id"].min_num == 1.0 and prof["id"].max_num == 508.0
+    assert prof["price"].n_distinct == 508
+
+
+def test_html_report_structure(spark, images_path, tmp_path):
+    """Golden-structure test for the rendered HTML artifact over the
+    canonical 4x250 fixture (reference Profiler.py:1080-1112)."""
+    from advanced_data_profile_spark.plans.html_report import (
+        render_html,
+        write_html_report,
+    )
+    from advanced_data_profile_spark.plans.pipeline import run_pipeline
+    from advanced_data_profile_spark.plans.report import assemble_report
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, images_path, out)
+    report = assemble_report(spark, out)
+    html_doc = render_html(report)
+
+    for section in (
+        "<h1>Data profile &amp; validation",
+        "<h2>Partition 0",
+        "<h2>Partition 3",
+        "<h3>Column profile</h3>",
+        "<h3>Constraints</h3>",
+        "<h3>Drift vs baseline</h3>",
+        "<h2>Histograms</h2>",
+        "<h2>Random row sample</h2>",
+        "<h2>Violation samples</h2>",
+        "<h2>Lineage (manifest)</h2>",
+        "<svg",
+    ):
+        assert section in html_doc, f"missing section {section}"
+    # planted violations must render FAIL verdicts
+    assert '<span class="fail">FAIL</span>' in html_doc
+    # no raw payloads in the artifact
+    assert "bytes" not in report.get("row_sample", [{}])[0]
+
+    path = write_html_report(report, str(tmp_path / "report.html"))
+    assert path.endswith(".gz")
+    with gzip.open(path, "rb") as f:
+        assert f.read().startswith(b"<!DOCTYPE html>")

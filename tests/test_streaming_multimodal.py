@@ -67,14 +67,23 @@ def test_resize_images(spark, images_path):
     assert all(r.w == 8 and r.h == 8 and len(r.bytes) == 8 * 8 * 3 for r in ok)
 
 
-def test_audio_stub(spark):
+def test_audio_features_wav(spark):
+    """audio_features is a REAL RIFF/WAVE PCM parser now: proper WAV
+    decodes; headerless raw PCM and nulls are rejected as ok=False."""
+    from advanced_data_profile_spark.functions.audiocodec import encode_wav
+
     rng = np.random.default_rng(0)
-    pcm = (rng.normal(0, 0.2, 16000) * 32767).astype(np.int16).tobytes()
-    pdf = pd.DataFrame({"clip_id": ["a", "b"], "bytes": [pcm, None]})
+    x = rng.normal(0, 0.2, 16000).clip(-1, 1)
+    raw_pcm = (x * 32767).astype(np.int16).tobytes()
+    pdf = pd.DataFrame({
+        "clip_id": ["a", "b", "c"],
+        "bytes": [encode_wav(x, 16000), None, raw_pcm],
+    })
     out = {r.clip_id: r for r in audio_features_stub(spark.createDataFrame(pdf)).collect()}
     assert out["a"].ok and out["a"].duration_sec == pytest.approx(1.0)
     assert 0.1 < out["a"].rms < 0.3
     assert not out["b"].ok
+    assert not out["c"].ok  # headerless PCM is not a WAV
 
 
 def test_video_stub_raises(spark, images_path):
