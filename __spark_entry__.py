@@ -358,6 +358,18 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct→mapInPandas lang-ID path (pluggable model; marker
+    mirror here) — oracle is the SAME DuckDB CASE chain as `langid`,
+    so this pins the Python mirror against the JVM expression AND the
+    SQL oracle simultaneously."""
+    from advanced_data_profile_spark.operators.text_ml import lang_id_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lang_id_distinct(docs, "text")
+    return out.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_data_profile_spark.functions.text import fingerprint
 
@@ -421,6 +433,50 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
     return knn_lsh(emb, "vec_id", "embedding", q, k=10, bits=6, probe_hamming=1)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the label column as the coarse quantizer: rank
+    centroids, scan the best 2 clusters, exact cosine within. Oracle
+    reproduces centroids (per-dim avg), probe ranking and the pruned
+    scan in DuckDB."""
+    from advanced_data_profile_spark.operators.similarity import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return knn_ivf(emb, "vec_id", "embedding", "label", q, k=10, n_probe=2)
+
+
+def _oracle_knn_ivf() -> str:
+    return """
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        ex AS (
+          SELECT label,
+                 unnest(embedding::DOUBLE[]) AS val,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings
+        ),
+        per_dim AS (
+          SELECT label, pos, avg(val) AS m FROM ex GROUP BY label, pos
+        ),
+        cents AS (
+          SELECT label, list(m ORDER BY pos) AS centroid
+          FROM per_dim GROUP BY label
+        ),
+        ranked AS (
+          SELECT label FROM cents, q
+          ORDER BY list_cosine_similarity(centroid, qv) DESC
+          LIMIT 2
+        )
+        SELECT vec_id AS id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+        FROM embeddings, q
+        WHERE label IN (SELECT label FROM ranked)
+        ORDER BY 2 DESC, 1 ASC
+        LIMIT 10
+    """
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "langid": q_langid,
+        "langid_distinct": q_langid_distinct,
         "fingerprint_documents": q_fingerprint_documents,
         "minhash_signatures": q_minhash_signatures,
         "simhash_documents": q_simhash_documents,
@@ -1174,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash": q_near_dup_minhash,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_norms": q_embedding_norms,
         "near_dup_embeddings": q_near_dup_embeddings,
         "correlation": q_correlation,
@@ -1349,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _oracle_text_stats(),
         "langid": _oracle_langid(),
+        "langid_distinct": _oracle_langid(),
         "fingerprint_documents": _oracle_fingerprint(),
         "minhash_signatures": _oracle_minhash(),
         "simhash_documents": _oracle_simhash(),
@@ -1357,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_minhash": _oracle_near_dup_minhash(),
         "knn_bruteforce": _oracle_knn_bruteforce(),
         "knn_lsh": _oracle_knn_lsh(),
+        "knn_ivf": _oracle_knn_ivf(),
         "embedding_norms": _oracle_embedding_norms(),
         "near_dup_embeddings": _oracle_near_dup_embeddings(),
         "correlation": _oracle_correlation(),

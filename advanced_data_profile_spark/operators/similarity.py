@@ -89,6 +89,28 @@ def ivf_centroids(
     return cents.join(counts, label_col)
 
 
+def ivf_kmeans_labels(
+    df: DataFrame, vec_col: str, k: int = 8, seed: int = 1,
+    label_col: str = "__ivf_label",
+) -> DataFrame:
+    """Learned coarse quantizer: pyspark.ml KMeans over the embedding
+    column, returning df + cluster label. This is the production IVF
+    build step (one cached fit over a sample-or-full pass; assignment
+    is a broadcast of k centroids + argmin per row). Downstream search
+    is knn_ivf with label_col=this column; at 10^12 rows the label
+    becomes the table's cluster/partition key so probing prunes files."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn(
+        "__feat", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=k, seed=seed, featuresCol="__feat", predictionCol=label_col
+    ).fit(feat)
+    return model.transform(feat).drop("__feat")
+
+
 def knn_ivf(
     df: DataFrame, id_col: str, vec_col: str, label_col: str,
     query_vec: list[float], k: int = 10, n_probe: int = 1,

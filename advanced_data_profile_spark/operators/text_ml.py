@@ -93,7 +93,9 @@ def lang_id_distinct(
             })
 
     labeled = distinct.mapInPandas(fn, schema=f"__text string, {out_col} string")
-    return df.join(labeled, df[text_col] == labeled["__text"], "left").drop("__text")
+    joined = df.join(labeled, df[text_col] == labeled["__text"], "left").drop("__text")
+    # null texts never join (null != null) — they are 'und' by definition
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit("und")))
 
 
 def word_frequencies(df: DataFrame, text_col: str, top: int = 50) -> DataFrame:

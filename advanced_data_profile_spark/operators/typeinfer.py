@@ -60,6 +60,10 @@ COMMON_FORMATS: list[str] = [
     "H:mm",
 ]
 
+# sentinel: vote with Spark's DEFAULT timestamp parser (no pattern) —
+# lenient ISO-8601 family, the reference's pd.to_datetime fallback (T4)
+LENIENT_FORMAT = "<lenient>"
+
 # time suffixes for the Cartesian sweep ('' = date-only)
 _TIME_SUFFIXES = [
     "",
@@ -100,6 +104,11 @@ def generate_format_candidates() -> list[str]:
     out = list(COMMON_FORMATS)
     out += [d + t for d in dates for t in _TIME_SUFFIXES]
     out += ["HH:mm:ss.SSS", "h:mm a"]
+    # LENIENT_FORMAT last: Spark's default parser (ISO-8601 family,
+    # variable fractional seconds, offsets) — the T4 analogue of the
+    # reference's pd.to_datetime fallback (Profiler.py:196-200), tried
+    # only when no explicit pattern wins
+    out += [LENIENT_FORMAT]
     seen: set[str] = set()
     res: list[str] = []
     for f in out:
@@ -147,6 +156,14 @@ class FormatCache:
                 json.dump(self.freq, f)
 
 
+def _ts_expr(c, fmt: str):
+    """try_to_timestamp for an explicit pattern or the lenient default."""
+    col = F.col(c) if isinstance(c, str) else c
+    if fmt == LENIENT_FORMAT:
+        return F.try_to_timestamp(col)
+    return F.try_to_timestamp(col, F.lit(fmt))
+
+
 def _seeded_sample(df: DataFrame, sample_rows: int | None, seed: int = 42) -> DataFrame:
     """Seeded uniform row sample (~sample_rows rows) — replaces head
     sampling (df.limit reads only the first file's rows and funnels the
@@ -188,7 +205,9 @@ def vote_datetime_formats(
     fmts = spark.createDataFrame(
         [(i, f) for i, f in enumerate(formats)], "fmt_id int, fmt string"
     )
-    ts = F.try_to_timestamp(F.col("val"), F.col("fmt"))
+    ts = F.when(
+        F.col("fmt") == LENIENT_FORMAT, F.try_to_timestamp(F.col("val"))
+    ).otherwise(F.try_to_timestamp(F.col("val"), F.col("fmt")))
     agg = (
         melted.crossJoin(F.broadcast(fmts))
         .groupBy("col", "fmt_id")
@@ -322,7 +341,7 @@ def infer_types(
         if confirm_dt or confirm_num:
             cexprs = []
             for c, t in confirm_dt:
-                ts = F.try_to_timestamp(F.col(c), F.lit(t.datetime_format))
+                ts = _ts_expr(c, t.datetime_format)
                 cexprs.append(
                     (
                         F.sum(ts.isNotNull().cast("long")) == F.count(F.col(c))
@@ -364,7 +383,7 @@ def apply_types(df: DataFrame, decisions: dict[str, InferredType]) -> DataFrame:
         t = decisions.get(f.name)
         if t and isinstance(f.dataType, T.StringType):
             if t.logical in ("date", "timestamp") and t.datetime_format:
-                parsed = F.try_to_timestamp(c, F.lit(t.datetime_format))
+                parsed = _ts_expr(c, t.datetime_format)
                 c = parsed.cast("date") if t.logical == "date" else parsed
             elif t.logical == "integer":
                 c = c.try_cast("bigint")

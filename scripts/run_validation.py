@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--approx", action=argparse.BooleanOptionalAction, default=True,
                     help="sketch mode for distinct/quantiles (default on)")
     ap.add_argument("--report", default=None, help="also write an assembled JSON report")
+    ap.add_argument("--html-report", default=None,
+                    help="also render the self-contained gzip HTML report")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,10 +63,16 @@ def main() -> None:
     )
     print(json.dumps(summary))
 
-    if args.report:
+    if args.report or args.html_report:
         report = assemble_report(spark, args.output)
-        path = write_report(report, args.report)
-        print(f"report written: {path}")
+        if args.report:
+            path = write_report(report, args.report)
+            print(f"report written: {path}")
+        if args.html_report:
+            from advanced_data_profile_spark.plans.html_report import write_html_report
+
+            path = write_html_report(report, args.html_report)
+            print(f"html report written: {path}")
 
 
 if __name__ == "__main__":

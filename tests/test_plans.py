@@ -94,6 +94,36 @@ def test_melt_topk_partial_aggregation(lineitem):
     assert plan.count("HashAggregate") >= 2  # partial + final around Exchange
 
 
+def test_lsh_near_dup_plans_never_cartesian(spark):
+    """The 100 TB contract for every near-dup tier: candidate
+    generation is an EQUI-join on bucket keys — no cartesian product,
+    no broadcast nested loop — and aggregations keep map-side partials."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "id": range(40),
+        "text": [f"some shared tokens plus unique token{i}" for i in range(40)],
+    }))
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5 - 2) for d in range(32)]) for i in range(40)],
+        "id long, v array<double>",
+    )
+    plans = {
+        "simhash": _plan(
+            D.simhash_near_dups(D.simhash(docs, "id", "text", bits=60), 3, bits=60)
+        ),
+        "minhash": _plan(D.minhash_dedup(docs, "id", "text", k=16, bands=4)),
+        "embedding": _plan(
+            D.embedding_near_dups(emb, "id", "v", 0.9, n_bands=4, bits_per_band=8)
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_hll_sketch_rollup(spark, images_path):
     from advanced_data_profile_spark.operators.sketches import distinct_rollup
 

@@ -92,6 +92,31 @@ def test_char_counts(spark):
     assert r.n_polysyllable_words == 1  # extraordinary
 
 
+def test_tfidf_pinned_golden(spark):
+    """N1 upgrade from 'runs' to 'checked': hand-computed TF-IDF means
+    on a tiny corpus, independently re-derived here with the pinned
+    semantics (raw-count TF, smooth idf = ln((m+1)/(df+1)), mean over
+    ALL docs) — the documented Spark-ml convention."""
+    import math
+
+    docs = ["apple banana apple", "banana cherry", "apple cherry cherry"]
+    m = len(docs)
+    tf = [{w: d.split().count(w) for w in set(d.split())} for d in docs]
+    vocab = {w for d in tf for w in d}
+    df_ = {w: sum(1 for d in tf if w in d) for w in vocab}
+    want = {
+        w: sum(d.get(w, 0) * math.log((m + 1) / (df_[w] + 1)) for d in tf) / m
+        for w in vocab
+    }
+    out = tfidf_top_ngrams(
+        spark.createDataFrame(pd.DataFrame({"t": docs})), "t", ngrams=(1,), top=3
+    )
+    got = {r.ngram: r.mean_tfidf for r in out.collect()}
+    assert set(got) == vocab
+    for w in vocab:
+        assert got[w] == pytest.approx(want[w], abs=1e-6), w
+
+
 def test_tfidf_top_ngrams(spark):
     pdf = pd.DataFrame({"t": [
         "alpha beta gamma", "alpha beta delta", "alpha epsilon zeta",

@@ -71,3 +71,18 @@ def test_sign_bucket_deterministic(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": [[1.0, -1.0, 1.0], [-1.0, 1.0, 1.0]]}))
     b = [r.b for r in df.select(S.sign_bucket(F.col("v"), 3).alias("b")).collect()]
     assert b == [0b101, 0b110]
+
+
+def test_ivf_kmeans_recall(spark):
+    """Learned-quantizer IVF: KMeans labels + knn_ivf must recover most
+    of the exact brute-force top-k with a few probes."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    labeled = S.ivf_kmeans_labels(emb, "embedding", k=8, seed=1).persist()
+    got = {r.id for r in
+           S.knn_ivf(labeled, "vec_id", "embedding", "__ivf_label",
+                     q, k=10, n_probe=3).collect()}
+    exact = {r.id for r in S.knn_bruteforce(emb, "vec_id", "embedding", q, 10).collect()}
+    labeled.unpersist()
+    assert len(got) == 10
+    assert len(got & exact) >= 7  # >=70% recall at 3/8 probes

@@ -92,6 +92,61 @@ def test_video_stub_raises(spark, images_path):
         video_frame_sample_stub(images)
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: a session closes exactly
+    once, in the micro-batch whose events exceed the gap; open sessions
+    stay in state."""
+    import time as _time
+
+    from advanced_data_profile_spark.streaming.sessionize import streaming_sessionize
+
+    src = str(tmp_path / "events_stream")
+    schema = "user_id bigint, ts_sec double, value double"
+    batch1 = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts_sec": [0.0, 100.0, 50.0],
+        "value": [1.0, 2.0, 5.0],
+    })
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_sessionize(stream, gap_sec=1800.0)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing closed yet — both sessions still open in state
+        assert spark.sql("SELECT * FROM sessions").count() == 0
+
+        _time.sleep(1.1)  # distinct mtime so the new file is a new batch
+        batch2 = pd.DataFrame({
+            "user_id": [1, 2],
+            "ts_sec": [5000.0, 60.0],   # user 1: gap > 1800 closes session
+            "value": [9.0, 1.0],
+        })
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        rows = {r.user_id: r for r in spark.sql("SELECT * FROM sessions").collect()}
+        assert 1 in rows and 2 not in rows  # user 2's gap was small
+        s = rows[1]
+        assert (s.session_start, s.session_end) == (0.0, 100.0)
+        assert s.n_events == 2 and s.session_value == 3.0
+    finally:
+        q.stop()
+
+
 def test_report_assembly(spark, images_path, tmp_path):
     from advanced_data_profile_spark.plans.pipeline import run_pipeline
     from advanced_data_profile_spark.plans.report import (

@@ -127,6 +127,30 @@ def test_format_generator_breadth(spark):
     assert not bad, f"misclassified: {bad}"
 
 
+def test_lenient_fallback_parses_iso_variants(spark):
+    """T4: strings Spark's default parser accepts (ISO with micros /
+    offsets) but no explicit Cartesian pattern covers must still
+    classify via the LENIENT_FORMAT last-resort candidate (the
+    reference's pd.to_datetime fallback, Profiler.py:196-200)."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.typeinfer import (
+        LENIENT_FORMAT,
+        apply_types,
+    )
+
+    pdf = pd.DataFrame({
+        "iso_micros_tz": ["2024-01-02T10:30:00.123456+02:00",
+                          "2023-12-31T23:59:59.000001Z"] * 3,
+    })
+    t = infer_types(spark.createDataFrame(pdf))
+    assert t["iso_micros_tz"].logical == "timestamp"
+    assert t["iso_micros_tz"].datetime_format == LENIENT_FORMAT
+    typed = apply_types(spark.createDataFrame(pdf), t)
+    assert dict(typed.dtypes)["iso_micros_tz"] == "timestamp"
+    assert typed.where(typed.iso_micros_tz.isNull()).count() == 0
+
+
 def test_sample_confirm_rejects_partial_format(spark):
     # sample parses but the full column has a non-conforming tail value
     pdf = pd.DataFrame({"d": ["2024-01-01"] * 50 + ["not-a-date"]})
