@@ -419,6 +419,40 @@ def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph: (id,
+    cluster=min id of component) — the canonical-keeper assignment for
+    corpus dedup. Spark side is iterative min-label propagation; the
+    oracle is a DuckDB recursive-CTE transitive closure over the SAME
+    pair set."""
+    from advanced_data_profile_spark.operators.dedup import dup_clusters, minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", k=16, bands=4, threshold=0.8)
+    return dup_clusters(pairs)
+
+
+def _oracle_dup_clusters() -> str:
+    inner = _oracle_near_dup_minhash()
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({inner}) t
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        )
+        SELECT src AS id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src
+    """
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_data_profile_spark.operators.similarity import knn_bruteforce
 
@@ -1229,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_minhash": q_near_dup_minhash,
+        "dup_clusters": q_dup_clusters,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1414,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _oracle_simhash_near_dups(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "near_dup_minhash": _oracle_near_dup_minhash(),
+        "dup_clusters": _oracle_dup_clusters(),
         "knn_bruteforce": _oracle_knn_bruteforce(),
         "knn_lsh": _oracle_knn_lsh(),
         "knn_ivf": _oracle_knn_ivf(),

@@ -275,6 +275,69 @@ def simhash_near_dups(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph: every node is
+    labeled with the MIN id of its component (the canonical document to
+    keep; everything else in the cluster drops). Returns (id, cluster).
+
+    Min-label propagation: each round joins labels one hop along the
+    symmetrized edge list and takes the min — a co-partitioned shuffle
+    join per round, converging in O(component diameter) rounds (LSH
+    near-dup clusters are near-cliques, diameter 1-2; max_iter bounds
+    pathological chains). Lineage is truncated with localCheckpoint so
+    the plan doesn't grow across iterations — the standard iterative-
+    algorithm shape on Spark without GraphFrames."""
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("id").alias("b"), "lbl"), "b")
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+            .select(F.col("a").alias("id"), "nlbl")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster"))
+
+
+def dedup_keep_cluster_min(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """The actual corpus dedup: drop every row whose id belongs to a
+    near-dup cluster but is not the cluster's min id (broadcast-or-
+    shuffle anti-join against the small drop set)."""
+    drops = dup_clusters(pairs).where(F.col("id") != F.col("cluster")).select("id")
+    return df.join(
+        drops, df[id_col] == drops["id"], "left_anti"
+    )
+
+
 # --- n-gram Jaccard --------------------------------------------------------
 
 def ngram_jaccard(

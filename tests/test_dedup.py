@@ -132,6 +132,27 @@ def test_lsh_candidate_growth_is_linear(spark):
     assert c2 <= max(4 * c1, 60) if c1 < 20 else c2 <= 3.0 * c1
 
 
+def test_dup_clusters_chain_and_keep_min(spark):
+    """Multi-hop components: a chain a-b-c-d must collapse to one
+    cluster (exercises >1 propagation round), disjoint pairs stay
+    separate; dedup keeps exactly the min id per cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster for r in D.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in
+                  D.dedup_keep_cluster_min(df, "doc_id", pairs).collect())
+    # 5 and 99 untouched (no near-dups); 1 and 10 are cluster keepers
+    assert kept == [1, 5, 10, 99]
+
+
 def test_ngram_jaccard(corpus):
     pairs = corpus.sparkSession.createDataFrame(
         pd.DataFrame({"id_a": [0, 0], "id_b": [4, 3]})
