@@ -409,6 +409,55 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs.withColumnRenamed("doc_id", "id"), pairs, "id", "text", 3)
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash local fingerprints, MOSS construction):
+    Jaccard over fingerprint SETS for consecutive doc pairs — the
+    substring-overlap dedup tier. Any shared run of >= k+w-1 chars
+    guarantees a shared fingerprint."""
+    from advanced_data_profile_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    d = docs.select(
+        F.col("doc_id").alias("id"),
+        winnow_fingerprints(F.col("text"), k=5, w=4).alias("fp"),
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = d.select(
+        (F.col("id") - 1).alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("fp").alias("fp_b"),
+    )
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
+    union = F.size(F.array_union(F.col("fp_a"), F.col("fp_b")))
+    return j.select(
+        "id_a", "id_b",
+        F.size("fp_a").cast("bigint").alias("n_fp_a"),
+        F.round(
+            F.when(union > 0, inter / union).otherwise(0.0), 6
+        ).alias("winnow_jaccard"),
+    )
+
+
+def _oracle_winnow_overlap() -> str:
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    fp = O.sql_winnow("__norm", 5, 4)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {fp} AS fp
+          FROM ({_norm_cte("WHERE doc_id < 100")}) src
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(a.fp)::BIGINT AS n_fp_a,
+               round(CASE WHEN len(list_distinct(a.fp || b.fp)) > 0
+                     THEN len(list_intersect(a.fp, b.fp))::DOUBLE
+                          / len(list_distinct(a.fp || b.fp))
+                     ELSE 0.0 END, 6) AS winnow_jaccard
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    """
+
+
 def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline (rows-only check: the LSH
     banding self-join is deterministic but painful in one SQL)."""
@@ -1262,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnow_overlap": q_winnow_overlap,
         "near_dup_minhash": q_near_dup_minhash,
         "dup_clusters": q_dup_clusters,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1448,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _oracle_simhash(),
         "simhash_near_dups": _oracle_simhash_near_dups(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
+        "winnow_overlap": _oracle_winnow_overlap(),
         "near_dup_minhash": _oracle_near_dup_minhash(),
         "dup_clusters": _oracle_dup_clusters(),
         "knn_bruteforce": _oracle_knn_bruteforce(),

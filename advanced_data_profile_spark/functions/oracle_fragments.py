@@ -110,6 +110,24 @@ def sql_lang_predict(col: str = "text", norm: str = "__norm") -> str:
     )
 
 
+def sql_winnow(norm: str = "__norm", k: int = 5, w: int = 4) -> str:
+    """DuckDB mirror of functions.text.winnow_fingerprints (1-based
+    inclusive list slicing)."""
+    grams = (
+        f"[substr({norm}, i, {k}) "
+        f"FOR i IN range(1, greatest(strlen({norm}) - {k - 1}, 0) + 1)]"
+    )
+    hashes = f"list_transform({grams}, g -> {sql_md5_int60('g')})"
+    wins = (
+        f"[list_min(h[i:i+{w - 1}]) "
+        f"FOR i IN range(1, greatest(len(h) - {w - 1}, 0) + 1)]"
+    )
+    return (
+        f"(SELECT list_sort(list_distinct({wins})) "
+        f"FROM (SELECT {hashes} AS h) __wnw)"
+    )
+
+
 def sql_minhash_expr(j: int, tok: str = "tok") -> str:
     """min over tokens of md5_int60('<j>:' || token)."""
     arg = "'" + str(j) + ":' || " + tok

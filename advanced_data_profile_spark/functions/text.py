@@ -183,3 +183,23 @@ def char_ngrams(c: Column, n: int = 3) -> Column:
     s = norm_text(c)
     count = F.greatest(F.length(s) - (n - 1), F.lit(0))
     return F.transform(F.sequence(F.lit(1), count), lambda i: s.substr(i, F.lit(n)))
+
+
+def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (the MOSS local-fingerprint
+    construction, Schleimer/Wilkerson/Aiken 2003): hash every k-gram
+    (rolling window of the normalized text), slide a window of w
+    consecutive hashes, keep the minimum of each window, dedupe, sort.
+    Guarantees any shared substring of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint — the substring-
+    overlap dedup tier between whole-doc fingerprints and MinHash.
+
+    All JVM-side higher-order array ops (transform/slice/array_min) —
+    no UDF; mirrored 1:1 in oracle_fragments.sql_winnow."""
+    hashes = F.transform(char_ngrams(c, k), md5_int60)
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.array_sort(F.array_distinct(wins))

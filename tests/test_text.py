@@ -73,6 +73,27 @@ def test_langid_on_documents(spark):
     assert en_like / sum(counts.values()) > 0.95
 
 
+def test_winnowing_guarantee(spark):
+    """Winnowing's correctness property (Schleimer et al. 2003): two
+    docs sharing a substring of length >= k + w - 1 share at least one
+    fingerprint; disjoint docs share none."""
+    shared = "the common stretch of text that both documents contain"
+    pdf = pd.DataFrame({"t": [
+        "prefix one " + shared + " suffix alpha",
+        "totally different opening " + shared + " and another ending",
+        "zzzzz qqqqq xxxxx jjjjj kkkkk wwwww vvvvv bbbbb nnnnn mmmmm",
+    ]})
+    df = spark.createDataFrame(pdf)
+    fps = [set(r.fp) for r in
+           df.select(X.winnow_fingerprints(F.col("t"), k=5, w=4).alias("fp")).collect()]
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    # disjoint text: no shared k-grams -> no shared 60-bit fingerprints
+    assert not fps[0] & fps[2]
+    # fingerprints are sorted + deduped
+    out = df.select(X.winnow_fingerprints(F.col("t")).alias("fp")).first().fp
+    assert out == sorted(set(out))
+
+
 def test_fingerprint_normalization_invariance(spark):
     pdf = pd.DataFrame({"t": ["Hello   World", "hello world", "HELLO, WORLD!", "other"]})
     fps = [
