@@ -152,13 +152,23 @@ def lang_predict(c: Column) -> Column:
     distinct→mapInPandas path — operators.text_ml.lang_id_distinct."""
     scores = lang_scores(c)
     langs = sorted(scores)
-    best = None
-    for lang in langs:
-        s = scores[lang]
-        pair = F.struct(s.alias("s"), F.lit(lang).alias("l"))
-        best = pair if best is None else F.when(
-            (pair["s"] > best["s"]), pair
-        ).otherwise(best)
+    # argmax via array_max over (score, -rank, lang) structs: every
+    # score expression appears exactly ONCE. (A nested when-chain would
+    # embed each score at every comparison level — expression-tree and
+    # codegen size grow quadratically-to-exponentially with languages;
+    # measured 150x slower at 12 languages.) Struct ordering compares
+    # fields left-to-right, so ties on score resolve to the smallest
+    # rank = first language in sorted order.
+    best = F.array_max(
+        F.array(*[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(-i).alias("nr"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(langs)
+        ])
+    )
     out = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
     for lang, pattern in reversed(SCRIPT_RULES):
         out = F.when(c.rlike(pattern), F.lit(lang)).otherwise(out)
