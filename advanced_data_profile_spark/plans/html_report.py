@@ -83,8 +83,9 @@ def _hist_svg(column: str, grp, bins: list[tuple[int, int]],
 
 
 _PROFILE_COLS = [
-    "n_rows", "n_nonnull", "null_ratio", "n_distinct", "mean", "stddev",
-    "min_num", "max_num", "p50", "skewness", "kurtosis", "max_length",
+    "logical_type", "n_rows", "n_nonnull", "null_ratio", "n_distinct",
+    "mean", "stddev", "min_num", "max_num", "p50", "skewness", "kurtosis",
+    "max_length",
 ]
 
 
@@ -131,6 +132,26 @@ def render_html(report: dict) -> str:
                 for name, d in sorted(dr.items())
             ]
             parts.append(_table(["check", "ks", "psi", "verdict"], rows))
+
+    top_values = report.get("top_values") or {}
+    if top_values:
+        parts.append("<h2>Top values</h2>")
+        for col, vals in sorted(top_values.items()):
+            parts.append(f"<h3>{_esc(col)}</h3>")
+            parts.append(_table(
+                ["value", "count", "rank"],
+                [[_esc(v.get("value")), _fmt(v.get("cnt")), _fmt(v.get("rank"))]
+                 for v in vals],
+            ))
+
+    corr = report.get("correlation") or []
+    if corr:
+        parts.append("<h2>Correlation</h2>")
+        parts.append(_table(
+            ["column a", "column b", "pearson"],
+            [[_esc(r.get("col_a")), _esc(r.get("col_b")), _fmt(r.get("corr"))]
+             for r in corr],
+        ))
 
     hists = report.get("histograms") or []
     if hists:

@@ -134,6 +134,39 @@ def test_csv_parity_end_to_end(spark, tmp_path):
     assert prof["price"].n_distinct == 508
 
 
+def test_profile_table_report_end_to_end(spark, tmp_path):
+    """The reference's main flow (main.py:14-43): CSV -> inference ->
+    profile/top-k/histograms/correlation -> renderable report dict."""
+    from advanced_data_profile_spark.plans.html_report import render_html
+    from advanced_data_profile_spark.plans.profile_report import profile_table_report
+    from advanced_data_profile_spark.sources.csvfile import read_csv_typed
+
+    pdf = pd.DataFrame({
+        "id": range(1, 301),
+        "price": [round(1.5 + i * 0.25, 2) for i in range(300)],
+        "day": pd.date_range("2023-01-01", periods=300).strftime("%d.%m.%Y"),
+        "segment": ["a", "b", "c"] * 100,
+    })
+    path = str(tmp_path / "in.csv")
+    pdf.to_csv(path, index=False)
+    typed, decisions = read_csv_typed(spark, path, sample_rows=100)
+    rep = profile_table_report(typed, "t", decisions=decisions)
+
+    cols = rep["partitions"]["__all__"]["columns"]
+    assert cols["day"]["logical_type"] == "date"        # dd.MM.yyyy via generator
+    assert cols["id"]["logical_type"] == "integer"
+    assert cols["id"]["n_rows"] == 300 and cols["id"]["n_distinct"] == 300
+    assert {v["value"] for v in rep["top_values"]["segment"]} == {"a", "b", "c"}
+    assert any(r["column"] == "price" for r in rep["histograms"])
+    assert any({r["col_a"], r["col_b"]} == {"id", "price"} for r in rep["correlation"])
+    assert rep["total_rows"] == 300 and rep["row_sample"]
+
+    doc = render_html(rep)
+    for sec in ("Top values", "Correlation", "Histograms",
+                "Random row sample", ">date<", ">integer<"):
+        assert sec in doc, sec
+
+
 def test_html_report_structure(spark, images_path, tmp_path):
     """Golden-structure test for the rendered HTML artifact over the
     canonical 4x250 fixture (reference Profiler.py:1080-1112)."""
