@@ -1214,6 +1214,42 @@ def _oracle_hll_rollup() -> str:
     """
 
 
+def q_moment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welford/Chan mergeable moment rollup: per-group (n, mean, m2)
+    sketches merged to table level WITHOUT rescanning raw data; the
+    oracle computes mean/stddev directly from the raw table — the merge
+    must agree exactly (rounded 6dp)."""
+    from advanced_data_profile_spark.operators.sketches import (
+        merge_moments,
+        moment_sketches,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = moment_sketches(li, ["l_quantity", "l_extendedprice"], group_by="l_returnflag")
+    out = merge_moments(sk)
+    return out.select(
+        F.col("column").alias("col_name"),
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        F.round("stddev_pop", 6).alias("stddev_pop"),
+    )
+
+
+def _oracle_moment_rollup() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name, count({c}) AS n,
+               round(avg({c}), 6) AS mean,
+               round(stddev_samp({c}), 6) AS stddev,
+               round(stddev_pop({c}), 6) AS stddev_pop
+        FROM lineitem
+        """
+        for c in ("l_quantity", "l_extendedprice")
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): for every click event, the
     latest purchase value by the same user at-or-before it. Implemented
@@ -1332,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "pivot_events": q_pivot_events,
         "hll_rollup": q_hll_rollup,
+        "moment_rollup": q_moment_rollup,
     }
 
 
@@ -1519,4 +1556,5 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _oracle_range_join(),
         "pivot_events": _oracle_pivot_events(),
         "hll_rollup": _oracle_hll_rollup(),
+        "moment_rollup": _oracle_moment_rollup(),
     }

@@ -51,6 +51,63 @@ def merge_distinct_sketches(sketches: DataFrame) -> DataFrame:
     )
 
 
+def moment_sketches(
+    df: DataFrame, columns: list[str], group_by: str = "part_id"
+) -> DataFrame:
+    """Per-(partition, column) moment sketches (n, mean, m2) — the
+    Welford/Chan parallel-variance state. m2 = sum of squared deviations
+    from the partition mean; (n, mean, m2) tuples merge EXACTLY (Chan
+    et al. 1979 pairwise update), so table/cluster-level mean/stddev
+    never rescan raw data — the north_star's 'mean/stddev via Welford
+    merge' shape."""
+    agg = df.groupBy(group_by).agg(
+        *[F.count(F.col(c)).alias(f"__n_{c}") for c in columns],
+        *[F.avg(F.col(c)).alias(f"__m_{c}") for c in columns],
+        *[
+            (F.var_pop(F.col(c)) * F.count(F.col(c))).alias(f"__m2_{c}")
+            for c in columns
+        ],
+    )
+    melted = agg.select(
+        F.col(group_by),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__n_{c}").alias("n"),
+                    F.col(f"__m_{c}").alias("mean"),
+                    F.col(f"__m2_{c}").alias("m2"),
+                )
+                for c in columns
+            ])
+        ).alias("s"),
+    )
+    return melted.select(group_by, "s.column", "s.n", "s.mean", "s.m2")
+
+
+def merge_moments(sketches: DataFrame) -> DataFrame:
+    """Chan-merge the per-partition (n, mean, m2) relation to one row
+    per column: N = Σn; mean = Σ(n·meanᵢ)/N; M2 = Σm2ᵢ + Σn·meanᵢ² −
+    N·mean² (the algebraic closed form of pairwise Welford merging).
+    Operates on the tiny sketch relation only — NO raw-data scan;
+    results are EXACT, not approximations."""
+    g = sketches.groupBy("column").agg(
+        F.sum("n").alias("N"),
+        F.sum(F.col("n") * F.col("mean")).alias("sum_nm"),
+        F.sum("m2").alias("sum_m2"),
+        F.sum(F.col("n") * F.col("mean") * F.col("mean")).alias("sum_nm2"),
+    )
+    mean = F.col("sum_nm") / F.col("N")
+    m2 = F.col("sum_m2") + F.col("sum_nm2") - F.col("N") * mean * mean
+    return g.select(
+        "column",
+        F.col("N").alias("n"),
+        mean.alias("mean"),
+        F.sqrt(m2 / (F.col("N") - 1)).alias("stddev"),
+        F.sqrt(m2 / F.col("N")).alias("stddev_pop"),
+    )
+
+
 def distinct_rollup(
     df: DataFrame, columns: list[str], group_by: str = "part_id"
 ) -> tuple[DataFrame, DataFrame]:

@@ -137,3 +137,26 @@ def test_hll_sketch_rollup(spark, images_path):
     assert len(pp) == 4 * 2
     # merged estimate must be >= any single partition's (union grows)
     assert t["image_id"] >= max(r.n_distinct_est for r in pp if r.column == "image_id") * 0.95
+
+
+def test_moment_sketches_merge_exact(lineitem):
+    """Chan-merged per-group (n, mean, m2) must equal direct whole-table
+    moments to fp tolerance — the no-rescan mean/stddev rollup."""
+    from advanced_data_profile_spark.operators.sketches import (
+        merge_moments,
+        moment_sketches,
+    )
+
+    cols = ["l_quantity", "l_extendedprice"]
+    sk = moment_sketches(lineitem, cols, group_by="l_returnflag").persist()
+    merged = {r.column: r for r in merge_moments(sk).collect()}
+    direct = lineitem.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in cols],
+        *[F.stddev_samp(c).alias(f"s_{c}") for c in cols],
+        *[F.count(c).alias(f"n_{c}") for c in cols],
+    ).first()
+    sk.unpersist()
+    for c in cols:
+        assert merged[c].n == direct[f"n_{c}"]
+        assert merged[c].mean == pytest.approx(direct[f"m_{c}"], rel=1e-12)
+        assert merged[c].stddev == pytest.approx(direct[f"s_{c}"], rel=1e-9)
