@@ -43,6 +43,39 @@ def streaming_violation_counts(stream: DataFrame, checks: list[Check]) -> DataFr
     return stream.groupBy("part_id").agg(*aggs)
 
 
+def streaming_windowed_violations(
+    stream: DataFrame,
+    checks: list[Check],
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed violation counts with LATE-DATA handling:
+    rows later than `watermark` behind the max observed event time are
+    dropped and their windows finalized — the watermark bounds state
+    (windows older than watermark are evicted), so state size is
+    O(active windows), never O(events). The streaming expression of
+    per-time-slice validation for event streams."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in checks:
+        if c.kind not in ("not_null", "domain"):
+            raise ValueError(f"streaming supports row-wise checks only, got {c.kind}")
+        aggs.append(F.sum(_violation_flag(c).cast("long")).alias(c.name))
+    # watermarks require zoned TIMESTAMP; NTZ sources cast via the
+    # session timezone (UTC in session.py, so the cast is the identity)
+    src = stream.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark("__ts", watermark)
+        .groupBy(F.window(F.col("__ts"), window).alias("win"))
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *[F.col(a) for a in ["n_rows", *[c.name for c in checks]]],
+        )
+    )
+
+
 def run_incremental_demo(
     spark: SparkSession, images_path: str, checks: list[Check],
     query_name: str = "violations",

@@ -92,6 +92,56 @@ def test_video_stub_raises(spark, images_path):
         video_frame_sample_stub(images)
 
 
+def test_streaming_windowed_violations_with_watermark(spark, tmp_path):
+    """Event-time windows + watermark over the events stream must match
+    the equivalent batch windowed aggregation, and the plan must carry
+    the watermark (bounded state / late-data eviction)."""
+    from advanced_data_profile_spark.streaming.incremental import (
+        streaming_windowed_violations,
+    )
+
+    import os
+    import shutil
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch = spark.read.parquet(src)
+    # FileStreamSource needs a directory of files
+    stream_dir = str(tmp_path / "events_dir")
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(src, f"{stream_dir}/part-0.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    checks = [C.domain("value_domain", F.col("value") >= 0, "value")]
+    agg = streaming_windowed_violations(
+        stream, checks, ts_col="ts", window="1 day", watermark="2 days"
+    )
+    assert "eventTimeWatermark" in agg._jdf.queryExecution().logical().toString() \
+        or "EventTimeWatermark" in agg._jdf.queryExecution().logical().toString()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_v").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r.window_start), str(r.window_end)): (r.n_rows, r.value_domain)
+            for r in spark.sql("SELECT * FROM win_v").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (str(r["window"]["start"]), str(r["window"]["end"])): (
+            r["n_rows"], r["v"]
+        )
+        for r in batch.groupBy(F.window("ts", "1 day").alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~(F.col("value") >= 0)).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 3
+
+
 def test_streaming_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: a session closes exactly
     once, in the micro-batch whose events exceed the gap; open sessions
