@@ -86,10 +86,37 @@ def test_audio_features_wav(spark):
     assert not out["c"].ok  # headerless PCM is not a WAV
 
 
-def test_video_stub_raises(spark, images_path):
-    images = read_images(spark, images_path)
-    with pytest.raises(NotImplementedError):
-        video_frame_sample_stub(images)
+def test_video_frame_sample_y4m(spark):
+    """Real Y4M frame sampling: every Nth frame decodes to RGB with
+    correct dims; neutral-chroma (gray) frames round-trip exactly;
+    non-video payloads are ok=False rows."""
+    from advanced_data_profile_spark.functions.videocodec import encode_y4m
+    from advanced_data_profile_spark.operators.multimodal import video_frame_sample
+
+    frames = [np.full((16, 32, 3), 10 * i, dtype=np.uint8) for i in range(10)]
+    payload = encode_y4m(frames, fps=(30, 1))
+    pdf = pd.DataFrame({
+        "video_id": ["v1", "junk"],
+        "bytes": [payload, b"not a video"],
+    })
+    out = video_frame_sample(spark.createDataFrame(pdf), every_n=3).collect()
+    good = sorted((r.frame_idx for r in out if r.video_id == "v1"))
+    assert good == [0, 3, 6, 9]
+    by_idx = {r.frame_idx: r for r in out if r.video_id == "v1"}
+    assert all(r.w == 32 and r.h == 16 and r.ok for r in by_idx.values())
+    # gray frames: YUV420 round-trip is exact (U=V=128 -> R=G=B=Y)
+    px = np.frombuffer(by_idx[6].bytes, np.uint8).reshape(16, 32, 3)
+    assert (px == 60).all()
+    junk = [r for r in out if r.video_id == "junk"]
+    assert len(junk) == 1 and junk[0].ok is False
+
+
+def test_video_sample_rejects_image_payloads(spark, images_path):
+    images = read_images(spark, images_path).limit(20)
+    out = video_frame_sample_stub(
+        images.withColumnRenamed("image_id", "video_id")
+    ).collect()
+    assert out and all(r.ok is False for r in out)  # BMP/raw are not Y4M
 
 
 def test_streaming_windowed_violations_with_watermark(spark, tmp_path):
