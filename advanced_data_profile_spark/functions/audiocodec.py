@@ -59,10 +59,14 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
         raise ValueError(f"unsupported bits {bits}")
     x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
     if bits == 8:
-        pcm = np.round(x * 127.0 + 128.0).astype(np.uint8)
+        # same 128 scale as decode (unsigned, 128-centered)
+        pcm = np.clip(np.round(x * 128.0 + 128.0), 0, 255).astype(np.uint8)
     else:
-        scale = (1 << (bits - 1)) - 1
-        pcm = np.round(x * scale).astype(_PCM_DTYPES[bits])
+        # same 2^(bits-1) scale as decode; +1.0 clips to int max
+        scale = 1 << (bits - 1)
+        pcm = np.clip(np.round(x * scale), -scale, scale - 1).astype(
+            _PCM_DTYPES[bits]
+        )
     data = pcm.tobytes()
     block = bits // 8
     fmt = (

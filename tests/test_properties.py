@@ -79,3 +79,72 @@ def test_norm_ppf_monotone_and_symmetric(p):
         assert v < 0
     eps = min(p / 2, (1 - p) / 2, 1e-4)
     assert _norm_ppf(p + eps) >= v  # monotone
+
+
+from advanced_data_profile_spark.functions.audiocodec import decode_wav, encode_wav
+from advanced_data_profile_spark.functions.videocodec import decode_y4m, encode_y4m
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(8, 4000), rate=st.sampled_from([8000, 16000, 44100]),
+       bits=st.sampled_from([8, 16, 32]), seed=st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_any_pcm(n, rate, bits, seed):
+    x = np.random.default_rng(seed).uniform(-1, 1, n)
+    got_rate, got = decode_wav(encode_wav(x, rate, bits))
+    assert got_rate == rate and len(got) == n
+    tol = 1.5 / (1 << (bits - 1))
+    assert float(np.abs(got - x).max()) <= tol
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), cut=st.integers(1, 64))
+def test_truncated_wav_never_crashes(seed, cut):
+    x = np.random.default_rng(seed).uniform(-1, 1, 256)
+    payload = encode_wav(x, 16000)
+    trunc = payload[:-cut]
+    try:
+        rate, got = decode_wav(trunc)
+        # a cut inside the data chunk may still parse header-wise but
+        # must never return MORE samples than encoded
+        assert len(got) <= 256
+    except ValueError:
+        pass
+
+
+@settings(max_examples=20, deadline=None)
+@given(n_frames=st.integers(1, 8), every=st.integers(1, 4),
+       seed=st.integers(0, 2**31 - 1))
+def test_y4m_sampling_indexes(n_frames, every, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+    fps, got = decode_y4m(encode_y4m(frames), every_n=every)
+    assert fps == (25, 1)
+    assert [i for i, _ in got] == list(range(0, n_frames, every))
+    # chroma is 2x2 subsampled, so RGB only approximates; luma-derived
+    # gray must track closely
+    for idx, rgb in got:
+        want_gray = frames[idx].astype(float) @ np.array([0.299, 0.587, 0.114])
+        got_gray = rgb.astype(float) @ np.array([0.299, 0.587, 0.114])
+        assert float(np.abs(want_gray - got_gray).mean()) < 6.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), d=st.integers(0, 3))
+def test_simhash_blocks_pigeonhole_property(seed, d):
+    """Random 60-bit signature pairs within hamming d ALWAYS share at
+    least one of the 4 pigeonhole blocks."""
+    from advanced_data_profile_spark.operators.dedup import _hamming_blocks
+
+    rng = np.random.default_rng(seed)
+    sig = int(rng.integers(0, 1 << 60))
+    flip = 0
+    for b in rng.choice(60, size=d, replace=False):
+        flip ^= 1 << int(b)
+    other = sig ^ flip
+    blocks = _hamming_blocks(60, 4)
+    shared = any(
+        (sig >> off) & ((1 << wdt) - 1) == (other >> off) & ((1 << wdt) - 1)
+        for off, wdt in blocks
+    )
+    assert shared
