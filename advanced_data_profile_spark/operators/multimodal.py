@@ -1,12 +1,12 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample over opaque binary payloads with typed metadata.
 
-The image path is REAL (numpy raw/BMP codec) and so is the audio path
-(pure-numpy RIFF/WAVE PCM parser, functions.audiocodec). Video
-container demuxing needs ffmpeg (absent here), so that one kernel is a
-declared STUB behind the same Spark plumbing — schema, Arrow batching,
-partitioning and UDF signature are production-shaped, and swapping in
-pyav is a one-function change.
+Every modality is REAL with pure-numpy codecs for public uncompressed
+formats: images (raw/BMP, functions.imagecodec), audio (RIFF/WAVE PCM,
+functions.audiocodec) and video (Y4M/YUV4MPEG2, functions.videocodec).
+Compressed codecs (jpeg/mp3/h264) are one-function production swap-ins
+inside the same kernels — the Spark plumbing (schema, Arrow batching,
+pruned columns, ok=False error rows) is identical.
 
 All kernels are mapInPandas over pruned column sets: a featurize pass
 reads ONLY (id, bytes, w, h, fmt) — Catalyst never drags caption or
@@ -131,9 +131,6 @@ def audio_features(clips: DataFrame, id_col: str = "clip_id",
     return src.mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
 
 
-# backward-compat alias (round-1 name); the kernel is no longer a stub
-audio_features_stub = audio_features
-
 
 def video_frame_sample(videos: DataFrame, id_col: str = "video_id",
                        bytes_col: str = "bytes",
@@ -168,9 +165,3 @@ def video_frame_sample(videos: DataFrame, id_col: str = "video_id",
 
     return src.mapInPandas(fn, schema=FRAME_SAMPLE_SCHEMA)
 
-
-def video_frame_sample_stub(videos: DataFrame, id_col: str = "video_id",
-                            bytes_col: str = "bytes",
-                            every_n: int = 10) -> DataFrame:
-    """Backward-compat alias (round-1 name); the Y4M path is real now."""
-    return video_frame_sample(videos, id_col, bytes_col, every_n)

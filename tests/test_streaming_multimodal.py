@@ -9,10 +9,10 @@ from pyspark.sql import functions as F
 
 from advanced_data_profile_spark.operators import constraints as C
 from advanced_data_profile_spark.operators.multimodal import (
-    audio_features_stub,
+    audio_features,
     image_features,
     resize_images,
-    video_frame_sample_stub,
+    video_frame_sample,
 )
 from advanced_data_profile_spark.sources.images import ground_truth, read_images
 from advanced_data_profile_spark.streaming.incremental import run_incremental_demo
@@ -79,7 +79,7 @@ def test_audio_features_wav(spark):
         "clip_id": ["a", "b", "c"],
         "bytes": [encode_wav(x, 16000), None, raw_pcm],
     })
-    out = {r.clip_id: r for r in audio_features_stub(spark.createDataFrame(pdf)).collect()}
+    out = {r.clip_id: r for r in audio_features(spark.createDataFrame(pdf)).collect()}
     assert out["a"].ok and out["a"].duration_sec == pytest.approx(1.0)
     assert 0.1 < out["a"].rms < 0.3
     assert not out["b"].ok
@@ -113,7 +113,7 @@ def test_video_frame_sample_y4m(spark):
 
 def test_video_sample_rejects_image_payloads(spark, images_path):
     images = read_images(spark, images_path).limit(20)
-    out = video_frame_sample_stub(
+    out = video_frame_sample(
         images.withColumnRenamed("image_id", "video_id")
     ).collect()
     assert out and all(r.ok is False for r in out)  # BMP/raw are not Y4M
