@@ -65,6 +65,7 @@ class PipelineConfig:
     known_fmts: tuple = ("raw", "bmp")
     sample_violations: int = 20
     extra_checks: list = field(default_factory=list)
+    table_format: str = "parquet"          # "iceberg" on a real cluster
 
 
 def image_checks(images_ref: DataFrame, cfg: PipelineConfig) -> list[C.Check]:
@@ -109,7 +110,7 @@ def run_pipeline(
 
     timings: dict[str, float] = {}
     t = time.time()
-    images = read_images(spark, images_path)
+    images = read_images(spark, images_path, fmt=cfg.table_format)
     manifest = Manifest(spark, f"{output_dir}/manifest")
     run_id = new_run_id()
 
@@ -230,7 +231,7 @@ def run_pipeline(
                 # session (shared context, independent SQLConf)
                 s2 = spark.newSession()
                 s2.conf.set("spark.sql.files.maxPartitionBytes", "16m")
-                df2 = read_images(s2, images_path).where(
+                df2 = read_images(s2, images_path, fmt=cfg.table_format).where(
                     F.col("part_id").isin(pending_ids)
                 )
                 return _mat("decode_verify", validation_verdicts(validate_payloads(df2)))

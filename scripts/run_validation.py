@@ -57,6 +57,7 @@ def main() -> None:
         validate_images=not args.no_images,
         drift=not args.no_drift,
         baseline_part=args.baseline_part,
+        table_format=args.format,
     )
     summary = run_pipeline(
         spark, args.images, args.output, resume=not args.no_resume, cfg=cfg
