@@ -153,6 +153,30 @@ def render_html(report: dict) -> str:
              for r in corr],
         ))
 
+    pca = report.get("pca_importance") or []
+    if pca:
+        parts.append("<h2>PCA feature importance</h2>")
+        parts.append(_table(
+            ["feature", "importance"],
+            [[_esc(r.get("feature")), _fmt(r.get("importance"))] for r in pca],
+        ))
+
+    text_sections = report.get("text_analysis") or {}
+    for col, t in sorted(text_sections.items()):
+        parts.append(f"<h2>Text analysis — {_esc(col)}</h2>")
+        parts.append(
+            '<div class="meta sec">mean Flesch reading ease '
+            f"{_fmt(t.get('mean_flesch'))} · {_fmt(t.get('n_chars'))} chars · "
+            f"{_fmt(t.get('n_monosyllable_words'))} mono- / "
+            f"{_fmt(t.get('n_polysyllable_words'))} polysyllable words</div>"
+        )
+        wf = t.get("word_frequencies") or []
+        if wf:
+            parts.append(_table(
+                ["word", "count"],
+                [[_esc(w.get("word")), _fmt(w.get("cnt"))] for w in wf],
+            ))
+
     hists = report.get("histograms") or []
     if hists:
         parts.append("<h2>Histograms</h2><div class='hists'>")

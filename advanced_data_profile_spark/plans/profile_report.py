@@ -19,9 +19,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from advanced_data_profile_spark.operators.correlation import correlation_matrix
+from advanced_data_profile_spark.operators.correlation import (
+    correlation_matrix,
+    pca_feature_importance,
+)
 from advanced_data_profile_spark.operators.drift import histogram
 from advanced_data_profile_spark.operators.stats import profile, table_summary
+from advanced_data_profile_spark.operators.text_ml import (
+    char_counts,
+    flesch_reading_ease,
+    word_frequencies,
+)
 from advanced_data_profile_spark.operators.topk import top_k_values
 from advanced_data_profile_spark.operators.typeinfer import InferredType, infer_types
 
@@ -86,8 +94,34 @@ def profile_table_report(
         hists = [r.asDict() for r in h.collect()]
 
     corr = []
+    pca = []
     if 2 <= len(num_cols) <= max_corr_cols:
         corr = [r.asDict() for r in correlation_matrix(df, num_cols).collect()]
+        if len(num_cols) >= 3:
+            pca = [
+                r.asDict()
+                for r in pca_feature_importance(
+                    df, num_cols, k=min(len(num_cols), 4)
+                ).collect()
+            ]
+
+    # free-text columns (reference N2/N3: word cloud data + readability):
+    # string columns whose mean token count suggests prose, not codes
+    text_sections: dict[str, dict] = {}
+    for name in columns:
+        if not isinstance(dtypes[name], T.StringType):
+            continue
+        r = columns[name]
+        if (r.get("max_length") or 0) < 20 or r.get("logical_type") != "string":
+            continue
+        words = [w.asDict() for w in word_frequencies(df, name, top=25).collect()]
+        flesch = flesch_reading_ease(df, name).first()[0]
+        cc = char_counts(df, name).first().asDict()
+        text_sections[name] = {
+            "word_frequencies": words,
+            "mean_flesch": flesch,
+            **cc,
+        }
 
     sample = [
         r.asDict() for r in
@@ -111,6 +145,8 @@ def profile_table_report(
         },
         "top_values": top_values,
         "correlation": corr,
+        "pca_importance": pca,
+        "text_analysis": text_sections,
         "histograms": hists,
         "violation_samples": [],
         "row_sample": sample,

@@ -144,8 +144,12 @@ def test_profile_table_report_end_to_end(spark, tmp_path):
     pdf = pd.DataFrame({
         "id": range(1, 301),
         "price": [round(1.5 + i * 0.25, 2) for i in range(300)],
+        "qty": [i % 7 + 1 for i in range(300)],
         "day": pd.date_range("2023-01-01", periods=300).strftime("%d.%m.%Y"),
         "segment": ["a", "b", "c"] * 100,
+        "note": [
+            f"the quick delivery note number {i} mentions a shipment" for i in range(300)
+        ],
     })
     path = str(tmp_path / "in.csv")
     pdf.to_csv(path, index=False)
@@ -160,10 +164,16 @@ def test_profile_table_report_end_to_end(spark, tmp_path):
     assert any(r["column"] == "price" for r in rep["histograms"])
     assert any({r["col_a"], r["col_b"]} == {"id", "price"} for r in rep["correlation"])
     assert rep["total_rows"] == 300 and rep["row_sample"]
+    # 3 numeric cols -> PCA section; free-text col -> word freq + Flesch
+    assert {r["feature"] for r in rep["pca_importance"]} == {"id", "price", "qty"}
+    note = rep["text_analysis"]["note"]
+    assert any(w["word"] == "shipment" for w in note["word_frequencies"])
+    assert note["mean_flesch"] is not None
 
     doc = render_html(rep)
-    for sec in ("Top values", "Correlation", "Histograms",
-                "Random row sample", ">date<", ">integer<"):
+    for sec in ("Top values", "Correlation", "PCA feature importance",
+                "Text analysis", "Histograms", "Random row sample",
+                ">date<", ">integer<", "shipment"):
         assert sec in doc, sec
 
 
