@@ -208,8 +208,15 @@ def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
     no UDF; mirrored 1:1 in oracle_fragments.sql_winnow."""
     hashes = F.transform(char_ngrams(c, k), md5_int60)
     n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(0))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice(hashes, i, w)),
-    )
+    # guard the degenerate case: F.sequence(1, 0) counts DOWN ([1, 0])
+    # and slice(start=0) raises — documents shorter than k+w-1 chars
+    # have no windows and an empty fingerprint set (oracle parity:
+    # DuckDB's end-exclusive range() yields [] for the same inputs)
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return F.array_sort(F.array_distinct(wins))

@@ -227,9 +227,16 @@ def evaluate(
             per_key = per_key_part.groupBy("__key").agg(
                 F.sum("part_cnt").alias("cnt")
             )
-            dup_global = per_key.where(F.col("cnt") > 1)
-            # attribute: every (part, key) row whose key is globally dup
-            dup_keys = per_key_part.join(dup_global, "__key").persist()
+            dup_global = per_key.where(F.col("cnt") > 1).withColumnRenamed(
+                "__key", "__gkey"
+            )
+            # attribute: every (part, key) row whose key is globally dup.
+            # NULL-SAFE join: groupBy treats NULL as a key group, so a
+            # duplicated NULL key is a violation too — a plain equi-join
+            # would silently drop it
+            dup_keys = per_key_part.join(
+                dup_global, F.col("__key").eqNullSafe(F.col("__gkey"))
+            ).drop("__gkey").persist()
             viol = dup_keys.groupBy(*keys).agg(
                 F.sum("part_cnt").alias("n_violations")
             )

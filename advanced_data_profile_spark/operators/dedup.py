@@ -166,7 +166,7 @@ def minhash_dedup(
 
 # --- SimHash ---------------------------------------------------------------
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """bits-bit SimHash over token multiset: bit b of the signature is
     1 iff sum over tokens of (cnt if tokenhash bit b else -cnt) > 0.
 
@@ -251,6 +251,11 @@ def simhash_near_dups(
     n_blocks = n_blocks or (max_hamming + 1)
     if n_blocks <= max_hamming:
         raise ValueError("n_blocks must exceed max_hamming for recall 1.0")
+    # NB: `bits` must match the width the signatures were BUILT with
+    # (simhash(..., bits=...), default 60 on both). A wider block split
+    # than the signature makes the high blocks constant-zero and the
+    # equi-join degenerates toward all-pairs — correct output,
+    # quadratic cost.
     b = simhash_block_buckets(sigs, bits, n_blocks)
     left = b.alias("l")
     right = b.alias("r")

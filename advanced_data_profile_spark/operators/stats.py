@@ -38,6 +38,10 @@ _NUMERIC_TYPES = (
     T.FloatType, T.DoubleType, T.DecimalType,
 )
 _TIME_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+# column types profile() skips — the single source of truth for the
+# "profilable column" policy (pipeline/profile_report import these)
+SKIP_PROFILE_TYPES = (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+NUMERIC_TYPES = _NUMERIC_TYPES
 
 # Schema of one melted profile row (field order = output column order).
 PROFILE_FIELDS = [
@@ -181,7 +185,7 @@ def profile(
     if columns is None:
         columns = [
             f.name for f in df.schema.fields
-            if not isinstance(f.dataType, (T.BinaryType, T.ArrayType, T.MapType, T.StructType))
+            if not isinstance(f.dataType, SKIP_PROFILE_TYPES)
             and f.name != group_by
         ]
     dtypes = {f.name: f.dataType for f in df.schema.fields}

@@ -31,7 +31,13 @@ svg{background:#fafaff;border:1px solid #e0e0ee;margin:2px 8px 2px 0}
 
 
 def _esc(v) -> str:
-    return html.escape("" if v is None else str(v))
+    # data newlines become spaces (what HTML displays anyway): the
+    # minify step in write_html_report joins stripped LINES, and a raw
+    # newline inside a cell value would otherwise glue two words
+    # together in the persisted artifact
+    return html.escape("" if v is None else str(v)).replace("\n", " ").replace(
+        "\r", ""
+    )
 
 
 def _fmt(v) -> str:

@@ -28,13 +28,11 @@ a dedicated full-table pass, not part of the incremental pipeline.
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from advanced_data_profile_spark.operators import constraints as C
 from advanced_data_profile_spark.operators.drift import drift_verdicts, histogram, ks_psi
@@ -44,6 +42,7 @@ from advanced_data_profile_spark.operators.image_verify import (
 )
 from advanced_data_profile_spark.operators.stats import (
     PROFILE_FIELDS,
+    SKIP_PROFILE_TYPES,
     column_profile_struct,
     profile,
 )
@@ -78,9 +77,6 @@ def image_checks(images_ref: DataFrame, cfg: PipelineConfig) -> list[C.Check]:
         C.referential("phash_ref", "phash", images_ref, "phash"),
         *cfg.extra_checks,
     ]
-
-
-_SKIP_PROFILE_TYPES = (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
 
 
 def run_pipeline(
@@ -154,7 +150,7 @@ def run_pipeline(
         dtypes = {f.name: f.dataType for f in meta_nb.schema.fields}
         prof_cols = [
             f.name for f in meta_nb.schema.fields
-            if not isinstance(f.dataType, _SKIP_PROFILE_TYPES)
+            if not isinstance(f.dataType, SKIP_PROFILE_TYPES)
             and f.name != "part_id"
         ]
         wide = meta_nb.groupBy("part_id").agg(
@@ -285,27 +281,37 @@ def run_pipeline(
         cols = [c for c in cfg.drift_columns if c in meta.columns]
         hist_path = f"{output_dir}/histograms"
         stored_base = None
-        bounds = None
-        if str(cfg.baseline_part) not in [str(p) for p in pending_ids] and (
-            os.path.exists(hist_path)
-        ):
+        bounds = {}
+        if str(cfg.baseline_part) not in [str(p) for p in pending_ids]:
             # resumed run whose baseline partition is already done: the
             # stored baseline histogram is the comparison target, and
             # its bin edges PIN the grid (bins from different edges are
-            # not comparable)
-            stored = spark.read.parquet(hist_path).where(
-                F.col("grp") == cfg.baseline_part
-            )
-            base_rows = stored.select("column", "lo", "hi").distinct().collect()
-            if base_rows:
-                stored_base = stored.select("grp", "column", "bin", "lo", "hi", "cnt")
-                bounds = {r.column: (r.lo, r.hi) for r in base_rows}
-        if bounds is None:
-            # histogram bounds from the already-persisted profiles
-            # (min_num/max_num per column) — no extra scan
+            # not comparable). try/except instead of os.path.exists —
+            # output may live on hdfs:// or s3a://, not the local fs.
+            stored_rows, stored_schema = [], None
+            try:
+                stored = (
+                    spark.read.parquet(hist_path)
+                    .where(F.col("grp") == cfg.baseline_part)
+                    .select("grp", "column", "bin", "lo", "hi", "cnt")
+                )
+                stored_schema = stored.schema
+                stored_rows = stored.collect()
+            except Exception:  # noqa: BLE001 — first run: nothing stored yet
+                pass
+            if stored_rows:
+                # SNAPSHOT driver-side before the dynamic overwrite below
+                # rewrites the same files a lazy plan would re-read (the
+                # baseline histogram is n_bins x n_cols tiny rows)
+                stored_base = spark.createDataFrame(stored_rows, stored_schema)
+                bounds = {r.column: (r.lo, r.hi) for r in stored_rows}
+        missing = [c for c in cols if c not in bounds]
+        if missing:
+            # bounds for columns the stored baseline lacks (all-NULL in
+            # the baseline partition, or drift_columns grew between
+            # runs) come from the already-persisted profiles — no scan
             prow = profiles.select("column", "min_num", "max_num").collect()
-            bounds = {}
-            for c in cols:
+            for c in missing:
                 vals = [(r.min_num, r.max_num) for r in prow if r.column == c]
                 mns = [v[0] for v in vals if v[0] is not None]
                 mxs = [v[1] for v in vals if v[1] is not None]

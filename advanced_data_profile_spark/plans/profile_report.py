@@ -24,7 +24,11 @@ from advanced_data_profile_spark.operators.correlation import (
     pca_feature_importance,
 )
 from advanced_data_profile_spark.operators.drift import histogram
-from advanced_data_profile_spark.operators.stats import profile, table_summary
+from advanced_data_profile_spark.operators.stats import (
+    NUMERIC_TYPES,
+    profile,
+    table_summary,
+)
 from advanced_data_profile_spark.operators.text_ml import (
     char_counts,
     flesch_reading_ease,
@@ -33,8 +37,6 @@ from advanced_data_profile_spark.operators.text_ml import (
 from advanced_data_profile_spark.operators.topk import top_k_values
 from advanced_data_profile_spark.operators.typeinfer import InferredType, infer_types
 
-_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-            T.FloatType, T.DoubleType, T.DecimalType)
 
 
 def profile_table_report(
@@ -70,7 +72,7 @@ def profile_table_report(
         name for name, r in columns.items()
         if r.get("n_distinct") is not None and r.get("n_rows")
         and r["n_distinct"] <= max(top_k * 5, 0.1 * r["n_rows"])
-        and isinstance(dtypes[name], (T.StringType, *_NUMERIC))
+        and isinstance(dtypes[name], (T.StringType, *NUMERIC_TYPES))
     ]
     top_values: dict[str, list] = {}
     if cat_cols:
@@ -81,7 +83,7 @@ def profile_table_report(
             )
 
     # shared-bin histograms for numeric columns, bounds from the profile
-    num_cols = [n for n in columns if isinstance(dtypes[n], _NUMERIC)]
+    num_cols = [n for n in columns if isinstance(dtypes[n], NUMERIC_TYPES)]
     hists: list[dict] = []
     if num_cols:
         bounds = {

@@ -112,3 +112,23 @@ def test_referential_tpch(spark):
     r = res.collect()[0]
     # TPC-H referential integrity holds
     assert r.passed and r.n_violations == 0
+
+
+def test_unique_counts_duplicate_null_keys(spark):
+    """NULL is a key group too: duplicated NULL keys must be violations
+    in BOTH the partitioned and unpartitioned paths (the attribution
+    join is null-safe)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "part_id": [0, 0, 1, 1],
+        "k": pd.array([None, None, 7, 8], dtype="Int64"),
+    }))
+    res_p, vio_p = C.evaluate(df, [C.unique("u", "k")], part_col="part_id")
+    by = {int(r.part_id): r for r in res_p.collect()}
+    assert by[0].n_violations == 2 and by[0].passed is False
+    assert by[1].n_violations == 0 and by[1].passed is True
+    assert any(r.key is None for r in vio_p.collect())
+
+    res_g, _ = C.evaluate(df, [C.unique("u", "k")], part_col=None)
+    assert res_g.first().n_violations == 2

@@ -87,6 +87,12 @@ def test_winnowing_guarantee(spark):
     fps = [set(r.fp) for r in
            df.select(X.winnow_fingerprints(F.col("t"), k=5, w=4).alias("fp")).collect()]
     assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    # documents shorter than k+w-1 normalized chars (and empty/null
+    # text) have NO windows: empty set, not a crash
+    short = spark.createDataFrame(
+        pd.DataFrame({"t": ["", "hi", "1234567", None]})
+    ).select(X.winnow_fingerprints(F.col("t"), k=5, w=4).alias("fp")).collect()
+    assert all(r.fp == [] for r in short)
     # disjoint text: no shared k-grams -> no shared 60-bit fingerprints
     assert not fps[0] & fps[2]
     # fingerprints are sorted + deduped
