@@ -88,6 +88,31 @@ def test_resume_drift_uses_stored_baseline(spark, images_path, tmp_path_factory)
     assert hist.where(F.col("grp") == 0).count() > 0
 
 
+def test_resume_drift_with_stale_histogram_files(spark, images_path, tmp_path_factory):
+    """Crash recovery: a prior run wrote histograms for partitions that
+    never reached the manifest commit. Resume must re-process them —
+    reading the stored baseline BEFORE dynamic-overwriting the same
+    table (a lazy read here used to hit FileNotFoundException)."""
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("pipe4") / "out")
+    s1 = run_pipeline(spark, images_path, out)
+    assert s1["partitions"] == N_PARTS
+    # simulate the crash: results (incl. histograms for ALL parts) are
+    # on disk, but only parts 0,1 committed to the manifest
+    shutil.rmtree(f"{out}/manifest")
+    manifest = Manifest(spark, f"{out}/manifest")
+    manifest.record("prior", "0", "done", n_rows=ROWS)
+    manifest.record("prior", "1", "done", n_rows=ROWS)
+
+    s2 = run_pipeline(spark, images_path, out)
+    assert s2["partitions"] == 2
+    dr = spark.read.parquet(f"{out}/drift_results").collect()
+    late = [r for r in dr if int(r.part_id) in (2, 3)]
+    assert len(late) == 2 * 3
+    assert all(r.ks is not None and r.psi is not None for r in late)
+
+
 def test_pipeline_catches_cross_partition_duplicate_ids(spark, pipe_out):
     """The fixture plants row 0 of every part > 0 duplicating part 0's
     row-0 image_id; the pipeline's uniqueness check is global so these
