@@ -1079,7 +1079,16 @@ def _oracle_infer_types() -> str:
     def col_case(c: str) -> str:
         whens = []
         for fmt in COMMON_FORMATS:
-            sp = _STRPTIME_MAP[fmt]
+            sp = _STRPTIME_MAP.get(fmt)
+            if sp is None:
+                # oracle_sql() builds EVERY oracle eagerly — an unmapped
+                # format must fail with a pointed message, not a bare
+                # KeyError that looks like a harness bug
+                raise ValueError(
+                    f"COMMON_FORMATS entry {fmt!r} has no strptime mapping; "
+                    "add it to _STRPTIME_MAP so the infer_types oracle can "
+                    "replay the identical vote"
+                )
             ts = f"try_strptime({c}, '{sp}')"
             hits = f"count({ts}) = count({c})"
             valid = (

@@ -117,6 +117,10 @@ def rowwise_violation_samples(
     rows violating anything (predicate pushdown), explode the violated
     constraint names, keep k per (partition, constraint) via a window
     over the (small) violating subset."""
+    if not rowwise:
+        return df.sparkSession.createDataFrame(
+            [], "part_id string, constraint string, key string, detail string"
+        )
     part_expr = (
         F.col(part_col).cast("string") if part_col else F.lit("__all__")
     ).alias("part_id")

@@ -328,6 +328,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # returning unconverged labels would SILENTLY split components
+        # (and diverge from the transitive-closure oracle); a component
+        # diameter beyond max_iter is pathological for verified near-dup
+        # graphs (near-cliques) — fail loudly instead
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — a "
+            "component's diameter exceeds max_iter; raise max_iter"
+        )
     return labels.select("id", F.col("lbl").alias("cluster"))
 
 
@@ -381,17 +390,6 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def _sign_bucket(vec: Column, offset: int, bits: int) -> Column:
-    """Sign-LSH bucket from components [offset, offset+bits): bit i set
-    iff component offset+i >= 0 (random-hyperplane LSH with axis-aligned
-    planes — valid for roughly isotropic embedding spaces; DuckDB parity
-    via oracle_fragments.sql_sign_bucket)."""
-    b: Column = F.lit(0).cast("bigint")
-    for i in range(bits):
-        b = b + F.when(vec.getItem(offset + i) >= 0, F.lit(1 << i)).otherwise(0)
-    return b
-
-
 def embedding_band_buckets(
     df: DataFrame, id_col: str, vec_col: str,
     n_bands: int = 4, bits_per_band: int = 8,
@@ -400,6 +398,9 @@ def embedding_band_buckets(
     components [k*bits, (k+1)*bits). Multi-band OR-amplification: a pair
     is a candidate if it collides in ANY band, so recall rises with
     n_bands while per-band bucket count 2^bits keeps buckets small."""
+    # deferred import: similarity imports cosine_expr from this module
+    from advanced_data_profile_spark.operators.similarity import sign_bucket
+
     v = F.col(vec_col)
     exploded = df.select(
         F.col(id_col).alias("id"),
@@ -407,7 +408,7 @@ def embedding_band_buckets(
             F.array(*[
                 F.struct(
                     F.lit(k).alias("band"),
-                    _sign_bucket(v, k * bits_per_band, bits_per_band).alias("bkt"),
+                    sign_bucket(v, bits_per_band, offset=k * bits_per_band).alias("bkt"),
                 )
                 for k in range(n_bands)
             ])
@@ -441,8 +442,11 @@ def embedding_near_dups(
     the band equi-join never goes all-pairs."""
     if bits_per_band is None:
         n = df.count()
-        dims = len(df.select(vec_col).first()[0])
-        bits_per_band = auto_sign_bits(n, dims, n_bands)
+        head = df.select(vec_col).first()
+        if head is None:  # empty input: any bits give the empty pair set
+            bits_per_band = 1
+        else:
+            bits_per_band = auto_sign_bits(n, len(head[0]), n_bands)
     b = embedding_band_buckets(df, id_col, vec_col, n_bands, bits_per_band)
     cand = (
         b.alias("l")

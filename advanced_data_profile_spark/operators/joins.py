@@ -91,6 +91,14 @@ def range_join(
     overlap (sequence/explode — bounded by interval_len/bucket_width),
     points map to one bucket, equi-join on bucket, exact filter after.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full would need post-join dedupe of the bucket-replicated
+        # interval side (each unmatched replica null-extends separately)
+        # and must not pre-filter empty intervals off the preserved side
+        raise NotImplementedError(
+            "range_join supports how='inner' and 'left'; right/full outer "
+            "need interval-side replica dedupe — swap sides and use 'left'"
+        )
     p = points.withColumn(
         "__bkt_p", F.floor(F.col(point_col) / bucket_width).cast("long")
     )

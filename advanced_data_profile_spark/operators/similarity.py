@@ -35,11 +35,14 @@ def knn_bruteforce(
     )
 
 
-def sign_bucket(vec: Column, bits: int = 8) -> Column:
-    """Axis-aligned sign-LSH bucket over the first `bits` components."""
+def sign_bucket(vec: Column, bits: int = 8, offset: int = 0) -> Column:
+    """Axis-aligned sign-LSH bucket from components [offset, offset+bits):
+    bit i set iff component offset+i >= 0. The single Spark-side source
+    for the construction (dedup's banded LSH uses the offset variants;
+    DuckDB parity via oracle_fragments.sql_sign_bucket)."""
     b: Column = F.lit(0).cast("bigint")
     for i in range(bits):
-        b = b + F.when(vec.getItem(i) >= 0, F.lit(1 << i)).otherwise(0)
+        b = b + F.when(vec.getItem(offset + i) >= 0, F.lit(1 << i)).otherwise(0)
     return b
 
 

@@ -87,24 +87,32 @@ def moment_sketches(
 
 def merge_moments(sketches: DataFrame) -> DataFrame:
     """Chan-merge the per-partition (n, mean, m2) relation to one row
-    per column: N = Σn; mean = Σ(n·meanᵢ)/N; M2 = Σm2ᵢ + Σn·meanᵢ² −
-    N·mean² (the algebraic closed form of pairwise Welford merging).
-    Operates on the tiny sketch relation only — NO raw-data scan;
-    results are EXACT, not approximations."""
+    per column: N = Σn; mean = Σ(n·meanᵢ)/N; M2 = Σm2ᵢ +
+    Σnᵢ·(meanᵢ − mean)² — the DEVIATIONS-FROM-GRAND-MEAN form. The
+    algebraically equivalent Σn·meanᵢ² − N·mean² cancels
+    catastrophically when |mean| >> stddev (epoch timestamps: terms
+    ~1e24, true m2 ~1e8 — garbage or NaN), so it must not be used.
+    Two passes over the TINY sketch relation only — never raw data;
+    exact up to fp rounding, clamped at 0 for near-constant columns."""
     g = sketches.groupBy("column").agg(
-        F.sum("n").alias("N"),
-        F.sum(F.col("n") * F.col("mean")).alias("sum_nm"),
-        F.sum("m2").alias("sum_m2"),
-        F.sum(F.col("n") * F.col("mean") * F.col("mean")).alias("sum_nm2"),
+        F.sum("n").alias("total_n"),  # NB: "N" would collide with "n"
+        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("gmean"),
     )
-    mean = F.col("sum_nm") / F.col("N")
-    m2 = F.col("sum_m2") + F.col("sum_nm2") - F.col("N") * mean * mean
-    return g.select(
+    j = sketches.join(g, "column")
+    dev = F.col("mean") - F.col("gmean")
+    out = j.groupBy("column").agg(
+        F.first("total_n").alias("total_n"),
+        F.first("gmean").alias("gmean"),
+        F.greatest(
+            F.sum("m2") + F.sum(F.col("n") * dev * dev), F.lit(0.0)
+        ).alias("merged_m2"),
+    )
+    return out.select(
         "column",
-        F.col("N").alias("n"),
-        mean.alias("mean"),
-        F.sqrt(m2 / (F.col("N") - 1)).alias("stddev"),
-        F.sqrt(m2 / F.col("N")).alias("stddev_pop"),
+        F.col("total_n").alias("n"),
+        F.col("gmean").alias("mean"),
+        F.sqrt(F.col("merged_m2") / (F.col("total_n") - 1)).alias("stddev"),
+        F.sqrt(F.col("merged_m2") / F.col("total_n")).alias("stddev_pop"),
     )
 
 

@@ -50,6 +50,30 @@ def marker_predict_series(texts) -> pd.Series:
     return pd.Series([one(t) for t in texts], dtype="object")
 
 
+# per-Python-worker model cache: mapInPandas reuses worker processes, so
+# the ~130 MB lid.176 model loads ONCE per worker, not once per Arrow
+# batch; path from ADP_FASTTEXT_MODEL (shipped via --files on a cluster)
+_FASTTEXT_MODEL = None
+
+
+def _fasttext_predict(texts) -> pd.Series:  # pragma: no cover - needs fasttext
+    global _FASTTEXT_MODEL
+    if _FASTTEXT_MODEL is None:
+        import os
+
+        import fasttext
+
+        _FASTTEXT_MODEL = fasttext.load_model(
+            os.environ.get("ADP_FASTTEXT_MODEL", "lid.176.bin")
+        )
+    labels = [
+        _FASTTEXT_MODEL.predict(t.replace("\n", " "))[0][0].removeprefix("__label__")
+        if t else "und"
+        for t in texts
+    ]
+    return pd.Series(labels, dtype="object")
+
+
 def lang_id_distinct(
     df: DataFrame,
     text_col: str,
@@ -70,16 +94,7 @@ def lang_id_distinct(
         try:  # pragma: no cover - fasttext absent in this container
             import fasttext  # noqa: F401
 
-            def predict_fn(texts):
-                import fasttext as ft
-
-                model = ft.load_model("lid.176.bin")
-                labels = [
-                    model.predict(t.replace("\n", " "))[0][0].removeprefix("__label__")
-                    if t else "und"
-                    for t in texts
-                ]
-                return pd.Series(labels, dtype="object")
+            predict_fn = _fasttext_predict
         except ImportError:
             predict_fn = marker_predict_series
 

@@ -257,13 +257,21 @@ def run_pipeline(
         # random sample, Profiler.py:542-543 / O3) — metadata only,
         # never payload bytes; sampled from ONE pending partition so
         # the scan prunes to 1/n_parts of the (already column-pruned)
-        # input instead of re-reading the table
-        sample = (
-            meta_nb.where(F.col("part_id") == pending_ids[0])
-            .sample(fraction=0.25, seed=42)
-            .limit(100)
-        )
-        sample.write.mode("overwrite").parquet(f"{output_dir}/row_sample")
+        # input. Written only when absent: a resumed run over a few
+        # late partitions must not silently REPLACE the table-wide
+        # sample with rows from just those partitions.
+        try:
+            spark.read.parquet(f"{output_dir}/row_sample").limit(1).collect()
+            have_sample = True
+        except Exception:  # noqa: BLE001 — not written yet
+            have_sample = False
+        if not have_sample:
+            sample = (
+                meta_nb.where(F.col("part_id") == pending_ids[0])
+                .sample(fraction=0.25, seed=42)
+                .limit(100)
+            )
+            sample.write.mode("overwrite").parquet(f"{output_dir}/row_sample")
         violations.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/violations"
         )

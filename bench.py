@@ -98,8 +98,8 @@ def main() -> None:
     # the SECOND run (first pass warms the page cache + JIT for this
     # payload size — a long-running cluster is always in that state;
     # same discipline as scripts/scaling_bench.py)
-    # best-of-2 timed passes after the warm pass: this shared VM sees
-    # +/-30% external CPU steal, which only ADDS time
+    # best-of-3 passes (min taken — the first, cold page-cache/JIT pass
+    # never wins; external CPU steal on this shared VM only ADDS time)
     ensure_images(spark, BIG_IMAGES, BIG_PARTS, BIG_ROWS, (64, 128))
     big_out = "/tmp/adp_bench_out_big"
     best, big = None, None

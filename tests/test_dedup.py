@@ -194,3 +194,15 @@ def test_embedding_banded_recall_on_planted_pairs(spark):
                                 n_bands=4, bits_per_band=None)
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert {(i, 100 + i) for i in range(20)} <= got
+
+
+def test_dup_clusters_raises_when_unconverged(spark):
+    """A component whose diameter exceeds max_iter must FAIL LOUDLY —
+    returning partially-propagated labels would silently split it."""
+    chain = [(i, i + 1) for i in range(6)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dup_clusters(pairs, max_iter=2)
+    # enough rounds: one component labeled 0
+    got = {r.cluster for r in D.dup_clusters(pairs, max_iter=10).collect()}
+    assert got == {0}

@@ -160,3 +160,36 @@ def test_moment_sketches_merge_exact(lineitem):
         assert merged[c].n == direct[f"n_{c}"]
         assert merged[c].mean == pytest.approx(direct[f"m_{c}"], rel=1e-12)
         assert merged[c].stddev == pytest.approx(direct[f"s_{c}"], rel=1e-9)
+
+
+def test_moment_merge_numerically_stable(spark):
+    """|mean| >> stddev (epoch-seconds style): the merge must use the
+    deviations-from-grand-mean form — the sum-of-squares closed form
+    cancels catastrophically here (garbage or NaN stddev)."""
+    import math
+
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.sketches import (
+        merge_moments,
+        moment_sketches,
+    )
+
+    base = 1.7e9
+    vals = [base + i * 0.5 for i in range(4000)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": [i % 8 for i in range(4000)], "ts": vals})
+    )
+    merged = merge_moments(moment_sketches(df, ["ts"], group_by="g")).first()
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    assert merged.mean == pytest.approx(mean, rel=1e-12)
+    assert merged.stddev == pytest.approx(math.sqrt(var), rel=1e-6)
+    # near-constant column: m2 clamps at 0, never NaN
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"g": [0, 0, 1], "x": [0.1, 0.1, 0.1]})
+    )
+    m2 = merge_moments(moment_sketches(df2, ["x"], group_by="g")).first()
+    assert m2.stddev == m2.stddev  # not NaN (m2 clamped at >= 0)
+    assert abs(m2.stddev) < 1e-12  # fp noise only
