@@ -77,6 +77,11 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
         + block.to_bytes(2, "little")       # block align
         + bits.to_bytes(2, "little")
     )
+    # RIFF chunks are 2-byte aligned: an odd data payload (8-bit PCM,
+    # odd sample count) gets a pad byte AFTER the chunk; the chunk size
+    # field stays the unpadded length, and the RIFF size includes the
+    # pad (spec-strict third-party parsers reject unpadded files)
+    pad = b"\x00" if len(data) % 2 else b""
     body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
-        + b"data" + len(data).to_bytes(4, "little") + data
+        + b"data" + len(data).to_bytes(4, "little") + data + pad
     return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -115,6 +115,17 @@ def ks_psi(
     )
     wtot = Window.partitionBy("grp", "column")
     wcum = wtot.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # a column with an EMPTY baseline (all-NULL in the baseline
+    # partition, or drift_columns grew after the baseline was stored)
+    # has sum(bcnt)=0 → q and psi would be NULL and the verdict a
+    # silent NULL-coerced FAIL; such columns are unscorable, so drop
+    # them here — callers emit an explicit skipped marker (the same
+    # contract as the no-baseline-at-all path in plans.pipeline)
+    counts = (
+        counts.withColumn("__btot", F.sum("bcnt").over(wtot))
+        .withColumn("__ctot", F.sum("cnt").over(wtot))
+        .where((F.col("__btot") > 0) & (F.col("__ctot") > 0))
+    )
     p = F.col("cnt") / F.sum("cnt").over(wtot)
     q = F.col("bcnt") / F.sum("bcnt").over(wtot)
     # unnormalized epsilon smoothing (same convention as the

@@ -338,8 +338,43 @@ def infer_types(
             if t.logical in ("integer", "float")
             and isinstance(dtypes[c], T.StringType)
         ]
-        if confirm_dt or confirm_num:
+        # a sample-declared 'empty' column needs a full-column confirm
+        # too: a sparse column that happens to be all-NULL in the seeded
+        # sample must not be typed 'empty' when the full column has
+        # values (the datetime/numeric verdicts already get this pass)
+        confirm_empty = [c for c, t in decisions.items() if t.logical == "empty"]
+        if confirm_dt or confirm_num or confirm_empty:
             cexprs = []
+            for c in confirm_empty:
+                cexprs.append(F.count(F.col(c)).alias(f"__en_{c}"))
+                if isinstance(dtypes[c], _NUMERIC_TYPES):
+                    cexprs.append(
+                        F.min((F.col(c) == F.floor(F.col(c))).cast("int")).alias(
+                            f"__eint_{c}"
+                        )
+                    )
+                    cexprs.append(
+                        F.max(
+                            F.coalesce(
+                                F.length(
+                                    F.split(F.col(c).cast("string"), r"\.").getItem(1)
+                                ),
+                                F.lit(0),
+                            )
+                        ).alias(f"__edec_{c}")
+                    )
+                elif isinstance(dtypes[c], T.StringType):
+                    d = F.col(c).try_cast("double")
+                    cexprs.append(
+                        (F.sum(d.isNotNull().cast("long")) == F.count(F.col(c))).alias(
+                            f"__enum_{c}"
+                        )
+                    )
+                    cexprs.append(
+                        F.min(
+                            F.when(d.isNotNull(), (d == F.floor(d)).cast("int"))
+                        ).alias(f"__enumint_{c}")
+                    )
             for c, t in confirm_dt:
                 ts = _ts_expr(c, t.datetime_format)
                 cexprs.append(
@@ -360,6 +395,35 @@ def infer_types(
                     )
                 )
             crow = df.agg(*cexprs).collect()[0].asDict()
+            for c in confirm_empty:
+                if crow[f"__en_{c}"] == 0:
+                    continue  # confirmed empty on the full column
+                dt = dtypes[c]
+                if isinstance(dt, _NUMERIC_TYPES):
+                    if not isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+                        decisions[c] = InferredType("integer")
+                    elif crow[f"__eint_{c}"] == 1:
+                        decisions[c] = InferredType("integer")
+                    else:
+                        decisions[c] = InferredType(
+                            "double" if (crow[f"__edec_{c}"] or 0) > 6 else "float"
+                        )
+                elif isinstance(dt, T.DateType):
+                    decisions[c] = InferredType("date")
+                elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                    decisions[c] = InferredType("timestamp")
+                elif isinstance(dt, T.StringType):
+                    # no sampled values means no datetime vote happened;
+                    # the numeric confirm aggregates decide, else fall
+                    # back to the string path (never 'empty')
+                    if crow[f"__enum_{c}"]:
+                        decisions[c] = InferredType(
+                            "integer" if crow[f"__enumint_{c}"] == 1 else "float"
+                        )
+                    else:
+                        decisions[c] = InferredType("string")
+                else:
+                    decisions[c] = InferredType("string")
             for c, t in confirm_dt:
                 if not crow[f"__ok_{c}"]:
                     decisions[c] = InferredType("string")

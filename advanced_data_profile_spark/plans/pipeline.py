@@ -47,6 +47,7 @@ from advanced_data_profile_spark.operators.stats import (
     profile,
 )
 from advanced_data_profile_spark.plans.manifest import Manifest, new_run_id
+from advanced_data_profile_spark.session import hadoop_path_exists
 from advanced_data_profile_spark.sources.images import phash_reference, read_images
 
 
@@ -259,13 +260,12 @@ def run_pipeline(
         # the scan prunes to 1/n_parts of the (already column-pruned)
         # input. Written only when absent: a resumed run over a few
         # late partitions must not silently REPLACE the table-wide
-        # sample with rows from just those partitions.
-        try:
-            spark.read.parquet(f"{output_dir}/row_sample").limit(1).collect()
-            have_sample = True
-        except Exception:  # noqa: BLE001 — not written yet
-            have_sample = False
-        if not have_sample:
+        # sample with rows from just those partitions. Existence is a
+        # FileSystem-API probe, not a read-and-catch — a transient read
+        # failure must never masquerade as 'not written yet' and
+        # overwrite the table-wide sample (and the expected
+        # PATH_NOT_FOUND used to dump a stack trace into bench logs).
+        if not hadoop_path_exists(spark, f"{output_dir}/row_sample"):
             sample = (
                 meta_nb.where(F.col("part_id") == pending_ids[0])
                 .sample(fraction=0.25, seed=42)
@@ -294,10 +294,12 @@ def run_pipeline(
             # resumed run whose baseline partition is already done: the
             # stored baseline histogram is the comparison target, and
             # its bin edges PIN the grid (bins from different edges are
-            # not comparable). try/except instead of os.path.exists —
-            # output may live on hdfs:// or s3a://, not the local fs.
+            # not comparable). FileSystem-API existence probe instead of
+            # os.path.exists (output may live on hdfs:// or s3a://) or a
+            # read-and-catch (a real read error must propagate, not be
+            # mistaken for 'first run').
             stored_rows, stored_schema = [], None
-            try:
+            if hadoop_path_exists(spark, hist_path):
                 stored = (
                     spark.read.parquet(hist_path)
                     .where(F.col("grp") == cfg.baseline_part)
@@ -305,8 +307,6 @@ def run_pipeline(
                 )
                 stored_schema = stored.schema
                 stored_rows = stored.collect()
-            except Exception:  # noqa: BLE001 — first run: nothing stored yet
-                pass
             if stored_rows:
                 # SNAPSHOT driver-side before the dynamic overwrite below
                 # rewrites the same files a lazy plan would re-read (the
@@ -345,6 +345,14 @@ def run_pipeline(
             hist.unionByName(stored_base) if stored_base is not None else hist
         )
         scores = ks_psi(hist_all, cfg.baseline_part)
+        # columns ks_psi dropped for having an EMPTY baseline (all-NULL
+        # in the baseline partition / drift_columns grew between runs)
+        # get an explicit skipped marker, mirroring the
+        # no-baseline-at-all path — never a NULL-coerced FAIL verdict
+        scored_cols = {r.column for r in scores.select("column").distinct().collect()}
+        for c in cols:
+            if c not in scored_cols:
+                timings[f"drift_skipped_empty_baseline__{c}"] = 0.0
         dv = drift_verdicts(scores, cfg.ks_threshold, cfg.psi_threshold)
         dv.write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/drift_results"

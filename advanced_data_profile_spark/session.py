@@ -60,3 +60,17 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one of the driver-provided parquet tables."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe via the Hadoop FileSystem API
+    (works for file://, hdfs://, s3a:// — wherever the output lives).
+
+    Replaces the read-and-catch probe pattern: a `spark.read...collect()`
+    inside `except Exception` cannot distinguish 'not written yet' from a
+    corrupt footer / fs hiccup / permission error, and the expected
+    PATH_NOT_FOUND case spews a py4j stack trace into the logs."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))

@@ -27,7 +27,7 @@ SESSION_SCHEMA = (
 STATE_SCHEMA = "start double, last double, n bigint, val double"
 
 
-def _sessionize_fn(gap_sec: float):
+def _sessionize_fn(gap_sec: float, idle_timeout_sec: float | None = None):
     def fn(key, pdfs, state):
         user_id = int(key[0])
         events: list[tuple[float, float]] = []
@@ -38,7 +38,9 @@ def _sessionize_fn(gap_sec: float):
         closed: list[tuple] = []
 
         if state.hasTimedOut:
-            # production path: idle timeout closes the open session
+            # idle timeout fired: close and emit the open session (a
+            # user who stopped sending events would otherwise hold an
+            # open session forever and never be emitted)
             if state.exists:
                 start, last, n, val = state.get
                 closed.append((user_id, start, last, int(n), val))
@@ -62,11 +64,22 @@ def _sessionize_fn(gap_sec: float):
                 start, n, val = ts, 0, 0.0
             if start is None:
                 start = ts
-            last = ts
+            # LATE-EVENT CLAMP: a cross-batch event older than the
+            # stored `last` merges into the open session (counts, adds
+            # value, may extend session_start backwards) but must never
+            # move the session END backwards — otherwise the next
+            # in-order event sees an artificially large gap and splits
+            # the session spuriously.
+            start = min(start, ts)
+            last = ts if last is None else max(last, ts)
             n += 1
             val += v
         if start is not None:
             state.update((float(start), float(last), int(n), float(val)))
+            if idle_timeout_sec is not None:
+                # event-time timeout: fires once the watermark passes
+                # last-seen + idle gap (timestamps are epoch millis)
+                state.setTimeoutTimestamp(int((last + idle_timeout_sec) * 1000))
         yield pd.DataFrame(
             closed,
             columns=["user_id", "session_start", "session_end",
@@ -77,20 +90,36 @@ def _sessionize_fn(gap_sec: float):
 
 
 def streaming_sessionize(
-    events: DataFrame, gap_sec: float = 1800.0
+    events: DataFrame,
+    gap_sec: float = 1800.0,
+    idle_timeout_sec: float | None = None,
 ) -> DataFrame:
     """events: a STREAMING DataFrame with (user_id bigint, ts_sec
     double, value double). Returns the stream of CLOSED sessions.
 
     State is one small tuple per active user; the shuffle is the
     standard groupBy(user_id) hash partitioning, so a hot user is one
-    state row, not a memory blow-up."""
+    state row, not a memory blow-up.
+
+    idle_timeout_sec: when set, uses GroupStateTimeout.EventTimeTimeout
+    and registers last_event + idle_timeout_sec as the timeout, so an
+    idle user's OPEN session is closed and emitted once the watermark
+    passes it (the caller must have configured a watermark on the
+    event-time column — EventTimeTimeout requires one). Default None
+    keeps NoTimeout: sessions close only via the gap rule, and a final
+    open session per user is never emitted (documented batch-parity
+    behavior)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if idle_timeout_sec is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(gap_sec),
+        _sessionize_fn(gap_sec, idle_timeout_sec),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

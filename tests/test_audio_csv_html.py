@@ -215,3 +215,21 @@ def test_html_report_structure(spark, images_path, tmp_path):
     assert path.endswith(".gz")
     with gzip.open(path, "rb") as f:
         assert f.read().startswith(b"<!DOCTYPE html>")
+
+
+def test_wav_odd_payload_riff_padding():
+    """RIFF 2-byte alignment: 8-bit PCM with an odd sample count gets a
+    pad byte after the data chunk; the chunk size field stays unpadded,
+    the RIFF size covers the pad, and decode round-trips."""
+    rate = 8000
+    x = np.linspace(-0.9, 0.9, 501)  # odd count -> odd 8-bit payload
+    payload = encode_wav(x, rate, bits=8)
+    # data chunk says 501 bytes but the file carries the pad byte
+    assert len(payload) % 2 == 0
+    riff_size = int.from_bytes(payload[4:8], "little")
+    assert riff_size == len(payload) - 8  # pad included in RIFF size
+    i = payload.index(b"data")
+    assert int.from_bytes(payload[i + 4: i + 8], "little") == 501
+    got_rate, got = decode_wav(payload)
+    assert got_rate == rate and len(got) == 501
+    assert float(np.abs(got - x).max()) < 1.0 / 120  # 8-bit quantization

@@ -85,3 +85,25 @@ def test_histogram_shared_bins_across_groups(spark):
     base_bins = {r.bin for r in hist if r.grp == "base"}
     new_bins = {r.bin for r in hist if r.grp == "new"}
     assert base_bins.isdisjoint(new_bins)
+
+
+def test_ks_psi_skips_empty_baseline_column(spark):
+    """A column with NO baseline rows (all-NULL in the baseline
+    partition, or drift_columns grew after the baseline was stored) is
+    dropped from the scored set instead of emitting NULL ks/psi that a
+    bool() coercion would silently turn into a FAIL."""
+    rows = (
+        # column x exists in baseline and new
+        [("base", "x", b, 0.0, 10.0, 10) for b in range(1, 6)]
+        + [("new", "x", b, 0.0, 10.0, 12) for b in range(1, 6)]
+        # column y exists ONLY in the new snapshot
+        + [("new", "y", b, 0.0, 10.0, 7) for b in range(1, 6)]
+    )
+    hist = spark.createDataFrame(
+        rows, "grp string, column string, bin int, lo double, hi double, cnt long"
+    )
+    scores = ks_psi(hist, "base").collect()
+    cols = {r.column for r in scores}
+    assert cols == {"x"}
+    for r in scores:
+        assert r.ks is not None and r.psi is not None

@@ -244,3 +244,95 @@ def test_report_assembly(spark, images_path, tmp_path):
     assert "caption" in p0["columns"]
     path = write_report(report, str(tmp_path / "report.json"))
     assert read_report(path)["n_partitions"] == N_PARTS
+
+
+class _FakeGroupState:
+    """Driver-side stand-in for pyspark's GroupState — lets the
+    sessionize kernel's state-machine edges (late events, idle timeout)
+    be tested without standing up a streaming query."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def _run_fn(fn, state, ts_vals):
+    pdf = pd.DataFrame({
+        "ts_sec": [float(t) for t in ts_vals],
+        "value": [1.0] * len(ts_vals),
+    })
+    return pd.concat(list(fn((7,), iter([pdf]), state)), ignore_index=True)
+
+
+def test_sessionize_late_event_never_moves_session_end_backwards(spark):
+    from advanced_data_profile_spark.streaming.sessionize import _sessionize_fn
+
+    fn = _sessionize_fn(gap_sec=30.0)
+    state = _FakeGroupState(value=(100.0, 200.0, 2, 5.0))
+    out = _run_fn(fn, state, [150.0])  # cross-batch LATE event
+    assert len(out) == 0  # merged into the open session, nothing closed
+    start, last, n, val = state.get
+    assert last == 200.0      # end NOT dragged backwards
+    assert start == 100.0
+    assert n == 3 and val == 6.0
+    # next in-order event within gap of the TRUE end must not split
+    out = _run_fn(fn, state, [225.0])
+    assert len(out) == 0
+    assert state.get[1] == 225.0
+
+
+def test_sessionize_idle_timeout_emits_open_session(spark):
+    from advanced_data_profile_spark.streaming.sessionize import _sessionize_fn
+
+    fn = _sessionize_fn(gap_sec=30.0, idle_timeout_sec=60.0)
+    # timeout fired: the open session is closed, emitted once, state dropped
+    state = _FakeGroupState(value=(100.0, 200.0, 2, 5.0), timed_out=True)
+    out = _run_fn(fn, state, [])
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.session_start, r.session_end, r.n_events) == (100.0, 200.0, 2)
+    assert not state.exists
+    # normal batch with timeout configured registers the event-time timeout
+    state2 = _FakeGroupState()
+    _run_fn(fn, state2, [10.0, 20.0])
+    assert state2.timeout_ts == int((20.0 + 60.0) * 1000)
+
+
+def test_streaming_sessionize_timeout_conf_wiring(spark):
+    """idle_timeout_sec=None -> NoTimeout (batch-parity); set ->
+    EventTimeTimeout. Verified on the logical builder (the plan builds;
+    EventTimeTimeout additionally needs a watermark at query start)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+
+    from advanced_data_profile_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    events = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value AS user_id",
+            "CAST(value AS DOUBLE) AS ts_sec",
+            "CAST(1.0 AS DOUBLE) AS value",
+        )
+    )
+    assert streaming_sessionize(events, gap_sec=10.0).isStreaming
+    assert streaming_sessionize(events, gap_sec=10.0, idle_timeout_sec=5.0).isStreaming

@@ -156,3 +156,19 @@ def test_sample_confirm_rejects_partial_format(spark):
     pdf = pd.DataFrame({"d": ["2024-01-01"] * 50 + ["not-a-date"]})
     t = infer_types(spark.createDataFrame(pdf).coalesce(1), sample_rows=10)
     assert t["d"].logical == "string"
+
+
+def test_sparse_column_never_typed_empty(spark):
+    """A column all-NULL in the seeded sample but with values in the
+    full column must be confirmed full-column (same discipline as the
+    datetime/numeric confirm pass), never declared 'empty'."""
+    n = 5000
+    pdf = pd.DataFrame({
+        "sparse_num": [None] * (n - 1) + ["42"],
+        "sparse_str": [None] * (n - 1) + ["hello"],
+        "true_empty": pd.Series([None] * n, dtype="object"),
+    })
+    t = infer_types(spark.createDataFrame(pdf).coalesce(1), sample_rows=20)
+    assert t["sparse_num"].logical == "integer"
+    assert t["sparse_str"].logical == "string"
+    assert t["true_empty"].logical == "empty"
