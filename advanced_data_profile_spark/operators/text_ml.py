@@ -1,22 +1,24 @@
 """Heavier text kernels: word frequencies, TF-IDF top n-grams,
 readability (SURVEY.md N1-N4; reference Profiler.py:800-864).
 
-Word frequencies and readability are pure column expressions; TF-IDF
-composes pyspark.ml transformers (RegexTokenizer → NGram →
-CountVectorizer → IDF) with the mean-score reduction done as one
-posexplode aggregation — the distributed equivalent of sklearn
-TfidfVectorizer column means (exact sklearn parity would need its
-tokenizer regex + smooth-idf + l2 norm; semantics here are the Spark-
-standard ones, pinned by tests — documented deviation per SURVEY N1).
+Word frequencies and readability are pure column expressions. TF-IDF is
+sklearn-PARITY (the reference's TfidfVectorizer(ngram_range=(1,3))
+defaults: raw TF, smooth idf = ln((1+n)/(1+df)) + 1, per-document l2
+norm, column means over all docs), built from plain DataFrame ops —
+explode + aggregations + a window — so the whole pipeline stays
+JVM-side and is value-oracled against DuckDB SQL. Only deviation: the
+tokenizer's ``\\w`` is interpreted ASCII so Spark and the oracle agree
+byte-for-byte (sklearn's unicode ``\\w`` differs on non-ASCII word
+chars only).
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from advanced_data_profile_spark.functions.text import norm_text, tokens
+from advanced_data_profile_spark.functions.text import tokens
 
 
 def marker_predict_series(texts) -> pd.Series:
@@ -175,56 +177,82 @@ def char_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def sklearn_tokens(c) -> "F.Column":
+    """The reference's tokenizer (sklearn TfidfVectorizer default
+    token_pattern ``\\b\\w\\w+\\b``, lowercase=True), interpreted ASCII:
+    maximal runs of [a-z0-9_] of length >= 2 after lowercasing. ASCII
+    interpretation is pinned so Spark (Java regex) and the DuckDB
+    oracle (RE2) tokenize byte-identically; sklearn's unicode ``\\w``
+    differs only on non-ASCII word chars (documented deviation)."""
+    return F.filter(
+        F.split(F.lower(c), "[^a-z0-9_]+"),
+        lambda t: F.length(t) >= 2,
+    )
+
+
+def word_ngrams(toks, n: int):
+    """Space-joined word n-grams of a token array — pure JVM-side
+    higher-order functions, no ml transformer."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def tfidf_top_ngrams(
     df: DataFrame, text_col: str, ngrams: tuple[int, ...] = (1, 2, 3),
-    top: int = 20, vocab_size: int = 4096,
+    top: int = 20,
 ) -> DataFrame:
-    """Top n-grams by mean TF-IDF score across documents (N1), via
-    pyspark.ml. Mean score per vocabulary term is computed distributed
-    (posexplode of the sparse vectors), only the top-k hits the driver."""
-    from pyspark.ml.feature import IDF, CountVectorizer, NGram, RegexTokenizer
+    """Top n-grams by mean TF-IDF across documents, sklearn-PARITY
+    (reference Profiler.py:800-809, TfidfVectorizer(ngram_range=(1,3))
+    defaults): raw-count TF, smooth idf = ln((1+n_docs)/(1+df)) + 1,
+    per-document l2 normalization, mean over ALL docs (zeros included,
+    = sum/n_docs), top-k by mean desc then ngram asc (sklearn's stable
+    sort over the alphabetical vocabulary).
 
-    src = df.select(norm_text(F.col(text_col)).alias("__norm")).where(
-        F.col("__norm") != ""
-    )
-    tok = RegexTokenizer(
-        inputCol="__norm", outputCol="__tok", pattern=" ", minTokenLength=1
-    ).transform(src)
-
-    gram_cols = []
-    out = tok
-    for n in ngrams:
-        col = f"__g{n}"
-        out = NGram(n=n, inputCol="__tok", outputCol=col).transform(out)
-        gram_cols.append(col)
-    out = out.select(F.concat(*[F.col(g) for g in gram_cols]).alias("__grams"))
-
-    cv = CountVectorizer(
-        inputCol="__grams", outputCol="__tf", vocabSize=vocab_size, minDF=1.0
-    ).fit(out)
-    tf = cv.transform(out)
-    idf = IDF(inputCol="__tf", outputCol="__tfidf").fit(tf)
-    scored = idf.transform(tf)
-
-    n_docs = scored.count()
-    # vector -> (idx, value) rows, zeros dropped; mean over ALL docs =
-    # sum/n_docs. vocab_size is bounded so the posexplode fan-out is
-    # O(docs * vocab) worst case — cap vocab, not docs.
-    from pyspark.ml.functions import vector_to_array
-
-    pairs = scored.select(
-        F.posexplode(vector_to_array(F.col("__tfidf"))).alias("idx", "val")
-    ).where(F.col("val") != 0.0)
-    means = (
-        pairs.groupBy("idx")
-        .agg((F.sum("val") / n_docs).alias("mean_tfidf"))
-        .orderBy(F.desc("mean_tfidf"), F.asc("idx"))
-        .limit(top)
-    )
-    vocab = cv.vocabulary
-    rows = means.collect()
+    Scale shape: explode n-grams -> one (doc, term) count aggregation
+    (map-side partial agg collapses the token fan-out), per-term df agg
+    joined back on term, per-doc l2 norm via a window on doc, final
+    per-term mean + TakeOrderedAndProject. The vocabulary is never
+    materialized driver-side (the ml CountVectorizer path collects it);
+    only the final top-k rows reach the driver."""
+    src = df.where(F.col(text_col).isNotNull())
+    n_docs = src.count()
     spark = df.sparkSession
-    return spark.createDataFrame(
-        [(vocab[int(r.idx)], round(float(r.mean_tfidf), 6)) for r in rows],
-        "ngram string, mean_tfidf double",
+    if n_docs == 0:
+        return spark.createDataFrame([], "ngram string, mean_tfidf double")
+    toks = sklearn_tokens(F.col(text_col))
+    grams = F.flatten(F.array(*[word_ngrams(toks, n) for n in ngrams]))
+    # doc id BEFORE the explode (separate projection so the
+    # nondeterministic id is pinned per input row, never re-evaluated
+    # per exploded row)
+    docs = src.select(
+        F.monotonically_increasing_id().alias("__doc"), grams.alias("__grams")
+    )
+    tf = (
+        docs.select("__doc", F.explode("__grams").alias("ngram"))
+        .groupBy("__doc", "ngram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("ngram").agg(F.count(F.lit(1)).alias("df_t")).select(
+        "ngram",
+        (F.log(F.lit(float(n_docs + 1)) / (F.col("df_t") + 1)) + 1).alias("idf"),
+    )
+    w = tf.join(idf, "ngram").select(
+        "__doc", "ngram", (F.col("tf") * F.col("idf")).alias("wt")
+    )
+    wdoc = Window.partitionBy("__doc")
+    normed = w.withColumn(
+        "u", F.col("wt") / F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(wdoc))
+    )
+    return (
+        normed.groupBy("ngram")
+        .agg(F.round(F.sum("u") / n_docs, 6).alias("mean_tfidf"))
+        .orderBy(F.desc("mean_tfidf"), F.asc("ngram"))
+        .limit(top)
     )

@@ -36,6 +36,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracles that embed literals recomputed from the fixture
+    # (pca_importance) must read the SAME sf as this check
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

@@ -41,3 +41,57 @@ def test_embedding_correlation(spark):
     out = embedding_correlation(emb, "embedding", 4).collect()
     assert len(out) == 6
     assert all(-1.0 <= r.corr <= 1.0 for r in out)
+
+
+def test_pca_from_scratch_matches_ml(spark):
+    """The one-scan moment-algebra + numpy-eigh path must reproduce the
+    pyspark.ml Imputer→StandardScaler→PCA recipe (the reference's,
+    Profiler.py:1033-1065) — including with NULLs to exercise the
+    null-aware cross-moment terms."""
+    from advanced_data_profile_spark.operators.correlation import (
+        pca_feature_importance_ml,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, 300)
+    pdf = pd.DataFrame({
+        "a": 3 * x + rng.normal(0, 0.5, 300),
+        "b": -2 * x + rng.normal(0, 0.8, 300),
+        "c": rng.normal(5, 2, 300),
+        "d": x ** 2 + rng.normal(0, 0.3, 300),
+    })
+    # plant NULLs in two columns (different rows)
+    pdf.loc[::7, "a"] = np.nan
+    pdf.loc[3::11, "c"] = np.nan
+    df = spark.createDataFrame(pdf)
+    cols = ["a", "b", "c", "d"]
+    scratch = {r.feature: r.importance
+               for r in pca_feature_importance(df, cols, k=4).collect()}
+    ml = {r.feature: r.importance
+          for r in pca_feature_importance_ml(df, cols, k=4).collect()}
+    assert scratch == ml  # identical after the reference's 2dp rounding
+
+
+def test_imputed_standardized_cov_vs_numpy(spark):
+    """The single-agg covariance equals numpy's impute-then-cov on the
+    materialized data, to float precision."""
+    from advanced_data_profile_spark.operators.correlation import (
+        imputed_standardized_cov,
+    )
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "a": rng.normal(0, 1, 200),
+        "b": rng.normal(10, 3, 200),
+        "c": rng.normal(-5, 0.5, 200),
+    })
+    pdf.loc[::5, "b"] = np.nan
+    pdf.loc[2::9, "c"] = np.nan
+    C = imputed_standardized_cov(spark.createDataFrame(pdf), ["a", "b", "c"])
+    X = pdf.to_numpy(dtype=float)
+    for j in range(X.shape[1]):
+        col = X[:, j]
+        col[np.isnan(col)] = np.nanmean(col)
+    Z = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
+    want = (Z.T @ Z) / (len(X) - 1)
+    assert np.allclose(C, want, atol=1e-10)

@@ -206,3 +206,58 @@ def test_dup_clusters_raises_when_unconverged(spark):
     # enough rounds: one component labeled 0
     got = {r.cluster for r in D.dup_clusters(pairs, max_iter=10).collect()}
     assert got == {0}
+
+
+def test_embedding_near_dups_defaults_scale_bits_with_n(spark):
+    """The DEFAULTS path (bits_per_band=None) derives ~log2(n) bits —
+    a 100 TB caller on defaults must never get a fixed 256-bucket band.
+    Result equals the explicitly-pinned construction at the derived
+    bits (same bucket function, just auto-sized)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+
+    def mk(n):
+        vecs = rng.normal(size=(n, 64)).astype(float).tolist()
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+        )
+
+    small, big = mk(256), mk(4096)
+    b_small = D.resolve_sign_bits(small, "v")
+    b_big = D.resolve_sign_bits(big, "v")
+    assert b_small == 8 and b_big == 12  # ceil(log2(n))
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups(small, "id", "v", threshold=0.2).collect()
+    }
+    pinned = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups(
+            small, "id", "v", threshold=0.2, bits_per_band=b_small
+        ).collect()
+    }
+    assert got == pinned
+
+
+def test_dup_clusters_long_chain_converges_logarithmically(spark):
+    """Pointer jumping: a 200-node path (diameter 199) must converge
+    within the DEFAULT max_iter (25) — min-propagation alone would need
+    ~199 rounds. Also checks exactness on a branchy graph."""
+    chain = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.id: r.cluster for r in D.dup_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 200
+
+    # two stars sharing a bridge + an isolated pair
+    edges = (
+        [(100, 100 + i) for i in range(1, 6)]
+        + [(200, 200 + i) for i in range(1, 6)]
+        + [(105, 201)]  # bridge joins both stars
+        + [(500, 501)]
+    )
+    pairs2 = spark.createDataFrame(edges, "id_a long, id_b long")
+    got2 = {r.id: r.cluster for r in D.dup_clusters(pairs2).collect()}
+    star = {n for n in got2 if n < 300}
+    assert {got2[n] for n in star} == {100}
+    assert got2[500] == 500 and got2[501] == 500

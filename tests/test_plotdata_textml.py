@@ -93,10 +93,10 @@ def test_char_counts(spark):
 
 
 def test_tfidf_pinned_golden(spark):
-    """N1 upgrade from 'runs' to 'checked': hand-computed TF-IDF means
-    on a tiny corpus, independently re-derived here with the pinned
-    semantics (raw-count TF, smooth idf = ln((m+1)/(df+1)), mean over
-    ALL docs) — the documented Spark-ml convention."""
+    """N1 sklearn PARITY: hand-computed TfidfVectorizer-default means
+    on a tiny corpus — raw-count TF, smooth idf = ln((m+1)/(df+1)) + 1,
+    per-document L2 normalization, mean over ALL docs (zeros included).
+    Exactly the reference's recipe (Profiler.py:800-809)."""
     import math
 
     docs = ["apple banana apple", "banana cherry", "apple cherry cherry"]
@@ -104,10 +104,13 @@ def test_tfidf_pinned_golden(spark):
     tf = [{w: d.split().count(w) for w in set(d.split())} for d in docs]
     vocab = {w for d in tf for w in d}
     df_ = {w: sum(1 for d in tf if w in d) for w in vocab}
-    want = {
-        w: sum(d.get(w, 0) * math.log((m + 1) / (df_[w] + 1)) for d in tf) / m
-        for w in vocab
-    }
+    idf = {w: math.log((m + 1) / (df_[w] + 1)) + 1 for w in vocab}
+    weighted = [{w: c * idf[w] for w, c in d.items()} for d in tf]
+    normed = [
+        {w: v / math.sqrt(sum(x * x for x in d.values())) for w, v in d.items()}
+        for d in weighted
+    ]
+    want = {w: sum(d.get(w, 0.0) for d in normed) / m for w in vocab}
     out = tfidf_top_ngrams(
         spark.createDataFrame(pd.DataFrame({"t": docs})), "t", ngrams=(1,), top=3
     )
@@ -115,6 +118,22 @@ def test_tfidf_pinned_golden(spark):
     assert set(got) == vocab
     for w in vocab:
         assert got[w] == pytest.approx(want[w], abs=1e-6), w
+
+
+def test_tfidf_ngram_generation(spark):
+    """Bigrams/trigrams via pure JVM higher-order functions: tokens
+    shorter than n yield no grams; tokens of length <2 are dropped by
+    the sklearn token_pattern before gram assembly."""
+    pdf = pd.DataFrame({"t": ["the big cat", "a cat", "x"]})
+    out = tfidf_top_ngrams(
+        spark.createDataFrame(pdf), "t", ngrams=(1, 2, 3), top=50
+    ).collect()
+    grams = {r.ngram for r in out}
+    # 'a' and 'x' are single-char tokens -> dropped entirely
+    assert grams == {
+        "the", "big", "cat",
+        "the big", "big cat", "the big cat",
+    }
 
 
 def test_tfidf_top_ngrams(spark):

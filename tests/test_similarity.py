@@ -86,3 +86,27 @@ def test_ivf_kmeans_recall(spark):
     labeled.unpersist()
     assert len(got) == 10
     assert len(got & exact) >= 7  # >=70% recall at 3/8 probes
+
+
+def test_auto_probe_bits_scales_with_n():
+    """Default knn_lsh code width grows with n so the probed fraction
+    SHRINKS instead of a fixed-bits bucket growing to n/2^const."""
+    b1k = S.auto_probe_bits(1_000, 64)
+    b1m = S.auto_probe_bits(1_000_000, 64)
+    b1g = S.auto_probe_bits(1_000_000_000, 64)
+    assert b1k < b1m < b1g
+    # expected probed candidates stay near the target at every scale
+    import math
+    for n, b in ((1_000, b1k), (1_000_000, b1m), (1_000_000_000, b1g)):
+        probes = sum(math.comb(b, i) for i in range(2))
+        assert n * probes / (1 << b) >= 64  # never starves below target
+    assert b1g <= 24  # clamped
+
+
+def test_knn_lsh_defaults_path(emb, query):
+    """bits=None derives the code width from a count; the query's own
+    bucket always probes itself, so vec 0 (cosine 1.0) must top the
+    result."""
+    rows = S.knn_lsh(emb, "vec_id", "embedding", query, k=10).collect()
+    assert 1 <= len(rows) <= 10
+    assert rows[0].id == 0 and rows[0].cosine == 1.0
