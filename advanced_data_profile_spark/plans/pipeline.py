@@ -22,8 +22,10 @@ plus a violation-sample scan (filter-pushdown, violating rows only).
 Uniqueness scope note: within one run the check is global across the
 partitions being processed (cross-partition duplicates are detected and
 attributed to every partition holding the key). Across resumed runs the
-already-done partitions are not rescanned — a cross-RUN global check is
-a dedicated full-table pass, not part of the incremental pipeline.
+already-done partitions are not rescanned — the cross-RUN global check
+is the dedicated full-table pass `global_uniqueness_check` below (run
+on demand, or per run via PipelineConfig.global_unique), writing
+kind='unique_global' rows to constraint_results_global.
 """
 
 from __future__ import annotations
@@ -66,6 +68,7 @@ class PipelineConfig:
     sample_violations: int = 20
     extra_checks: list = field(default_factory=list)
     table_format: str = "parquet"          # "iceberg" on a real cluster
+    global_unique: bool = False            # cross-RUN uniqueness pass per run
 
 
 def image_checks(images_ref: DataFrame, cfg: PipelineConfig) -> list[C.Check]:
@@ -392,11 +395,84 @@ def run_pipeline(
 
     total_rows = sum(part_rows.values())
     elapsed = time.time() - t0
-    return {
+    summary = {
         "run_id": run_id,
         "partitions": len(pending_ids),
         "rows": total_rows,
         "elapsed_sec": round(elapsed, 3),
         "images_per_sec": round(total_rows / elapsed, 1) if elapsed > 0 else None,
         "timings": {k: round(v, 3) for k, v in timings.items()},
+    }
+    if cfg.global_unique:
+        summary["global_uniqueness"] = global_uniqueness_check(
+            spark, images_path, output_dir, cfg=cfg
+        )
+    return summary
+
+
+def global_uniqueness_check(
+    spark: SparkSession,
+    images_path: str,
+    output_dir: str,
+    key_cols: tuple = ("image_id",),
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Dedicated CROSS-RUN global uniqueness pass.
+
+    The incremental pipeline checks uniqueness globally across the
+    partitions of ONE run; resumed runs do not rescan already-done
+    partitions, so a late partition duplicating an id that an earlier
+    run processed is invisible to the incremental check (documented at
+    the top of this module). This job closes that gap: one full-table
+    scan regardless of the manifest — the same two-stage salted
+    aggregation (constraints.evaluate), so a duplicate-heavy key still
+    never concentrates on one reducer — emitting kind='unique_global'
+    rows attributed to every partition holding a duplicated key.
+
+    Results fully OVERWRITE {output_dir}/constraint_results_global and
+    violations_global (a global pass supersedes the previous one —
+    never dynamic-partition-merged with incremental results, which
+    would clobber per-run rows). Lineage: one manifest row with
+    part_id='__global__'. Run it on demand or per run via
+    PipelineConfig.global_unique."""
+    cfg = cfg or PipelineConfig()
+    t0 = time.time()
+    images = read_images(spark, images_path, fmt=cfg.table_format)
+    checks = [C.unique(f"{c}_unique_global", c) for c in key_cols]
+    results, violations = C.evaluate(
+        images, checks, part_col="part_id",
+        sample_violations=cfg.sample_violations,
+    )
+    results = results.withColumn("kind", F.lit("unique_global")).persist()
+    res_rows = results.collect()  # tiny: partitions x key_cols
+    results.coalesce(1).write.mode("overwrite").parquet(
+        f"{output_dir}/constraint_results_global"
+    )
+    violations.coalesce(1).write.mode("overwrite").parquet(
+        f"{output_dir}/violations_global"
+    )
+    results.unpersist()
+    n_violations = sum(r.n_violations for r in res_rows)
+    failed_parts = sorted({r.part_id for r in res_rows if not r.passed})
+    run_id = new_run_id()
+    first = checks[0].name
+    table_rows = sum(r.n_rows for r in res_rows if r.constraint == first)
+    Manifest(spark, f"{output_dir}/manifest").record(
+        run_id, "__global__", "done", started_at=t0,
+        n_rows=int(table_rows),
+        metrics={
+            "kind": "unique_global",
+            "key_cols": list(key_cols),
+            "n_violations": int(n_violations),
+            "failed_partitions": failed_parts,
+            "elapsed_sec": round(time.time() - t0, 3),
+        },
+        input_path=images_path,
+    )
+    return {
+        "run_id": run_id,
+        "n_violations": int(n_violations),
+        "failed_partitions": failed_parts,
+        "passed": n_violations == 0,
+        "elapsed_sec": round(time.time() - t0, 3),
     }

@@ -19,10 +19,13 @@ from pyspark.sql import functions as F
 
 
 def _rows(spark: SparkSession, path: str) -> list[dict]:
-    try:
-        return [r.asDict(recursive=True) for r in spark.read.parquet(path).collect()]
-    except Exception:  # noqa: BLE001 — table may not exist for skipped stages
+    from advanced_data_profile_spark.session import hadoop_path_exists
+
+    # FileSystem-API probe: a skipped stage legitimately has no table,
+    # but a real read error on an existing one must propagate
+    if not hadoop_path_exists(spark, path):
         return []
+    return [r.asDict(recursive=True) for r in spark.read.parquet(path).collect()]
 
 
 def assemble_report(
@@ -35,6 +38,7 @@ def assemble_report(
     manifest = _rows(spark, f"{output_dir}/manifest")
     violations = _rows(spark, f"{output_dir}/violations")
     row_sample = _rows(spark, f"{output_dir}/row_sample")
+    global_constraints = _rows(spark, f"{output_dir}/constraint_results_global")
 
     parts = sorted({str(p["part_id"]) for p in profiles})
     per_partition = {}
@@ -73,16 +77,34 @@ def assemble_report(
         if m["part_id"] not in latest or ts >= latest[m["part_id"]][0]:
             latest[m["part_id"]] = (ts, m)
 
+    # cross-RUN global checks (unique_global): latest full-table pass,
+    # grouped per constraint with per-partition attribution
+    global_checks: dict[str, dict] = {}
+    for g in global_constraints:
+        gc = global_checks.setdefault(g["constraint"], {
+            "kind": g["kind"], "n_violations": 0, "passed": True,
+            "failed_partitions": [],
+        })
+        gc["n_violations"] += g["n_violations"] or 0
+        if not g["passed"]:
+            gc["passed"] = False
+            gc["failed_partitions"].append(str(g["part_id"]))
+    for gc in global_checks.values():
+        gc["failed_partitions"].sort()
+
     return {
         "table": table_name,
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_partitions": len(parts),
         "total_rows": sum(
             m["n_rows"] or 0
-            for _, m in latest.values() if m["status"] == "done"
+            for _, m in latest.values()
+            if m["status"] == "done" and m["part_id"] != "__global__"
         ),
-        "overall_passed": all(p["passed"] for p in per_partition.values()),
+        "overall_passed": all(p["passed"] for p in per_partition.values())
+        and all(g["passed"] for g in global_checks.values()),
         "partitions": per_partition,
+        "global_constraints": global_checks,
         "histograms": hists,
         "violation_samples": violations[:200],
         "row_sample": row_sample[:100],

@@ -233,3 +233,58 @@ def test_wav_odd_payload_riff_padding():
     got_rate, got = decode_wav(payload)
     assert got_rate == rate and len(got) == 501
     assert float(np.abs(got - x).max()) < 1.0 / 120  # 8-bit quantization
+
+
+def test_lang_id_model_plug_swap_in(spark):
+    """The prod fasttext swap-in path, exercised with a fake
+    fasttext-shaped model: (a) _fasttext_predict parses __label__ output
+    and caches the loaded model per worker process (loaded ONCE across
+    batches — the SparkFiles/--files pattern), (b) lang_id_distinct
+    accepts any batch predictor and joins its labels back to rows."""
+    import sys
+    import types
+
+    from advanced_data_profile_spark.operators import text_ml
+
+    loads = []
+
+    class _FakeModel:
+        def predict(self, t):
+            return ((f"__label__xx_{t.split()[0]}",), (0.99,))
+
+    fake = types.ModuleType("fasttext")
+    fake.load_model = lambda path: (loads.append(path), _FakeModel())[1]
+    old_mod = sys.modules.get("fasttext")
+    old_model = text_ml._FASTTEXT_MODEL
+    sys.modules["fasttext"] = fake
+    text_ml._FASTTEXT_MODEL = None
+    try:
+        out1 = list(text_ml._fasttext_predict(["hola mundo", "bonjour", None]))
+        out2 = list(text_ml._fasttext_predict(["ciao"]))
+        assert out1 == ["xx_hola", "xx_bonjour", "und"]
+        assert out2 == ["xx_ciao"]
+        assert len(loads) == 1  # model loaded once, reused across batches
+    finally:
+        text_ml._FASTTEXT_MODEL = old_model
+        if old_mod is None:
+            del sys.modules["fasttext"]
+        else:
+            sys.modules["fasttext"] = old_mod
+
+    # the distributed swap-in: any fasttext-shaped batch predictor rides
+    # the same distinct→mapInPandas→join-back path (runs on executors —
+    # the closure ships via cloudpickle exactly like a model wrapper)
+    def fake_predict(texts):
+        return pd.Series(
+            ["zz" if t else "und" for t in texts], dtype="object"
+        )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["hello world", "hello world", None, "abc"]})
+    )
+    from advanced_data_profile_spark.operators.text_ml import lang_id_distinct
+
+    rows = lang_id_distinct(df, "text", predict_fn=fake_predict).collect()
+    got = {(r.text, r.lang_pred) for r in rows}
+    assert got == {("hello world", "zz"), (None, "und"), ("abc", "zz")}
+    assert len(rows) == 4  # duplicate rows preserved by the join-back
