@@ -168,8 +168,11 @@ def _seeded_sample(df: DataFrame, sample_rows: int | None, seed: int = 42) -> Da
     """Seeded uniform row sample (~sample_rows rows) — replaces head
     sampling (df.limit reads only the first file's rows and funnels the
     vote through one task after a GlobalLimit; SURVEY O3 prescribes a
-    seeded sample). One cheap count() (parquet row-group metadata) sizes
-    the fraction."""
+    seeded sample). One count() sizes the fraction — parquet/iceberg
+    answer it from row-group metadata; a non-columnar source pays a
+    scan here, in which case callers should pass the row count from
+    their catalog/manifest instead (the pipeline's manifest carries
+    n_rows per partition)."""
     if sample_rows is None:
         return df
     n = df.count()

@@ -43,7 +43,7 @@ BIG_PARTS, BIG_ROWS = 32, 4000
 
 
 def ensure_images(spark, path: str, n_parts: int, rows: int, dims) -> None:
-    marker = f"{path}/_SUCCESS_MARKER"
+    marker = f"{path}/_SUCCESS_MARKER_unc"  # _unc: uncompressed payload fixture
     if os.path.exists(marker):
         return
     from advanced_data_profile_spark.sources.images import generate_images, write_images
@@ -84,6 +84,26 @@ def main() -> None:
             if name not in timings or el < timings[name]:
                 timings[name] = el
 
+    # SECOND SCALE: the same headline queries at the adjacent sf (sf0.01
+    # when main is sf0.1) so round-over-round trends separate fixed plan
+    # cost from scan cost — a query whose time doesn't move with sf is
+    # all fixed cost
+    second_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_2")
+    if second_sf_dir is None:
+        cand = "/root/testdata/sf0.01" if "0.1" in sf else "/root/testdata/sf0.001"
+        second_sf_dir = cand if os.path.isdir(cand) and cand != sf_dir else None
+    second: dict[str, float] = {}
+    if second_sf_dir:
+        for name in HEADLINE:
+            qs[name](spark, second_sf_dir).collect()  # warm-up
+        for _ in range(2):
+            for name in HEADLINE:
+                t0 = time.time()
+                qs[name](spark, second_sf_dir).collect()
+                el = round(time.time() - t0, 3)
+                if name not in second or el < second[name]:
+                    second[name] = el
+
     # end-to-end images pipeline (profile + constraints + verify + drift)
     from advanced_data_profile_spark.plans.pipeline import run_pipeline
 
@@ -113,7 +133,7 @@ def main() -> None:
     timings["images_pipeline_steady"] = best
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_plus_images_pipeline_total",
         "value": total,
         "unit": "sec",
@@ -123,7 +143,12 @@ def main() -> None:
         "images_rows": summary.get("rows"),
         "images_per_sec_steady": big.get("images_per_sec"),
         "images_rows_steady": big.get("rows"),
-    }))
+    }
+    if second:
+        s2 = second_sf_dir.rstrip("/").split("sf")[-1]
+        out["second_sf"] = float(s2) if s2.replace(".", "").isdigit() else s2
+        out["queries_second_sf"] = second
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

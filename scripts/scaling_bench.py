@@ -137,7 +137,7 @@ def data_dir(n_parts: int, rows: int) -> str:
 
 def generate(n_parts: int, rows: int) -> str:
     path = data_dir(n_parts, rows)
-    marker = f"{path}/_MARKER_{DIMS[0]}"
+    marker = f"{path}/_MARKER_{DIMS[0]}_unc"  # _unc: fixture stores payloads uncompressed
     if os.path.exists(marker):
         return path
     shutil.rmtree(path, ignore_errors=True)
@@ -349,6 +349,11 @@ Per-stage seconds:
             )
         f.write(f"""
 Notes:
+- payloads are stored UNCOMPRESSED in parquet (sources/images.write_images):
+  image bytes are already-encoded media, so a table codec buys ~0%% size
+  (measured 1.002x) and costs a full decompress pass over every byte on
+  every read — removing it cut the bandwidth-bound decode stage's memory
+  traffic and lifted weak scaling above the bar (0.798 -> measured here).
 - the decode/verify pass is the dominant real work; metadata aggs are
   shuffle-light with map-side partial aggregation; independent stages
   (fused profile+constraint agg, uniqueness/referential, decode) are
