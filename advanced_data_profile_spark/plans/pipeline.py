@@ -250,13 +250,15 @@ def run_pipeline(
     # results above, so they run as concurrent driver jobs too ---
     t = time.time()
 
-    def _write_main():
+    def _write_profiles():
         # results are tiny and already persisted — coalesce(1) so each
         # dynamic-partition-overwrite commit moves a handful of files,
         # not shuffle_partitions x n_parts empty splits
         profiles.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/column_profiles"
         )
+
+    def _write_sample():
         # ~100 seeded random rows for the report (reference ships a
         # random sample, Profiler.py:542-543 / O3) — metadata only,
         # never payload bytes; sampled from ONE pending partition so
@@ -275,9 +277,13 @@ def run_pipeline(
                 .limit(100)
             )
             sample.write.mode("overwrite").parquet(f"{output_dir}/row_sample")
+
+    def _write_violations():
         violations.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/violations"
         )
+
+    def _write_results():
         # verdicts (sibling session) append AFTER the overwrite of the
         # same path — strictly ordered within this task
         results.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
@@ -287,6 +293,20 @@ def run_pipeline(
             verdicts.coalesce(1).write.mode("append").partitionBy("part_id").parquet(
                 f"{output_dir}/constraint_results"
             )
+
+    def _write_main():
+        # four independent target paths (only results->verdicts is
+        # ordered, inside _write_results): submit as concurrent driver
+        # jobs — each is a tiny persisted relation whose write cost is
+        # fixed scheduling overhead, so overlapping them cuts the serial
+        # floor that strong scaling is capped by
+        with ThreadPoolExecutor(max_workers=4) as wpool:
+            futs = [
+                wpool.submit(f) for f in
+                (_write_profiles, _write_sample, _write_violations, _write_results)
+            ]
+            for fu in futs:
+                fu.result()
 
     def _drift():
         cols = [c for c in cfg.drift_columns if c in meta.columns]
