@@ -130,7 +130,7 @@ def profile_table_report(
         df.sample(fraction=0.5, seed=42).limit(sample_rows).collect()
     ] if sample_rows else []
 
-    return {
+    report = {
         "table": table_name,
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_partitions": 1,
@@ -154,3 +154,9 @@ def profile_table_report(
         "row_sample": sample,
         "lineage": [],
     }
+    # plotly-figure JSON parity (reference embeds PlotlyJSONEncoder
+    # output per figure; same schema, emitted from the aggregated rows)
+    from advanced_data_profile_spark.plans.figures import figures_for_report
+
+    report["figures"] = figures_for_report(report)
+    return report

@@ -92,9 +92,14 @@ def assemble_report(
     for gc in global_checks.values():
         gc["failed_partitions"].sort()
 
+    from advanced_data_profile_spark.plans.figures import figures_for_report
+
     return {
         "table": table_name,
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # plotly-figure JSON (reference embeds PlotlyJSONEncoder output);
+        # built from the aggregated rows below, never from raw data
+        "figures": figures_for_report({"histograms": hists}),
         "n_partitions": len(parts),
         "total_rows": sum(
             m["n_rows"] or 0
