@@ -1018,6 +1018,128 @@ def _oracle_tfidf_top_ngrams() -> str:
     """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic keep/drop filter over documents: every
+    rule boolean + keep + deterministic failed-rule attribution, all
+    codegen'd expressions over one scan (operators/quality.py)."""
+    from advanced_data_profile_spark.operators.quality import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs, "text", id_col="doc_id")
+
+
+def q_quality_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_data_profile_spark.operators.quality import keep_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = keep_rate(docs, "text")
+    return out.select(
+        "n_docs", "n_kept", "keep_rate",
+        *[c for c in out.columns if c.startswith("fail_")],
+    )
+
+
+def _sql_quality_measures() -> str:
+    """Shared CTE block computing the quality-rule measures per doc —
+    mirrors operators/quality.quality_rules 1:1 (same normalization,
+    same regexes, same guards)."""
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_norm
+    from advanced_data_profile_spark.functions.text import STOPWORDS_EN
+
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+    return f"""
+        src AS (SELECT doc_id, text, {sql_norm('text')} AS nrm FROM documents),
+        tk AS (
+          SELECT doc_id, text,
+                 CASE WHEN nrm IS NULL OR nrm = '' THEN []::VARCHAR[]
+                      ELSE string_split(nrm, ' ') END AS toks,
+                 list_filter(string_split(text, chr(10)),
+                             x -> length(trim(x)) > 0) AS lines
+          FROM src
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS nw,
+                 CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                 ELSE 0.0 END AS mwl,
+                 CASE WHEN length(text) > 0 THEN
+                   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                     / length(text)
+                 ELSE 0.0 END AS pr,
+                 len(list_intersect(list_distinct(toks), {sw})) AS sw_hits,
+                 CASE WHEN len(lines) > 0 THEN
+                   1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                 ELSE 0.0 END AS dupf,
+                 CASE WHEN len(lines) > 0 THEN
+                   len(list_filter(lines, x ->
+                     regexp_matches(trim(x), '^([-*•]|[0-9]+[.)] )')))::DOUBLE / len(lines)
+                 ELSE 0.0 END AS bulf,
+                 CASE WHEN len(lines) > 0 THEN
+                   len(list_filter(lines, x ->
+                     regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))::DOUBLE / len(lines)
+                 ELSE 0.0 END AS ellf,
+                 CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks)
+                 ELSE 0.0 END AS alf
+          FROM tk
+        ),
+        rules AS (
+          SELECT doc_id,
+                 (alf >= 0.70) AS alpha_word_frac_ok,
+                 (bulf <= 0.90) AS bullet_line_frac_ok,
+                 (dupf <= 0.30) AS dup_line_frac_ok,
+                 (ellf <= 0.30) AS ellipsis_line_frac_ok,
+                 (mwl >= 2.0 AND mwl <= 12.0) AS mean_word_len_in_range,
+                 (pr <= 0.30) AS punct_ratio_ok,
+                 (sw_hits >= 2) AS stopword_hits_ok,
+                 (nw >= 10 AND nw <= 100000) AS words_in_range
+          FROM m
+        )
+    """
+
+
+_QUALITY_RULE_NAMES = [
+    "alpha_word_frac_ok", "bullet_line_frac_ok", "dup_line_frac_ok",
+    "ellipsis_line_frac_ok", "mean_word_len_in_range", "punct_ratio_ok",
+    "stopword_hits_ok", "words_in_range",
+]
+
+
+def _oracle_quality_filter() -> str:
+    names = _QUALITY_RULE_NAMES
+    keep = " AND ".join(names)
+    failed_items = ", ".join(
+        f"CASE WHEN NOT {n} THEN '{n}' END" for n in names
+    )
+    return f"""
+        WITH {_sql_quality_measures()}
+        SELECT doc_id AS id, {', '.join(names)},
+               ({keep}) AS keep,
+               coalesce(array_to_string(
+                 list_filter([{failed_items}], x -> x IS NOT NULL), ','),
+                 '') AS failed_rules
+        FROM rules
+    """
+
+
+def _oracle_quality_keep_rate() -> str:
+    names = _QUALITY_RULE_NAMES
+    keep = " AND ".join(names)
+    fails = ", ".join(
+        f"sum(CASE WHEN NOT {n} THEN 1 ELSE 0 END)::BIGINT AS fail_{n}"
+        for n in names
+    )
+    return f"""
+        WITH {_sql_quality_measures()}
+        SELECT count(*) AS n_docs,
+               sum(CASE WHEN {keep} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               round(avg(CASE WHEN {keep} THEN 1.0 ELSE 0.0 END), 6) AS keep_rate,
+               {fails}
+        FROM rules
+    """
+
+
 def _oracle_box_plot() -> str:
     def one(c):
         return f"""
@@ -1471,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_grid": q_quantile_grid,
         "word_frequencies": q_word_frequencies,
         "readability": q_readability,
+        "quality_filter": q_quality_filter,
+        "quality_keep_rate": q_quality_keep_rate,
         "tfidf_top_ngrams": q_tfidf_top_ngrams,
         "sessionization": q_sessionization,
         "infer_types": q_infer_types,
@@ -1658,6 +1782,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_grid": _oracle_quantile_grid(),
         "word_frequencies": _oracle_word_frequencies(),
         "readability": _oracle_readability(),
+        "quality_filter": _oracle_quality_filter(),
+        "quality_keep_rate": _oracle_quality_keep_rate(),
         "tfidf_top_ngrams": _oracle_tfidf_top_ngrams(),
         "sessionization": _oracle_sessionization(),
         "infer_types": _oracle_infer_types(),

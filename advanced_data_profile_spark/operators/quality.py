@@ -1,0 +1,159 @@
+"""Gopher/C4-style heuristic document quality FILTER — the keep/drop
+decision stage of a web-scale training-data pipeline (Rae et al. 2021
+"Gopher" §A1.1 repetition/quality rules; Raffel et al. 2020 "C4"
+heuristics), built entirely from JVM-side column expressions so the
+whole filter runs inside whole-stage codegen over the scan — one pass,
+no shuffle, no Python.
+
+Distinct from functions.text.quality_score (a 0-1 composite for
+profiling): this emits a per-document KEEP verdict plus per-rule
+booleans and a deterministic failed-rule attribution string, which is
+what a curation pipeline writes back / filters on. Every rule is
+mirrored 1:1 in the DuckDB oracle (__spark_entry__._oracle_quality_filter).
+
+No reference counterpart (the reference profiles single tables); this
+is a training-data op the task brief's north_star engine needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.functions.text import (
+    STOPWORDS_EN,
+    mean_word_length,
+    punct_ratio,
+    tokens,
+)
+
+
+@dataclass(frozen=True)
+class QualityParams:
+    """Gopher-flavored defaults, loosened for short-document corpora
+    (Gopher's 50-word floor is tuned for web pages; pass your own)."""
+
+    min_words: int = 10
+    max_words: int = 100_000
+    min_mean_word_len: float = 2.0
+    max_mean_word_len: float = 12.0
+    max_punct_ratio: float = 0.30
+    min_stopword_hits: int = 2       # distinct stopwords present (Gopher: >=2)
+    max_dup_line_frac: float = 0.30
+    max_bullet_line_frac: float = 0.90
+    max_ellipsis_line_frac: float = 0.30
+    min_alpha_word_frac: float = 0.70
+
+
+def quality_rules(c: Column, p: QualityParams | None = None) -> dict[str, Column]:
+    """Named rule -> boolean column (True = rule satisfied). Rule set:
+
+    - words_in_range: token count within [min_words, max_words]
+    - mean_word_len_in_range: mean token length sane (garbled text and
+      minified blobs fall outside)
+    - punct_ratio_ok: symbol share of characters bounded
+    - stopword_hits_ok: >= k DISTINCT common function words present
+      (Gopher's "contains 2 of the stop set" rule)
+    - dup_line_frac_ok: share of repeated non-empty lines bounded
+      (boilerplate / template spam)
+    - bullet_line_frac_ok / ellipsis_line_frac_ok: line-shape rules
+      (Gopher: <=90% bullet lines, <=30% ellipsis-terminated lines)
+    - alpha_word_frac_ok: share of tokens containing a letter bounded
+      below (number/symbol soup)
+    """
+    p = p or QualityParams()
+    t = tokens(c)
+    nw = F.size(t)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    nl = F.size(lines)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    sw_hits = F.size(
+        F.filter(F.array_distinct(t), lambda x: F.array_contains(sw, x))
+    )
+    dup_line_frac = F.when(
+        nl > 0, 1.0 - F.size(F.array_distinct(lines)) / nl
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(lines, lambda x: F.trim(x).rlike(r"^([-*•]|[0-9]+[.)] )"))
+        ) / nl,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nl > 0,
+        F.size(F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))) / nl,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nw > 0, F.size(F.filter(t, lambda x: x.rlike("[a-z]"))) / nw
+    ).otherwise(F.lit(0.0))
+    mwl = mean_word_length(c)
+    return {
+        "words_in_range": (nw >= p.min_words) & (nw <= p.max_words),
+        "mean_word_len_in_range": (mwl >= p.min_mean_word_len)
+        & (mwl <= p.max_mean_word_len),
+        "punct_ratio_ok": punct_ratio(c) <= p.max_punct_ratio,
+        "stopword_hits_ok": sw_hits >= p.min_stopword_hits,
+        "dup_line_frac_ok": dup_line_frac <= p.max_dup_line_frac,
+        "bullet_line_frac_ok": bullet_frac <= p.max_bullet_line_frac,
+        "ellipsis_line_frac_ok": ellipsis_frac <= p.max_ellipsis_line_frac,
+        "alpha_word_frac_ok": alpha_frac >= p.min_alpha_word_frac,
+    }
+
+
+def quality_filter(
+    df: DataFrame, text_col: str, id_col: str | None = None,
+    params: QualityParams | None = None,
+) -> DataFrame:
+    """Per-document verdict: id (if given), every rule boolean, `keep`
+    (all rules pass; NULL text never keeps), and `failed_rules` — the
+    comma-joined names of violated rules in sorted order (deterministic,
+    hashable attribution a curation pipeline logs and aggregates).
+
+    Scale shape: pure projection — the filter is a codegen'd expression
+    over the scan, so `df.where(quality_filter(...).keep)` pushes work
+    to the leaves with zero shuffle."""
+    c = F.col(text_col)
+    rules = quality_rules(c, params)
+    names = sorted(rules)
+    safe = {n: F.coalesce(rules[n], F.lit(False)) for n in names}
+    keep = None
+    for n in names:
+        keep = safe[n] if keep is None else (keep & safe[n])
+    failed = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[
+                F.when(~safe[n], F.lit(n)).otherwise(F.lit(None)) for n in names
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    cols += [safe[n].alias(n) for n in names]
+    cols += [keep.alias("keep"), failed.alias("failed_rules")]
+    return df.select(*cols)
+
+
+def keep_rate(df: DataFrame, text_col: str, group_by: str | None = None,
+              params: QualityParams | None = None) -> DataFrame:
+    """Corpus-level keep rate (optionally per group) — one aggregation
+    over the same codegen'd rules; the monitoring counterpart of the
+    row filter."""
+    rules = quality_rules(F.col(text_col), params)
+    names = sorted(rules)
+    keep = None
+    for n in names:
+        r = F.coalesce(rules[n], F.lit(False))
+        keep = r if keep is None else (keep & r)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.round(F.avg(keep.cast("double")), 6).alias("keep_rate"),
+        *[
+            F.sum((~F.coalesce(rules[n], F.lit(False))).cast("long")).alias(f"fail_{n}")
+            for n in names
+        ],
+    ]
+    return df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)
