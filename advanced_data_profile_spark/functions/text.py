@@ -39,6 +39,16 @@ LANG_MARKERS: dict[str, list[str]] = {
     "tr": "bir bu ve gibi daha ama ne kadar olarak sonra kendi".split(),
     "id": "yang dan di ini itu dengan untuk tidak dari akan".split(),
     "ro": "de la cu este un o care pentru mai din nu sa".split(),
+    # round-3 breadth: only unaccented function words (accented forms
+    # are stripped by norm_text) and nothing colliding with common
+    # English tokens ('a', 'to', 'the', 'it' are never markers here)
+    "da": "og det er jeg ikke at der til af hvad hun den".split(),
+    "no": "og det er jeg ikke en til av de han meg noe".split(),
+    "fi": "ja on ei se oli mutta kun niin kuin jos hyvin".split(),
+    "hu": "az nem hogy van egy ha mint csak volt lesz ki".split(),
+    "cs": "je se na ale jako pro od ani nebo kdy tak".split(),
+    "sw": "na ya wa kwa ni za katika kama hii pia sana".split(),
+    "tl": "ang ng mga sa ay ito para hindi ako siya".split(),
 }
 
 # Script-detection rules, FIRST MATCH WINS (normalization strips these
@@ -49,12 +59,19 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("ja", "[ぁ-ゟ゠-ヿ]"),      # hiragana + katakana
     ("ko", "[가-힣]"),           # hangul syllables
     ("zh", "[一-鿿]"),           # CJK unified ideographs
+    ("uk", "[єїіґЄЇІҐ]"),        # ukrainian-specific cyrillic, BEFORE ru
     ("ru", "[А-яЁё]"),           # cyrillic
     ("ar", "[؀-ۿ]"),             # arabic
     ("el", "[Ͱ-Ͽ]"),             # greek
     ("he", "[א-ת]"),             # hebrew
     ("th", "[ก-๛]"),             # thai
     ("hi", "[ऀ-ॿ]"),            # devanagari
+    ("bn", "[ঀ-৿]"),            # bengali
+    ("ta", "[஀-௿]"),            # tamil
+    ("te", "[ఀ-౿]"),            # telugu
+    ("ka", "[Ⴀ-ჿ]"),             # georgian
+    ("hy", "[԰-֏]"),             # armenian
+    ("my", "[က-႟]"),             # myanmar
 ]
 
 

@@ -128,3 +128,26 @@ def test_char_ngrams(spark):
     df = spark.createDataFrame(pd.DataFrame({"t": ["abcd"]}))
     grams = df.select(X.char_ngrams(F.col("t"), 3).alias("g")).first().g
     assert grams == ["abc", "bcd"]
+
+
+def test_lang_predict_round3_breadth(spark):
+    """Round-3 languages: marker languages (unaccented function words
+    only) + new script rules, incl. the uk-before-ru ordering."""
+    pdf = pd.DataFrame({"t": [
+        "og det er jeg ikke sikker der til af hvad hun den siger",   # da
+        "ja on ei se oli mutta kun niin kuin hyvin jos tulee",       # fi
+        "az nem hogy van egy ha mint csak volt lesz ki mondja",      # hu
+        "je se na ale jako pro od ani nebo kdy tak dobre",           # cs
+        "na ya wa kwa ni za katika kama hii pia sana habari",        # sw
+        "ang ng mga sa ay ito para hindi ako siya kanya",            # tl
+        "це і є українська мова з літерами є ї і",                   # uk (і, є, ї)
+        "это русский текст без украинских букв",                      # ru
+        "এটি একটি বাংলা বাক্য",                                        # bn
+        "இது ஒரு தமிழ் வாக்கியம்",                                      # ta
+    ]})
+    preds = [
+        r.p for r in spark.createDataFrame(pdf)
+        .select(X.lang_predict(F.col("t")).alias("p")).collect()
+    ]
+    assert preds == ["da", "fi", "hu", "cs", "sw", "tl",
+                     "uk", "ru", "bn", "ta"]
