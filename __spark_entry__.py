@@ -1018,6 +1018,55 @@ def _oracle_tfidf_top_ngrams() -> str:
     """
 
 
+def q_sample_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus cut keyed on hash(salt|doc_id) — a
+    codegen'd filter at the scan, reproducible across engines (the
+    DuckDB oracle recomputes the identical md5-keyed predicate)."""
+    from advanced_data_profile_spark.operators.sampling import hash_fraction_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_fraction_sample(docs, "doc_id", 0.1).select("doc_id", "source")
+
+
+def q_sample_per_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class cap: at most 3 events per event_type by
+    smallest id-hash (class rebalancing primitive)."""
+    from advanced_data_profile_spark.operators.sampling import hash_sample_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    return hash_sample_per_group(ev, "event_type", "event_id", k=3).select(
+        "event_type", F.col("event_id").cast("bigint").alias("event_id")
+    )
+
+
+def _sql_sample_hash(id_expr: str, salt: str = "") -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_md5_int60
+
+    return sql_md5_int60(f"('{salt}' || '|' || CAST({id_expr} AS VARCHAR))")
+
+
+def _oracle_sample_fraction_documents() -> str:
+    cut = int(0.1 * float(1 << 60))  # same literal construction as sampling.py
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_sql_sample_hash('doc_id')} < {cut}
+    """
+
+
+def _oracle_sample_per_group_events() -> str:
+    h = _sql_sample_hash("event_id")
+    return f"""
+        WITH ranked AS (
+          SELECT event_type, event_id::BIGINT AS event_id,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY {h}, event_id
+                 ) AS rn
+          FROM events
+        )
+        SELECT event_type, event_id FROM ranked WHERE rn <= 3
+    """
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic keep/drop filter over documents: every
     rule boolean + keep + deterministic failed-rule attribution, all
@@ -1595,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "quality_filter": q_quality_filter,
         "quality_keep_rate": q_quality_keep_rate,
+        "sample_fraction_documents": q_sample_fraction_documents,
+        "sample_per_group_events": q_sample_per_group_events,
         "tfidf_top_ngrams": q_tfidf_top_ngrams,
         "sessionization": q_sessionization,
         "infer_types": q_infer_types,
@@ -1784,6 +1835,8 @@ def oracle_sql() -> dict[str, str]:
         "readability": _oracle_readability(),
         "quality_filter": _oracle_quality_filter(),
         "quality_keep_rate": _oracle_quality_keep_rate(),
+        "sample_fraction_documents": _oracle_sample_fraction_documents(),
+        "sample_per_group_events": _oracle_sample_per_group_events(),
         "tfidf_top_ngrams": _oracle_tfidf_top_ngrams(),
         "sessionization": _oracle_sessionization(),
         "infer_types": _oracle_infer_types(),
