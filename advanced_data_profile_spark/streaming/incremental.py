@@ -76,6 +76,53 @@ def streaming_windowed_violations(
     )
 
 
+def streaming_quality_keep_rate(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    params=None,
+) -> DataFrame:
+    """Event-time windowed corpus-quality monitor: the Gopher/C4 rule
+    set (operators.quality — codegen'd expressions, so they stream for
+    free) aggregated to keep-rate + per-rule failure counts per window.
+    The live twin of operators.quality.keep_rate — an ingestion
+    pipeline alerts when a window's keep_rate drops (a crawler change,
+    an upstream format break). Watermark bounds state exactly as in
+    streaming_windowed_violations."""
+    from advanced_data_profile_spark.operators.quality import quality_rules
+
+    rules = quality_rules(F.col(text_col), params)
+    names = sorted(rules)
+    keep = None
+    for n in names:
+        r = F.coalesce(rules[n], F.lit(False))
+        keep = r if keep is None else (keep & r)
+    src = stream.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark("__ts", watermark)
+        .groupBy(F.window(F.col("__ts"), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.round(F.avg(keep.cast("double")), 6).alias("keep_rate"),
+            *[
+                F.sum((~F.coalesce(rules[n], F.lit(False))).cast("long")).alias(
+                    f"fail_{n}"
+                )
+                for n in names
+            ],
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_docs", "n_kept", "keep_rate",
+            *[F.col(f"fail_{n}") for n in names],
+        )
+    )
+
+
 def run_incremental_demo(
     spark: SparkSession, images_path: str, checks: list[Check],
     query_name: str = "violations",

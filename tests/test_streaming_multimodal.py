@@ -336,3 +336,57 @@ def test_streaming_sessionize_timeout_conf_wiring(spark):
     )
     assert streaming_sessionize(events, gap_sec=10.0).isStreaming
     assert streaming_sessionize(events, gap_sec=10.0, idle_timeout_sec=5.0).isStreaming
+
+
+def test_streaming_quality_keep_rate_matches_batch(spark, tmp_path):
+    """Live corpus-quality monitor: the Gopher/C4 rules aggregated per
+    event-time window over a document stream must equal the batch
+    keep_rate computed per window, and the plan must carry the
+    watermark."""
+    import os
+
+    from advanced_data_profile_spark.operators.quality import keep_rate
+    from advanced_data_profile_spark.streaming.incremental import (
+        streaming_quality_keep_rate,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs back home across the wide green field")
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 01:05",
+             "2024-01-01 01:10", "2024-01-02 03:00", "2024-01-02 03:30"]
+        ),
+        "text": [good, "too short", good, good, "junk", good],
+    })
+    stream_dir = str(tmp_path / "docs_stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    batch = spark.createDataFrame(pdf)
+    batch.coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    agg = streaming_quality_keep_rate(
+        stream, "text", ts_col="ts", window="1 hour", watermark="1 day"
+    )
+    assert "ventTimeWatermark" in agg._jdf.queryExecution().logical().toString()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q_keep").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            str(r.window_start): (r.n_docs, r.n_kept, r.keep_rate)
+            for r in spark.sql("SELECT * FROM q_keep").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        str(r["window"]["start"]): (r.n_docs, r.n_kept, r.keep_rate)
+        for r in keep_rate(
+            batch.withColumn("window", F.window("ts", "1 hour")),
+            "text", group_by="window",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 3
+    assert got[min(got)] == (2, 1, 0.5)  # first hour: good + too-short
