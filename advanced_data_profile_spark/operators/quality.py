@@ -1,9 +1,10 @@
 """Gopher/C4-style heuristic document quality FILTER — the keep/drop
 decision stage of a web-scale training-data pipeline (Rae et al. 2021
 "Gopher" §A1.1 repetition/quality rules; Raffel et al. 2020 "C4"
-heuristics), built entirely from JVM-side column expressions so the
-whole filter runs inside whole-stage codegen over the scan — one pass,
-no shuffle, no Python.
+heuristics), built entirely from JVM-side column expressions (regex +
+higher-order array functions; the HOF lambdas evaluate outside
+whole-stage codegen but stay in the JVM) — one pass over the scan, no
+shuffle, no Python.
 
 Distinct from functions.text.quality_score (a 0-1 composite for
 profiling): this emits a per-document KEEP verdict plus per-rule

@@ -10,7 +10,8 @@ value-oracle-checkable and stable under repartitioning/AQE, unlike
 `df.sample(seed=)` whose output depends on the physical split layout.
 
 Scale shapes:
-- hash_fraction_sample: pure codegen'd FILTER at the scan — no shuffle,
+- hash_fraction_sample: a pure FILTER at the scan (md5 is a codegen'd
+  JVM expression) — no shuffle,
   no state; composable with any downstream plan.
 - hash_sample_per_group: one shuffle on the group key + window top-k
   (rank by hash). A hot group is bounded by k output rows; the rank

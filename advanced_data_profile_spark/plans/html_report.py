@@ -224,6 +224,20 @@ def render_html(report: dict) -> str:
         ]
         parts.append(_table(["run", "part", "status", "n_rows", "finished"], rows))
 
+    figures = report.get("figures") or {}
+    if figures:
+        # plotly-figure JSON embedded exactly as the reference embeds
+        # PlotlyJSONEncoder output (Profiler.py:789-794 etc.) — a
+        # client with plotly.js calls Plotly.newPlot per entry; the SVG
+        # above stays the dependency-free rendering
+        import json as _json
+
+        payload = _json.dumps(figures).replace("</", "<\\/")
+        parts.append(
+            '<script type="application/json" id="plotly-figures">'
+            f"{payload}</script>"
+        )
+
     body = "".join(parts)
     return (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"

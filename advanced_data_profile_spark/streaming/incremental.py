@@ -85,8 +85,9 @@ def streaming_quality_keep_rate(
     params=None,
 ) -> DataFrame:
     """Event-time windowed corpus-quality monitor: the Gopher/C4 rule
-    set (operators.quality — codegen'd expressions, so they stream for
-    free) aggregated to keep-rate + per-rule failure counts per window.
+    set (operators.quality — pure JVM column expressions, so they
+    stream unchanged) aggregated to keep-rate + per-rule failure counts
+    per window.
     The live twin of operators.quality.keep_rate — an ingestion
     pipeline alerts when a window's keep_rate drops (a crawler change,
     an upstream format break). Watermark bounds state exactly as in

@@ -96,3 +96,20 @@ def test_qq_tfidf_datepart_figures():
     dp = FG.datepart_figure(
         [{"mon": 2, "cnt": 5}, {"mon": 1, "cnt": 3}], "mon", "ts")
     assert dp["data"][0]["x"] == [1, 2]  # sorted by part
+
+
+def test_html_report_embeds_plotly_json(spark, tmp_path):
+    from advanced_data_profile_spark.plans.html_report import render_html
+    from advanced_data_profile_spark.plans.profile_report import (
+        profile_table_report,
+    )
+
+    pdf = pd.DataFrame({"x": [float(i) for i in range(30)],
+                        "y": [float(i % 3) for i in range(30)]})
+    report = profile_table_report(spark.createDataFrame(pdf), "t")
+    html = render_html(report)
+    assert 'id="plotly-figures"' in html
+    start = html.index('id="plotly-figures">') + len('id="plotly-figures">')
+    payload = html[start: html.index("</script>", start)]
+    figs = json.loads(payload.replace("<\\/", "</"))
+    assert "histogram:x" in figs and figs["histogram:x"]["data"]

@@ -193,3 +193,42 @@ def test_moment_merge_numerically_stable(spark):
     m2 = merge_moments(moment_sketches(df2, ["x"], group_by="g")).first()
     assert m2.stddev == m2.stddev  # not NaN (m2 clamped at >= 0)
     assert abs(m2.stddev) < 1e-12  # fp noise only
+
+
+def test_tfidf_plan_shapes(spark):
+    """TF-IDF: the final top-k executes as TakeOrderedAndProject (no
+    global sort) and the (doc, term) count aggregation is partial-then-
+    final (map-side combine collapses the token fan-out)."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.text_ml import tfidf_top_ngrams
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "t": ["the quick brown fox", "jumps over the lazy dog"] * 10
+    }))
+    plan = tfidf_top_ngrams(df, "t", ngrams=(1, 2), top=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per agg stage
+
+
+def test_quality_and_sampling_plans_shuffle_free(spark):
+    """The quality verdict and the fraction sample are pure JVM
+    projections/filters — zero Exchange, zero Python — so at 100 TB
+    they ride the scan."""
+    from advanced_data_profile_spark.operators.quality import quality_filter
+    from advanced_data_profile_spark.operators.sampling import (
+        hash_fraction_sample,
+    )
+
+    # parquet-backed source (a local relation constant-folds to
+    # LocalTableScan and shows no codegen node at all)
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for out in (
+        quality_filter(df, "text", id_col="doc_id"),
+        hash_fraction_sample(df, "doc_id", 0.5),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan          # no shuffle
+        assert "EvalPython" not in plan        # no Python in the path
+        assert "FileScan parquet" in plan      # rides the scan directly

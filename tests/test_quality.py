@@ -86,7 +86,7 @@ def test_keep_rate_aggregate(spark, verdicts):
 
 
 def test_filter_is_pure_projection(spark):
-    """Scale shape: the verdict is a codegen'd projection — no shuffle
+    """Scale shape: the verdict is a pure JVM projection — no shuffle
     (no Exchange in the physical plan)."""
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [GOOD]}))
     plan = quality_filter(df, "text", id_col="doc_id")._jdf.queryExecution(
