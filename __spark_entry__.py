@@ -1067,6 +1067,61 @@ def _oracle_sample_per_group_events() -> str:
     """
 
 
+def q_json_key_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured profiling: per-top-level-key presence + type
+    census of the events.props JSON column (two-phase: bounded key
+    discovery, then one wide agg — operators/jsonprofile.py)."""
+    from advanced_data_profile_spark.operators.jsonprofile import json_key_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return json_key_profile(ev, "props")
+
+
+def _oracle_json_key_profile() -> str:
+    """Same two phases expressed dynamically in DuckDB (json_keys /
+    json_extract_string) — discovery cap and ordering mirrored."""
+    return """
+        WITH keys AS (
+          SELECT key FROM (
+            SELECT key, count(*) AS n FROM (
+              SELECT unnest(json_keys(props)) AS key FROM events
+            )
+            WHERE regexp_matches(key, '^[A-Za-z0-9_]+$')
+            GROUP BY key ORDER BY n DESC, key ASC LIMIT 200
+          )
+        ),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM events),
+        vals AS (
+          SELECT k.key, json_extract_string(e.props, '$.' || k.key) AS v
+          FROM events e CROSS JOIN keys k
+        ),
+        stats AS (
+          SELECT key,
+                 count(v)::BIGINT AS n_present,
+                 sum(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL
+                          THEN 1 ELSE 0 END)::BIGINT AS n_numeric,
+                 sum(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL
+                               AND try_cast(v AS DOUBLE) = floor(try_cast(v AS DOUBLE))
+                          THEN 1 ELSE 0 END)::BIGINT AS n_integer,
+                 sum(CASE WHEN v IN ('true', 'false')
+                          THEN 1 ELSE 0 END)::BIGINT AS n_boolean,
+                 round(min(try_cast(v AS DOUBLE)), 6) AS min_num,
+                 round(max(try_cast(v AS DOUBLE)), 6) AS max_num
+          FROM vals GROUP BY key
+        )
+        SELECT key, n_present,
+               round(n_present / (SELECT n FROM tot), 6) AS present_ratio,
+               n_numeric, n_integer, n_boolean, min_num, max_num,
+               CASE WHEN n_present = 0 THEN 'empty'
+                    WHEN n_numeric = n_present AND n_integer = n_present
+                         THEN 'integer'
+                    WHEN n_numeric = n_present THEN 'double'
+                    WHEN n_boolean = n_present THEN 'boolean'
+                    ELSE 'string' END AS inferred_type
+        FROM stats
+    """
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic keep/drop filter over documents: every
     rule boolean + keep + deterministic failed-rule attribution, all
@@ -1646,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_keep_rate": q_quality_keep_rate,
         "sample_fraction_documents": q_sample_fraction_documents,
         "sample_per_group_events": q_sample_per_group_events,
+        "json_key_profile_events": q_json_key_profile_events,
         "tfidf_top_ngrams": q_tfidf_top_ngrams,
         "sessionization": q_sessionization,
         "infer_types": q_infer_types,
@@ -1837,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_keep_rate": _oracle_quality_keep_rate(),
         "sample_fraction_documents": _oracle_sample_fraction_documents(),
         "sample_per_group_events": _oracle_sample_per_group_events(),
+        "json_key_profile_events": _oracle_json_key_profile(),
         "tfidf_top_ngrams": _oracle_tfidf_top_ngrams(),
         "sessionization": _oracle_sessionization(),
         "infer_types": _oracle_infer_types(),
