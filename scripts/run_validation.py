@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--baseline-part", type=int, default=0)
     ap.add_argument("--approx", action=argparse.BooleanOptionalAction, default=True,
                     help="sketch mode for distinct/quantiles (default on)")
+    ap.add_argument("--global-unique", action="store_true",
+                    help="run the cross-RUN full-table uniqueness pass after "
+                         "the incremental run (writes constraint_results_global)")
     ap.add_argument("--report", default=None, help="also write an assembled JSON report")
     ap.add_argument("--html-report", default=None,
                     help="also render the self-contained gzip HTML report")
@@ -58,6 +61,7 @@ def main() -> None:
         drift=not args.no_drift,
         baseline_part=args.baseline_part,
         table_format=args.format,
+        global_unique=args.global_unique,
     )
     summary = run_pipeline(
         spark, args.images, args.output, resume=not args.no_resume, cfg=cfg
