@@ -230,3 +230,21 @@ def test_read_images_iceberg_is_a_config_not_a_code_fork(spark, monkeypatch):
     # branch asks Spark for the iceberg source, not a silent fallback)
     with pytest.raises(Exception, match="(?i)iceberg|DATA_SOURCE"):
         read_images(spark, "warehouse.db.images", fmt="iceberg")
+
+
+def test_global_uniqueness_pass_is_idempotent(spark, images_path, tmp_path_factory):
+    """Re-running the global pass fully supersedes the previous one:
+    constraint_results_global never accumulates rows, and the verdict is
+    stable."""
+    from advanced_data_profile_spark.plans.pipeline import (
+        global_uniqueness_check,
+    )
+
+    out = str(tmp_path_factory.mktemp("pipegi") / "out")
+    g1 = global_uniqueness_check(spark, images_path, out)
+    n1 = spark.read.parquet(f"{out}/constraint_results_global").count()
+    g2 = global_uniqueness_check(spark, images_path, out)
+    n2 = spark.read.parquet(f"{out}/constraint_results_global").count()
+    assert n1 == n2 == N_PARTS  # one row per partition per key col
+    assert g1["n_violations"] == g2["n_violations"]
+    assert g1["passed"] == g2["passed"] is False  # fixture plants dups

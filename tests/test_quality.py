@@ -92,3 +92,34 @@ def test_filter_is_pure_projection(spark):
     plan = quality_filter(df, "text", id_col="doc_id")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_invariants_random_text(spark):
+    """Property pass over adversarial text shapes: keep == AND(rules),
+    failed_rules lists exactly the false rules in sorted order, and the
+    filter never throws on weird inputs."""
+    import random
+
+    rng = random.Random(7)
+    weird = [
+        "", " ", "\n\n\n", "....", "• • •", "a" * 5000,
+        "1 2 3 4 5 6 7 8 9 10 11 12",
+        "\x00\x01\x02", "日本語のテキストです " * 20,
+        " ".join(rng.choice(["the", "and", "of", "xyz", "123", "!!!"])
+                 for _ in range(200)),
+        "- one\n- two\n- three\n- four",
+        "line...\nline...\nline...\n",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(weird)), "text": weird})
+    rows = quality_filter(
+        spark.createDataFrame(pdf), "text", id_col="doc_id"
+    ).collect()
+    rule_cols = [c for c in rows[0].asDict()
+                 if c not in ("id", "keep", "failed_rules")]
+    for r in rows:
+        d = r.asDict()
+        assert d["keep"] == all(d[c] for c in rule_cols)
+        want_failed = sorted(c for c in rule_cols if not d[c])
+        got = d["failed_rules"].split(",") if d["failed_rules"] else []
+        assert got == want_failed

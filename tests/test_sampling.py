@@ -73,3 +73,18 @@ def test_validation(spark, docs):
         hash_fraction_sample(docs, "id", 1.5)
     with pytest.raises(ValueError):
         hash_sample_per_group(docs, "grp", "id", k=0)
+
+
+def test_fraction_monotone_nesting_property(spark, docs):
+    """Nested-cut property at many fractions: f1 <= f2 implies
+    sample(f1) ⊆ sample(f2) (the hash-threshold construction makes cuts
+    monotone — resizing a corpus cut never churns previously selected
+    rows)."""
+    fractions = [0.01, 0.05, 0.2, 0.5, 0.9, 1.0]
+    sets = [
+        {r.id for r in hash_fraction_sample(docs, "id", f).collect()}
+        for f in fractions
+    ]
+    for small, big in zip(sets, sets[1:]):
+        assert small <= big
+    assert sets[-1] == set(range(2000))  # fraction 1.0 keeps everything
