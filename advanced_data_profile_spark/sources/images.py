@@ -189,6 +189,27 @@ def write_images(df: DataFrame, path: str) -> None:
     ).option("compression", "uncompressed").partitionBy("part_id").parquet(path)
 
 
+def write_images_bucketed(
+    df: DataFrame, table_name: str, buckets: int = 16,
+    bucket_col: str = "image_id",
+) -> None:
+    """Bucketed+sorted table layout for SHUFFLE-FREE co-located joins on
+    the id: both sides of a bucketed equi-join (e.g. candidate vs
+    reference in verify_against_reference, or repeated dedup joins on
+    image_id) read pre-hashed buckets, so the SortMergeJoin plans with
+    NO Exchange — at 10^12 rows that removes the single largest shuffle
+    in the verification pipeline (a node-local per-bucket sort remains;
+    Spark only trusts file sortedness with one file per bucket). The Iceberg
+    equivalent is a `bucket(N, image_id)` partition transform; this is
+    the Spark-catalog spelling of the same layout."""
+    (
+        df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
 def read_images(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)

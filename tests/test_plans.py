@@ -232,3 +232,41 @@ def test_quality_and_sampling_plans_shuffle_free(spark):
         assert "Exchange" not in plan          # no shuffle
         assert "EvalPython" not in plan        # no Python in the path
         assert "FileScan parquet" in plan      # rides the scan directly
+
+
+def test_bucketed_join_is_shuffle_free(spark, images_path):
+    """Bucketed tables co-locate the join key: the image_id equi-join
+    (the verify-against-reference shape) plans as a SortMergeJoin with
+    NO Exchange on either side — the biggest shuffle in the
+    verification pipeline removed by table layout. (A local per-bucket
+    Sort remains: Spark only trusts sortedness with one file per
+    bucket; it is node-local and spill-free, not a shuffle.)"""
+    from advanced_data_profile_spark.sources.images import (
+        read_images,
+        write_images_bucketed,
+    )
+
+    meta = read_images(spark, images_path).select("image_id", "w", "h", "phash")
+    for t in ("bkt_cand", "bkt_ref"):
+        write_images_bucketed(meta, t, buckets=8)
+    # the fixture is small enough to broadcast, which would hide the
+    # bucketed-join shape; at 10^12 rows neither side broadcasts
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand, ref = spark.table("bkt_cand"), spark.table("bkt_ref")
+        joined = cand.join(
+            ref.select(F.col("image_id"), F.col("phash").alias("ref_phash")),
+            "image_id",
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # and the data is actually right
+        n = joined.where(F.col("phash") == F.col("ref_phash")).count()
+        assert n >= meta.count()  # every id matches itself (dups fan out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        for t in ("bkt_cand", "bkt_ref"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
