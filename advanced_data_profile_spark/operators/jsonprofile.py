@@ -71,9 +71,14 @@ def json_key_profile(
             "n_numeric bigint, n_integer bigint, n_boolean bigint, "
             "min_num double, max_num double, inferred_type string",
         )
+    # ONE JSON parse per row (from_json to map<string,string> — scalars
+    # keep their raw token text, nested values their JSON text, matching
+    # get_json_object semantics), then O(1) map lookups per key — not
+    # O(keys) full JSON parses per row, which dominates at 100s of keys
+    parsed = F.from_json(F.col(col), "map<string,string>")
     exprs = [F.count(F.lit(1)).alias("__n")]
     for i, k in enumerate(keys):
-        v = F.get_json_object(F.col(col), f"$.{k}")
+        v = parsed.getItem(k)
         d = v.try_cast("double")
         exprs += [
             F.count(v).alias(f"__p_{i}"),
