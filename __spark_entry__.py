@@ -1122,6 +1122,54 @@ def _oracle_json_key_profile() -> str:
     """
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (context-window batch assembly): documents
+    packed into 256-token cumsum packs within each source shard;
+    returns the per-pack summary (operators/packing.py)."""
+    from advanced_data_profile_spark.functions.text import token_count
+    from advanced_data_profile_spark.operators.packing import (
+        pack_by_cumsum,
+        pack_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_by_cumsum(sized, "doc_id", "n_tokens", 256, group_col="source")
+    return pack_summary(packed, "n_tokens", group_col="source")
+
+
+def _oracle_pack_documents() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import (
+        sql_norm,
+        sql_token_count,
+    )
+
+    return f"""
+        WITH d AS (
+          SELECT source, doc_id, {sql_norm('text')} AS __norm FROM documents
+        ),
+        sized AS (
+          SELECT source, doc_id, {sql_token_count('__norm')}::BIGINT AS n_tokens
+          FROM d
+        ),
+        s AS (
+          SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum
+          FROM sized WHERE n_tokens > 0
+        )
+        SELECT source,
+               floor((cum - n_tokens) / 256)::BIGINT AS pack_idx,
+               count(*) AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens
+        FROM s GROUP BY 1, 2
+    """
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic keep/drop filter over documents: every
     rule boolean + keep + deterministic failed-rule attribution, all
@@ -1702,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction_documents": q_sample_fraction_documents,
         "sample_per_group_events": q_sample_per_group_events,
         "json_key_profile_events": q_json_key_profile_events,
+        "pack_documents": q_pack_documents,
         "tfidf_top_ngrams": q_tfidf_top_ngrams,
         "sessionization": q_sessionization,
         "infer_types": q_infer_types,
@@ -1894,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_fraction_documents": _oracle_sample_fraction_documents(),
         "sample_per_group_events": _oracle_sample_per_group_events(),
         "json_key_profile_events": _oracle_json_key_profile(),
+        "pack_documents": _oracle_pack_documents(),
         "tfidf_top_ngrams": _oracle_tfidf_top_ngrams(),
         "sessionization": _oracle_sessionization(),
         "infer_types": _oracle_infer_types(),
