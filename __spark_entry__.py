@@ -1170,6 +1170,37 @@ def _oracle_pack_documents() -> str:
     """
 
 
+def q_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: redacted text + per-class match counts
+    (functions.text.redact_pii / pii_counts). The redacted STRINGS are
+    value-hashed against DuckDB applying the same single-source
+    patterns, so the regex semantics are pinned cross-engine."""
+    from advanced_data_profile_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        *[F.coalesce(c, F.lit(0)).cast("bigint").alias(f"n_{name}")
+          for name, c in counts.items()],
+    )
+
+
+def _oracle_redact_documents() -> str:
+    from advanced_data_profile_spark.functions.text import PII_PATTERNS
+
+    red = "text"
+    for _, pattern, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    counts = ", ".join(
+        f"coalesce(len(regexp_extract_all(text, '{pattern}')), 0)::BIGINT"
+        f" AS n_{name}"
+        for name, pattern, _ in PII_PATTERNS
+    )
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic keep/drop filter over documents: every
     rule boolean + keep + deterministic failed-rule attribution, all
@@ -1751,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group_events": q_sample_per_group_events,
         "json_key_profile_events": q_json_key_profile_events,
         "pack_documents": q_pack_documents,
+        "redact_documents": q_redact_documents,
         "tfidf_top_ngrams": q_tfidf_top_ngrams,
         "sessionization": q_sessionization,
         "infer_types": q_infer_types,
@@ -1944,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_group_events": _oracle_sample_per_group_events(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),
+        "redact_documents": _oracle_redact_documents(),
         "tfidf_top_ngrams": _oracle_tfidf_top_ngrams(),
         "sessionization": _oracle_sessionization(),
         "infer_types": _oracle_infer_types(),

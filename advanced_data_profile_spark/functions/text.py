@@ -192,6 +192,44 @@ def lang_predict(c: Column) -> Column:
     return out
 
 
+# PII scrub patterns — ASCII-only constructions chosen so Java regex
+# (Spark) and RE2 (DuckDB) match IDENTICAL spans: no alternations whose
+# leftmost-first (Java) vs leftmost-longest (RE2) semantics could
+# diverge, no backreferences, no lookaround (RE2 has none). Order
+# matters: URLs first (emails/IPs can appear inside them), then email,
+# IP, then long digit runs (card/account-like).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^ \t\r\n]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("longnum", r"\b[0-9]{13,19}\b", "<NUM>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Scrub emails / URLs / IPv4s / long digit runs to typed
+    placeholder tokens — the standard pre-training privacy pass.
+    Patterns applied in PII_PATTERNS order; byte-identical in the DuckDB
+    oracle (same regexes, same order)."""
+    out = c
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Match counts per PII class (counted on the PRE-redaction text;
+    earlier-class replacements can consume later-class matches during
+    redaction — e.g. an email inside a URL — so counts here are
+    per-class independent)."""
+    # idx=0 (whole match) must be explicit: Spark's regexp_extract_all
+    # defaults to group 1 and raises at runtime on group-free patterns
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
 def md5_int60(c: Column) -> Column:
     """First 15 hex chars of md5 as a 60-bit non-negative int64 —
     bit-identical in DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT."""

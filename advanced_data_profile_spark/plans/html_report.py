@@ -108,6 +108,20 @@ def render_html(report: dict) -> str:
         f'{_verdict(report.get("overall_passed"))}</div>'
     )
 
+    gc = report.get("global_constraints") or {}
+    if gc:
+        parts.append("<h2>Global (cross-run) constraints</h2>")
+        rows = [
+            [_esc(name), _esc(g.get("kind")), _fmt(g.get("n_violations")),
+             _esc(", ".join(g.get("failed_partitions") or []) or "—"),
+             _verdict(g.get("passed"))]
+            for name, g in sorted(gc.items())
+        ]
+        parts.append(_table(
+            ["constraint", "kind", "n_violations", "failed partitions",
+             "verdict"], rows
+        ))
+
     for pid, p in sorted(report.get("partitions", {}).items()):
         parts.append(f"<h2>Partition {_esc(pid)} — {_verdict(p.get('passed'))}</h2>")
         cols = p.get("columns", {})

@@ -113,3 +113,24 @@ def test_html_report_embeds_plotly_json(spark, tmp_path):
     payload = html[start: html.index("</script>", start)]
     figs = json.loads(payload.replace("<\\/", "</"))
     assert "histogram:x" in figs and figs["histogram:x"]["data"]
+
+
+def test_html_renders_global_constraints():
+    from advanced_data_profile_spark.plans.html_report import render_html
+
+    report = {
+        "table": "t", "generated_at": "now", "total_rows": 10,
+        "n_partitions": 1, "overall_passed": False,
+        "global_constraints": {
+            "image_id_unique_global": {
+                "kind": "unique_global", "n_violations": 4,
+                "passed": False, "failed_partitions": ["0", "3"],
+            }
+        },
+        "partitions": {}, "histograms": [], "violation_samples": [],
+        "row_sample": [], "lineage": [],
+    }
+    html = render_html(report)
+    assert "Global (cross-run) constraints" in html
+    assert "image_id_unique_global" in html and "0, 3" in html
+    assert '<span class="fail">FAIL</span>' in html

@@ -151,3 +151,56 @@ def test_lang_predict_round3_breadth(spark):
     ]
     assert preds == ["da", "fi", "hu", "cs", "sw", "tl",
                      "uk", "ru", "bn", "ta"]
+
+
+def test_redact_pii_planted(spark):
+    """Redaction over planted PII: emails, URLs (with embedded email),
+    IPv4s, long digit runs — and a DUAL-ENGINE parity check running the
+    same single-source patterns through DuckDB on identical rows
+    (the driver fixture contains no PII, so the cross-engine semantics
+    are pinned here on adversarial inputs)."""
+    import duckdb
+
+    from advanced_data_profile_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    texts = [
+        "contact me at jane.doe+spam@example.co.uk please",
+        "see https://user@host.example.com/path?q=1#frag for details",
+        "server at 192.168.0.1 and 10.0.0.255, card 4111111111111111",
+        "no pii here at all",
+        "mixed: http://a.b/c x@y.io 1.2.3.4 12345678901234567",
+        "",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "t": texts})
+    df = spark.createDataFrame(pdf)
+    counts = pii_counts(F.col("t"))
+    out = df.select(
+        "doc_id", redact_pii(F.col("t")).alias("red"),
+        *[F.coalesce(c, F.lit(0)).alias(f"n_{k}") for k, c in counts.items()],
+    ).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[0].red == "contact me at <EMAIL> please"
+    assert by[1].red == "see <URL> for details"     # email inside URL -> URL
+    assert by[1].n_url == 1 and by[1].n_email == 1  # counts are per-class
+    assert by[2].red == "server at <IP> and <IP>, card <NUM>"
+    assert by[3].red == "no pii here at all"
+    assert by[4].n_url == by[4].n_email == by[4].n_ip == by[4].n_longnum == 1
+    assert by[6].red is None
+
+    # dual-engine parity: DuckDB applies the SAME patterns
+    red_sql = "t"
+    for _, pattern, token in PII_PATTERNS:
+        red_sql = f"regexp_replace({red_sql}, '{pattern}', '{token}', 'g')"
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(f"SELECT doc_id, {red_sql} FROM docs").fetchall()
+    }
+    for r in out:
+        assert oracle[r.doc_id] == r.red, r.doc_id
