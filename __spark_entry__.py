@@ -1067,6 +1067,34 @@ def _oracle_sample_per_group_events() -> str:
     """
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+
+
+def q_mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture: per-source keep rates (100% src0, 50% src1, 10%
+    src2, drop the rest) via the deterministic id-hash — the
+    upsample/downsample knob of corpus assembly."""
+    from advanced_data_profile_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(docs, "source", "doc_id", _MIX_RATES).select(
+        "doc_id", "source"
+    )
+
+
+def _oracle_mixture_sample_documents() -> str:
+    space = float(1 << 60)
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(r * space)}"
+        for g, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_sql_sample_hash('doc_id')}
+              < (CASE source {cases} ELSE 0 END)
+    """
+
+
 def q_json_key_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured profiling: per-top-level-key presence + type
     census of the events.props JSON column (two-phase: bounded key
@@ -1780,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_keep_rate": q_quality_keep_rate,
         "sample_fraction_documents": q_sample_fraction_documents,
         "sample_per_group_events": q_sample_per_group_events,
+        "mixture_sample_documents": q_mixture_sample_documents,
         "json_key_profile_events": q_json_key_profile_events,
         "pack_documents": q_pack_documents,
         "redact_documents": q_redact_documents,
@@ -1974,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_keep_rate": _oracle_quality_keep_rate(),
         "sample_fraction_documents": _oracle_sample_fraction_documents(),
         "sample_per_group_events": _oracle_sample_per_group_events(),
+        "mixture_sample_documents": _oracle_mixture_sample_documents(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),
         "redact_documents": _oracle_redact_documents(),

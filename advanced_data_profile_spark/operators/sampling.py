@@ -70,6 +70,33 @@ def hash_sample_per_group(
     )
 
 
+def mixture_sample(
+    df: DataFrame, group_col: str, id_col: str,
+    rates: dict[str, float], default_rate: float = 0.0, salt: str = "",
+) -> DataFrame:
+    """Per-group keep rates — the corpus MIXTURE knob (e.g. keep 100% of
+    a curated source, 10% of crawl): row kept iff hash(salt|id) <
+    rate(group) * 2^60. Same determinism/nesting guarantees as
+    hash_fraction_sample, still a pure scan filter (the rate lookup is
+    a literal map, no join). Groups absent from `rates` use
+    default_rate (0.0 = drop unknown sources — the safe default for
+    curation allowlists)."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresholds = F.create_map(*[
+        x for g, r in sorted(rates.items())
+        for x in (F.lit(g), F.lit(int(r * _HASH_SPACE)))
+    ])
+    cut = F.coalesce(
+        thresholds.getItem(F.col(group_col).cast("string")),
+        F.lit(int(default_rate * _HASH_SPACE)),
+    )
+    return df.where(sample_hash(id_col, salt) < cut)
+
+
 def split_train_eval(
     df: DataFrame, id_col: str, eval_fraction: float = 0.05, salt: str = "split"
 ) -> tuple[DataFrame, DataFrame]:

@@ -88,3 +88,30 @@ def test_fraction_monotone_nesting_property(spark, docs):
     for small, big in zip(sets, sets[1:]):
         assert small <= big
     assert sets[-1] == set(range(2000))  # fraction 1.0 keeps everything
+
+
+def test_mixture_sample_rates_and_default(spark):
+    from advanced_data_profile_spark.operators.sampling import mixture_sample
+
+    pdf = pd.DataFrame({
+        "id": range(3000),
+        "src": [f"s{i % 3}" for i in range(3000)],
+    })
+    df = spark.createDataFrame(pdf)
+    out = mixture_sample(df, "src", "id", {"s0": 1.0, "s1": 0.3}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.src, set()).add(r.id)
+    assert len(by["s0"]) == 1000          # rate 1.0 keeps everything
+    assert 200 < len(by.get("s1", set())) < 400  # ~0.3
+    assert "s2" not in by                 # default_rate=0 drops unknowns
+    # mixture keeps are consistent with the plain fraction sampler
+    # (same hash key): s1's keeps are exactly the 0.3 cut of s1 rows
+    from advanced_data_profile_spark.operators.sampling import (
+        hash_fraction_sample,
+    )
+    s1 = df.where(F.col("src") == "s1")
+    want = {r.id for r in hash_fraction_sample(s1, "id", 0.3).collect()}
+    assert by["s1"] == want
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", "id", {"s0": 2.0})
