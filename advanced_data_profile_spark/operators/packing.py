@@ -42,7 +42,11 @@ def pack_by_cumsum(
 ) -> DataFrame:
     """df + pack_col: the pack index within the group (0-based). Rows
     with NULL or non-positive size are excluded (size must be a
-    positive token count — validate upstream)."""
+    positive token count — validate upstream).
+
+    id_col must be UNIQUE within each group: the cumsum is ordered by
+    it, and ties would make pack boundaries depend on physical row
+    order (nondeterministic across runs)."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     keys = [group_col] if group_col else []

@@ -157,13 +157,18 @@ def pca_importance_figure(rows: list[dict]) -> dict:
     )
 
 
-def figures_for_report(report: dict) -> dict[str, dict]:
+def figures_for_report(report: dict, n_bins: int | None = None) -> dict[str, dict]:
     """Every figure derivable from an assembled report dict
     (plans.report.assemble_report or plans.profile_report shape):
     per-column histograms, correlation heatmap, PCA bar, per-text-column
     word-frequency bars. All inputs are the tiny aggregated rows already
     in the report — this never touches a DataFrame."""
     figs: dict[str, dict] = {}
+    # the true interior-bin count: histogram rows alone can't pin it —
+    # width_bucket sends max-valued rows to the OVERFLOW bin (n_bins+1),
+    # so inferring n_bins as max(bin) would skew every midpoint. Report
+    # producers record it as `histogram_bins`.
+    n_bins = n_bins or report.get("histogram_bins")
     hists = report.get("histograms") or []
     # partition histograms share bin edges by construction — merge
     # across groups (sum counts per bin) into one table-wide figure
@@ -180,7 +185,7 @@ def figures_for_report(report: dict) -> dict[str, dict]:
     for m in merged.values():
         by_col[m["column"]].append(m)
     for col, rows in sorted(by_col.items()):
-        figs[f"histogram:{col}"] = histogram_figure(rows, col)
+        figs[f"histogram:{col}"] = histogram_figure(rows, col, n_bins)
     if report.get("correlation"):
         figs["correlation_heatmap"] = correlation_heatmap(report["correlation"])
     if report.get("pca_importance"):

@@ -150,6 +150,7 @@ def profile_table_report(
         "pca_importance": pca,
         "text_analysis": text_sections,
         "histograms": hists,
+        "histogram_bins": n_bins,
         "violation_samples": [],
         "row_sample": sample,
         "lineage": [],

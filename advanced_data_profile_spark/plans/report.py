@@ -98,8 +98,10 @@ def assemble_report(
         "table": table_name,
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         # plotly-figure JSON (reference embeds PlotlyJSONEncoder output);
-        # built from the aggregated rows below, never from raw data
-        "figures": figures_for_report({"histograms": hists}),
+        # built from the aggregated rows below, never from raw data.
+        # n_bins=50 is drift.histogram's default, which wrote these rows
+        "figures": figures_for_report({"histograms": hists}, n_bins=50),
+        "histogram_bins": 50,
         "n_partitions": len(parts),
         "total_rows": sum(
             m["n_rows"] or 0

@@ -134,3 +134,23 @@ def test_html_renders_global_constraints():
     assert "Global (cross-run) constraints" in html
     assert "image_id_unique_global" in html and "0, 3" in html
     assert '<span class="fail">FAIL</span>' in html
+
+
+def test_histogram_midpoints_correct_with_overflow_bin(spark):
+    """width_bucket sends max-valued rows to the overflow bin; the
+    figure must still use the TRUE bin count for midpoints (regression:
+    inferring n_bins from max(bin) skewed every midpoint by one bin)."""
+    from advanced_data_profile_spark.plans.profile_report import (
+        profile_table_report,
+    )
+
+    pdf = pd.DataFrame({"x": [float(i) for i in range(21)]})  # 0..20, max hits hi
+    report = profile_table_report(spark.createDataFrame(pdf), "t", n_bins=10)
+    fig = report["figures"]["histogram:x"]
+    (trace,) = fig["data"]
+    # 10 interior bins over [0, 20] -> width 2.0; first midpoint 1.0
+    numeric_x = [v for v in trace["x"] if not isinstance(v, str)]
+    assert numeric_x[0] == pytest.approx(1.0)
+    assert numeric_x[1] == pytest.approx(3.0)
+    # the max value (20.0) lands in the overflow label
+    assert any(isinstance(v, str) and v.startswith(">") for v in trace["x"])
