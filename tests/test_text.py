@@ -135,6 +135,7 @@ def test_lang_predict_round3_breadth(spark):
     only) + new script rules, incl. the uk-before-ru ordering."""
     pdf = pd.DataFrame({"t": [
         "og det er jeg ikke sikker der til af hvad hun den siger",   # da
+        "og det er jeg ikke en til av de han meg noe mer",           # no ("av/meg/noe")
         "ja on ei se oli mutta kun niin kuin hyvin jos tulee",       # fi
         "az nem hogy van egy ha mint csak volt lesz ki mondja",      # hu
         "je se na ale jako pro od ani nebo kdy tak dobre",           # cs
@@ -149,7 +150,7 @@ def test_lang_predict_round3_breadth(spark):
         r.p for r in spark.createDataFrame(pdf)
         .select(X.lang_predict(F.col("t")).alias("p")).collect()
     ]
-    assert preds == ["da", "fi", "hu", "cs", "sw", "tl",
+    assert preds == ["da", "no", "fi", "hu", "cs", "sw", "tl",
                      "uk", "ru", "bn", "ta"]
 
 
