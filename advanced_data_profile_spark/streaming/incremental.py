@@ -124,6 +124,28 @@ def streaming_quality_keep_rate(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming EXACT dedup with bounded state: keeps the first row
+    per key, dropping later duplicates that arrive within the watermark
+    of the first sighting (dropDuplicatesWithinWatermark — key state is
+    evicted once the watermark passes it, so state is O(keys per
+    watermark window), never O(stream)). The live twin of
+    dedup.dedup_exact_keep_first for ingestion-time id dedup; the batch
+    global pass (global_uniqueness_check) remains the cross-run
+    backstop for duplicates farther apart than the watermark."""
+    src = stream.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark("__ts", watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("__ts")
+    )
+
+
 def run_incremental_demo(
     spark: SparkSession, images_path: str, checks: list[Check],
     query_name: str = "violations",

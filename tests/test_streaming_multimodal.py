@@ -390,3 +390,42 @@ def test_streaming_quality_keep_rate_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) == 3
     assert got[min(got)] == (2, 1, 0.5)  # first hour: good + too-short
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingestion-time exact dedup: duplicate keys arriving within the
+    watermark are dropped (first sighting wins); distinct keys pass
+    through; state is watermark-bounded (plan carries the watermark)."""
+    import os
+
+    from advanced_data_profile_spark.streaming.incremental import streaming_dedup
+
+    pdf = pd.DataFrame({
+        "image_id": ["a", "a", "b", "c", "c", "c", "d"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10",  # dup within watermark
+            "2024-01-01 00:20",
+            "2024-01-01 01:00", "2024-01-01 01:05", "2024-01-01 01:06",
+            "2024-01-01 02:00",
+        ]),
+        "payload": list(range(7)),
+    })
+    stream_dir = str(tmp_path / "dedup_stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    batch = spark.createDataFrame(pdf)
+    batch.coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    out = streaming_dedup(stream, ["image_id"], ts_col="ts", watermark="1 hour")
+    assert "ventTimeWatermark" in out._jdf.queryExecution().logical().toString()
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_q").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_q").collect()
+    finally:
+        q.stop()
+    got = sorted((r.image_id, r.payload) for r in rows)
+    # first sighting per key survives (all dups here fall within 1h)
+    assert got == [("a", 0), ("b", 2), ("c", 3), ("d", 6)]
