@@ -95,12 +95,24 @@ def decode(payload: bytes | None, w: int, h: int, fmt: str | None) -> np.ndarray
 
 def psnr(a: np.ndarray, b: np.ndarray, cap: float = 99.0) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images;
-    identical images return `cap` (instead of inf)."""
+    identical images return `cap` (instead of inf).
+
+    uint8 inputs use int16-diff / int64-accumulate arithmetic — exact
+    (no float rounding) and 4x less memory traffic than the float64
+    path, which matters in the bandwidth-bound verify kernel; other
+    dtypes fall back to float64."""
     if a.shape != b.shape:
         return 0.0
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
-    if mse == 0.0:
-        return cap
+    if a.dtype == np.uint8 and b.dtype == np.uint8:
+        d = a.astype(np.int16) - b.astype(np.int16)
+        sse = int(np.sum(np.square(d, dtype=np.int32), dtype=np.int64))
+        if sse == 0:
+            return cap
+        mse = sse / a.size
+    else:
+        mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+        if mse == 0.0:
+            return cap
     return min(cap, 10.0 * np.log10(255.0 * 255.0 / mse))
 
 
