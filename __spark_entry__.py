@@ -660,7 +660,11 @@ def _oracle_pca_importance() -> str | None:
         mask = np.isnan(x)
         m = x[~mask].mean()
         X[:, i] = np.where(mask, m, x)
-    Z = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
+    # sklearn _handle_zeros_in_scale parity (mirrors the clamp in
+    # correlation.imputed_standardized_cov): constant column → scale 1.
+    scale = X.std(axis=0, ddof=1)
+    scale[scale == 0.0] = 1.0
+    Z = (X - X.mean(axis=0)) / scale
     C = (Z.T @ Z) / (n - 1)
     eigvals, eigvecs = np.linalg.eigh(C)
     pc = eigvecs[:, np.argsort(eigvals)[::-1][:4]]

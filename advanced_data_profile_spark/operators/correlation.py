@@ -78,6 +78,12 @@ def imputed_standardized_cov(
     row = df.agg(*exprs).collect()[0].asDict()
 
     n = row["__n"]
+    all_null = [columns[i] for i in range(p) if row[f"__cnt_{i}"] == 0]
+    if all_null:
+        raise ValueError(
+            f"PCA input columns are entirely NULL: {all_null} — mean "
+            "imputation is undefined; drop them before calling"
+        )
     m = np.array([
         (row[f"__s_{i}"] or 0.0) / row[f"__cnt_{i}"] for i in range(p)
     ])
@@ -87,10 +93,19 @@ def imputed_standardized_cov(
          - n * m[i] ** 2) / (n - 1)
         for i in range(p)
     ])
-    sd = np.sqrt(var)
-    C = np.eye(p)
+    # sklearn StandardScaler parity (_handle_zeros_in_scale): a constant
+    # column has sd 0 → scale 1, so it contributes a zero row/col to C
+    # (identity diagonal aside) instead of NaNs that break eigh.
+    var = np.maximum(var, 0.0)  # float cancellation can dip below zero
+    sd = np.where(var <= 0.0, 1.0, np.sqrt(var))
+    const = var <= 0.0
+    # Z.T@Z/(n-1) semantics: a constant column's z-scores are exactly 0
+    # (after the scale-1 clamp), so its diagonal entry is 0, not 1.
+    C = np.diag(np.where(const, 0.0, 1.0))
     for i in range(p):
         for j in range(i + 1, p):
+            if const[i] or const[j]:
+                continue  # z ≡ 0 ⇒ exact 0, skip the float-noise path
             s_hat = (
                 (row[f"__sb_{i}_{j}"] or 0.0)
                 + m[j] * (row[f"__sa_{i}_{j}"] or 0.0)

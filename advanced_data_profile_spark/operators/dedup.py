@@ -345,7 +345,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # means the input is not a near-dup graph at all. Fail loudly.
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds — a "
-            "component's diameter exceeds 2^{max_iter}; raise max_iter"
+            f"component's diameter exceeds 2^{max_iter}; raise max_iter"
         )
     return labels.select("id", F.col("lbl").alias("cluster"))
 

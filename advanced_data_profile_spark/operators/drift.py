@@ -67,13 +67,17 @@ def histogram(
                 # comparable — the resume path depends on this)
                 F.lit(float(lo)).alias("lo"),
                 F.lit(float(hi)).alias("hi"),
+                # interior-bin count rides along too: max(bin) can't pin
+                # it (width_bucket sends max-valued rows to the overflow
+                # bin n_bins+1), and figure midpoints need the true grid
+                F.lit(int(n_bins)).alias("n_bins"),
             )
         )
     return (
         df.select(F.col(group_by).alias("grp"), F.explode(F.array(*structs)).alias("s"))
-        .select("grp", "s.column", "s.bin", "s.lo", "s.hi")
+        .select("grp", "s.column", "s.bin", "s.lo", "s.hi", "s.n_bins")
         .where(F.col("bin").isNotNull())
-        .groupBy("grp", "column", "bin", "lo", "hi")
+        .groupBy("grp", "column", "bin", "lo", "hi", "n_bins")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -33,12 +33,46 @@ PROFILE_COLUMNS = [
 ]
 
 
-def discover_keys(df: DataFrame, col: str, max_keys: int = 200) -> list[str]:
+DISCOVERY_SAMPLE_THRESHOLD = 1_000_000
+DISCOVERY_SAMPLE_FRACTION = 0.01
+
+
+def discover_keys(
+    df: DataFrame,
+    col: str,
+    max_keys: int = 200,
+    n_rows: int | None = None,
+    sample_threshold: int = DISCOVERY_SAMPLE_THRESHOLD,
+    sample_fraction: float = DISCOVERY_SAMPLE_FRACTION,
+) -> list[str]:
     """Top-level keys by presence count (ties broken by key), capped at
-    max_keys. Keys with characters outside [A-Za-z0-9_] are skipped —
-    they would need escaped JSONPath, documented limitation."""
+    max_keys. Keys with characters outside [A-Za-z0-9_] are skipped
+    BEFORE the cap (same order as the DuckDB oracle's pre-LIMIT filter)
+    — they would need escaped JSONPath, documented limitation.
+
+    At scale, key DISCOVERY runs on a deterministic hash-sample of the
+    column value (sampling.sample_hash — partition-layout independent)
+    once the table exceeds ``sample_threshold`` rows: the key *set* of a
+    metadata column is schema-bounded, so a 1% sample sees every key
+    that appears in ≳0.01% of rows; a rarer key can still be profiled by
+    passing it explicitly to json_key_profile(keys=...) — the census
+    pass is always full-table. ``n_rows`` skips the sizing count when
+    the caller already knows it (manifest/scan stats)."""
+    from advanced_data_profile_spark.operators.sampling import (
+        _HASH_SPACE, sample_hash,
+    )
+
+    if n_rows is None:
+        n_rows = df.count()  # parquet sources answer from footer metadata
+    src = df
+    if n_rows > sample_threshold:
+        src = df.where(
+            sample_hash(F.col(col), salt="jsonkeys")
+            < int(sample_fraction * _HASH_SPACE)
+        )
     rows = (
-        df.select(F.explode(F.json_object_keys(F.col(col))).alias("key"))
+        src.select(F.explode(F.json_object_keys(F.col(col))).alias("key"))
+        .where(F.col("key").rlike(r"^[A-Za-z0-9_]+$"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("key"))
@@ -49,7 +83,10 @@ def discover_keys(df: DataFrame, col: str, max_keys: int = 200) -> list[str]:
 
 
 def json_key_profile(
-    df: DataFrame, col: str, max_keys: int = 200
+    df: DataFrame,
+    col: str,
+    max_keys: int = 200,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """One row per discovered key:
       n_present      rows where the key exists with a non-null value
@@ -61,8 +98,14 @@ def json_key_profile(
       inferred_type  integer | double | boolean | string | empty
                      (all-of-kind wins, else string — the reference's
                      all-or-nothing type vote, typeinfer parity)
+
+    ``keys`` overrides discovery — pass it to profile a key rarer than
+    the discovery sample rate (the census pass is always full-table).
     """
-    keys = discover_keys(df, col, max_keys)
+    if keys is None:
+        keys = discover_keys(df, col, max_keys)
+    else:
+        keys = [k for k in keys if _SAFE_KEY.match(k)]
     spark = df.sparkSession
     if not keys:
         return spark.createDataFrame(

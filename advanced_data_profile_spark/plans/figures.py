@@ -34,17 +34,28 @@ def _fig(traces: list[dict], title: str, xaxis: str = "", yaxis: str = "") -> di
 
 def histogram_figure(rows: list[dict], column: str, n_bins: int | None = None) -> dict:
     """Bar figure from shared-bin histogram rows ((grp, column, bin, lo,
-    hi, cnt) — drift.histogram output). Bin midpoints from the stored
-    self-describing grid; underflow/overflow buckets (0, n_bins+1) get
-    open-ended labels. Reference: px.histogram per numeric column
-    (Profiler.py:735-741)."""
+    hi, n_bins, cnt) — drift.histogram output). Bin midpoints from the
+    stored self-describing grid; underflow/overflow buckets (0, n_bins+1)
+    get open-ended labels. Reference: px.histogram per numeric column
+    (Profiler.py:735-741).
+
+    The interior-bin count comes from the rows themselves (drift.histogram
+    persists it alongside lo/hi) with the parameter as override; it is
+    NEVER inferred as max(bin) — width_bucket sends max-valued rows to the
+    overflow bin (n_bins+1), so that inference skews every midpoint."""
     rs = sorted(
         (r for r in rows if r["column"] == column), key=lambda r: r["bin"]
     )
     if not rs:
         return _fig([], f"Histogram of {column}")
     lo, hi = rs[0]["lo"], rs[0]["hi"]
-    nb = n_bins or max(r["bin"] for r in rs)
+    nb = n_bins or rs[0].get("n_bins")
+    if not nb:
+        raise ValueError(
+            f"histogram rows for {column!r} carry no n_bins grid metadata "
+            "and no n_bins was passed — cannot place bin midpoints "
+            "(inferring max(bin) would mislabel the overflow bin)"
+        )
     width = (hi - lo) / nb if nb else 1.0
     xs, ys = [], []
     for r in rs:
@@ -164,10 +175,9 @@ def figures_for_report(report: dict, n_bins: int | None = None) -> dict[str, dic
     word-frequency bars. All inputs are the tiny aggregated rows already
     in the report — this never touches a DataFrame."""
     figs: dict[str, dict] = {}
-    # the true interior-bin count: histogram rows alone can't pin it —
-    # width_bucket sends max-valued rows to the OVERFLOW bin (n_bins+1),
-    # so inferring n_bins as max(bin) would skew every midpoint. Report
-    # producers record it as `histogram_bins`.
+    # the true interior-bin count lives ON the histogram rows
+    # (drift.histogram persists it next to lo/hi); `histogram_bins` /
+    # the parameter remain as overrides for legacy stored rows.
     n_bins = n_bins or report.get("histogram_bins")
     hists = report.get("histograms") or []
     # partition histograms share bin edges by construction — merge
@@ -178,7 +188,8 @@ def figures_for_report(report: dict, n_bins: int | None = None) -> dict[str, dic
         m = merged.setdefault(
             key,
             {"column": r["column"], "bin": r["bin"],
-             "lo": r["lo"], "hi": r["hi"], "cnt": 0},
+             "lo": r["lo"], "hi": r["hi"],
+             "n_bins": r.get("n_bins"), "cnt": 0},
         )
         m["cnt"] += r["cnt"]
     by_col: dict[str, list] = defaultdict(list)

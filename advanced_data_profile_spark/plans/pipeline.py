@@ -308,6 +308,11 @@ def run_pipeline(
             for fu in futs:
                 fu.result()
 
+    # unscorable drift cells are REPORTED, not silently dropped and not
+    # disguised as fake 0.0 timing entries: this dict lands in the
+    # manifest metrics next to (never inside) the timings
+    drift_summary: dict = {}
+
     def _drift():
         cols = [c for c in cfg.drift_columns if c in meta.columns]
         hist_path = f"{output_dir}/histograms"
@@ -362,20 +367,32 @@ def run_pipeline(
             # still stored for future runs, but there is nothing to
             # compare against — emitting null-scored "failed" rows would
             # be a silent lie
-            timings["drift_skipped_no_baseline"] = 0.0
+            drift_summary["skipped_no_baseline"] = sorted(cols)
             return
         hist_all = (
-            hist.unionByName(stored_base) if stored_base is not None else hist
+            hist.unionByName(stored_base, allowMissingColumns=True)
+            if stored_base is not None else hist
         )
         scores = ks_psi(hist_all, cfg.baseline_part)
-        # columns ks_psi dropped for having an EMPTY baseline (all-NULL
-        # in the baseline partition / drift_columns grew between runs)
-        # get an explicit skipped marker, mirroring the
-        # no-baseline-at-all path — never a NULL-coerced FAIL verdict
-        scored_cols = {r.column for r in scores.select("column").distinct().collect()}
-        for c in cols:
-            if c not in scored_cols:
-                timings[f"drift_skipped_empty_baseline__{c}"] = 0.0
+        # cells ks_psi dropped — an EMPTY baseline column (all-NULL in
+        # the baseline partition / drift_columns grew between runs)
+        # drops the whole column; a column empty in just ONE group
+        # drops only that (grp, column) cell. Both get explicit skipped
+        # markers, per cell, mirroring the no-baseline-at-all path —
+        # never a NULL-coerced FAIL verdict and never a silent drop.
+        scored = {
+            (str(r.grp), r.column)
+            for r in scores.select("grp", "column").collect()
+        }
+        expect_grps = sorted(
+            str(p) for p in pending_ids if str(p) != str(cfg.baseline_part)
+        )
+        skipped = [
+            {"part_id": g, "column": c}
+            for g in expect_grps for c in cols if (g, c) not in scored
+        ]
+        if skipped:
+            drift_summary["skipped"] = skipped
         dv = drift_verdicts(scores, cfg.ks_threshold, cfg.psi_threshold)
         dv.write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/drift_results"
@@ -402,7 +419,10 @@ def run_pipeline(
         {
             "run_id": run_id, "part_id": str(pid), "status": "done",
             "started_at": t0, "n_rows": part_rows.get(pid, 0),
-            "metrics": {"timings": {k: round(v, 3) for k, v in timings.items()}},
+            "metrics": {
+                "timings": {k: round(v, 3) for k, v in timings.items()},
+                **({"drift": drift_summary} if drift_summary else {}),
+            },
             "input_path": images_path,
         }
         for pid in pending_ids

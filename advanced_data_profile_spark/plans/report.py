@@ -94,14 +94,17 @@ def assemble_report(
 
     from advanced_data_profile_spark.plans.figures import figures_for_report
 
+    # the bin-grid size travels ON the stored histogram rows
+    # (drift.histogram persists n_bins next to lo/hi) — read it back
+    # rather than assuming the writer used the default
+    hist_bins = next((h["n_bins"] for h in hists if h.get("n_bins")), None)
     return {
         "table": table_name,
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         # plotly-figure JSON (reference embeds PlotlyJSONEncoder output);
-        # built from the aggregated rows below, never from raw data.
-        # n_bins=50 is drift.histogram's default, which wrote these rows
-        "figures": figures_for_report({"histograms": hists}, n_bins=50),
-        "histogram_bins": 50,
+        # built from the aggregated rows below, never from raw data
+        "figures": figures_for_report({"histograms": hists}),
+        "histogram_bins": hist_bins,
         "n_partitions": len(parts),
         "total_rows": sum(
             m["n_rows"] or 0

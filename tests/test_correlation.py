@@ -95,3 +95,54 @@ def test_imputed_standardized_cov_vs_numpy(spark):
     Z = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
     want = (Z.T @ Z) / (len(X) - 1)
     assert np.allclose(C, want, atol=1e-10)
+
+
+def test_pca_constant_column_sklearn_clamp(spark):
+    """A zero-variance column gets scale 1 (sklearn StandardScaler's
+    _handle_zeros_in_scale) instead of NaN-poisoning the covariance —
+    real tables carry constant columns and the reference recipe
+    (SimpleImputer→StandardScaler→PCA) survives them."""
+    from advanced_data_profile_spark.operators.correlation import (
+        imputed_standardized_cov,
+        pca_feature_importance,
+    )
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "a": rng.normal(0, 1, 100),
+        "k": np.full(100, 3.5),          # constant
+        "b": rng.normal(2, 2, 100),
+    })
+    pdf.loc[::6, "a"] = np.nan
+    df = spark.createDataFrame(pdf)
+    C = imputed_standardized_cov(df, ["a", "k", "b"])
+    assert np.isfinite(C).all()
+    # z-scores of a constant column are exactly 0 ⇒ zero row/col
+    assert C[1, 0] == C[1, 1] == C[1, 2] == 0.0
+    # the numpy mirror of the same clamp agrees
+    X = pdf.to_numpy(dtype=float)
+    for j in range(X.shape[1]):
+        col = X[:, j]
+        col[np.isnan(col)] = np.nanmean(col)
+    scale = X.std(axis=0, ddof=1)
+    scale[scale == 0.0] = 1.0
+    Z = (X - X.mean(axis=0)) / scale
+    want = (Z.T @ Z) / (len(X) - 1)
+    assert np.allclose(C, want, atol=1e-10)
+    # and the end-to-end importance is finite for every feature
+    imp = {r.feature: r.importance
+           for r in pca_feature_importance(df, ["a", "k", "b"], k=3).collect()}
+    assert all(np.isfinite(v) for v in imp.values())
+
+
+def test_pca_all_null_column_raises(spark):
+    from advanced_data_profile_spark.operators.correlation import (
+        imputed_standardized_cov,
+    )
+
+    pdf = pd.DataFrame({
+        "a": [1.0, 2.0, 3.0],
+        "dead": [np.nan, np.nan, np.nan],
+    })
+    with pytest.raises(ValueError, match="entirely NULL.*dead"):
+        imputed_standardized_cov(spark.createDataFrame(pdf), ["a", "dead"])

@@ -53,15 +53,32 @@ def test_correlation_heatmap_symmetry():
 def test_figures_merge_partition_histograms():
     report = {
         "histograms": [
-            {"grp": 0, "column": "w", "bin": 1, "lo": 0.0, "hi": 4.0, "cnt": 3},
-            {"grp": 1, "column": "w", "bin": 1, "lo": 0.0, "hi": 4.0, "cnt": 4},
-            {"grp": 1, "column": "w", "bin": 2, "lo": 0.0, "hi": 4.0, "cnt": 2},
+            {"grp": 0, "column": "w", "bin": 1, "lo": 0.0, "hi": 4.0,
+             "n_bins": 2, "cnt": 3},
+            {"grp": 1, "column": "w", "bin": 1, "lo": 0.0, "hi": 4.0,
+             "n_bins": 2, "cnt": 4},
+            {"grp": 1, "column": "w", "bin": 2, "lo": 0.0, "hi": 4.0,
+             "n_bins": 2, "cnt": 2},
         ],
     }
     figs = FG.figures_for_report(report)
     (trace,) = figs["histogram:w"]["data"]
     assert trace["y"] == [7, 2]  # summed across partitions, bins shared
+    # midpoints come from the STORED grid (n_bins=2 → width 2), never
+    # inferred from max(bin)
+    assert trace["x"] == [1.0, 3.0]
     json.dumps(figs)  # valid JSON document
+
+
+def test_histogram_figure_requires_grid_metadata():
+    # rows without n_bins and no override: refusing beats silently
+    # skewing every midpoint by inferring max(bin) (overflow bin trap)
+    rows = [{"column": "w", "bin": 1, "lo": 0.0, "hi": 4.0, "cnt": 3}]
+    with pytest.raises(ValueError, match="n_bins"):
+        FG.histogram_figure(rows, "w")
+    # explicit override still works for legacy stored rows
+    fig = FG.histogram_figure(rows, "w", n_bins=2)
+    assert fig["data"][0]["x"] == [1.0]
 
 
 def test_profile_report_embeds_figures(spark):

@@ -45,3 +45,40 @@ def test_type_census(mixed_json):
 def test_empty_and_no_json(spark):
     df = spark.createDataFrame(pd.DataFrame({"props": [None, None]}))
     assert json_key_profile(df, "props").count() == 0
+
+
+def test_unsafe_keys_filtered_before_cap(spark):
+    # an unsafe key that would otherwise crowd the top-max_keys must not
+    # displace a safe key below the cap (filter BEFORE limit — mirrors
+    # the DuckDB oracle's pre-LIMIT filter)
+    rows = ['{"bad key!": 1, "ok": 2}'] * 10 + ['{"rare": 3}']
+    df = spark.createDataFrame(pd.DataFrame({"props": rows}))
+    keys = discover_keys(df, "props", max_keys=2)
+    assert keys == ["ok", "rare"]  # 'bad key!' never consumed a slot
+
+
+def test_sampled_discovery_and_explicit_key_census(spark):
+    # 'rare' appears in 1/400 rows — below a 0.1% discovery sample's
+    # reach at this size; a tiny threshold forces the sampled path
+    rows = ['{"common": 1}'] * 399 + ['{"rare": 7, "common": 1}']
+    df = spark.createDataFrame(pd.DataFrame({"props": rows}))
+    sampled = discover_keys(
+        df, "props", sample_threshold=100, sample_fraction=0.001
+    )
+    full = discover_keys(df, "props")  # below default threshold: full scan
+    assert "common" in full and "rare" in full
+    assert "rare" not in sampled  # rare key can fall below the sample
+    # ...but the census pass is always full-table: requesting the key
+    # explicitly profiles it exactly
+    prof = {r.key: r for r in
+            json_key_profile(df, "props", keys=["rare"]).collect()}
+    assert prof["rare"].n_present == 1
+    assert prof["rare"].min_num == 7.0
+    assert prof["rare"].present_ratio == pytest.approx(1 / 400)
+
+
+def test_discovery_n_rows_hint_skips_count(spark):
+    rows = ['{"a": 1}'] * 50
+    df = spark.createDataFrame(pd.DataFrame({"props": rows}))
+    # hint below threshold → full-scan discovery, no count() needed
+    assert discover_keys(df, "props", n_rows=50) == ["a"]
