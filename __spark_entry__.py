@@ -562,6 +562,39 @@ def _oracle_knn_ivf() -> str:
     """
 
 
+def q_knn_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned-quantizer IVF: pyspark.ml KMeans fits the
+    coarse quantizer (ivf_kmeans_labels), knn_ivf probes the best 2 of
+    8 learned clusters, and the result is scored against the exact
+    brute-force top-10 computed in the same job. KMeans cluster
+    assignments are not SQL-expressible, so the hashable contract is
+    the recall bound (same discipline as hll_rollup's within-5pct):
+    recall@10 >= 0.5 pinned TRUE — with 2/8 probes a collapse of the
+    quantizer (e.g. all points one cluster, or the query's neighbors
+    scattered) would fail it."""
+    from advanced_data_profile_spark.operators.similarity import (
+        ivf_kmeans_labels,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    labeled = ivf_kmeans_labels(emb, "embedding", k=8, seed=1)
+    approx = knn_ivf(labeled, "vec_id", "embedding", "__ivf_label", q,
+                     k=10, n_probe=2)
+    exact = knn_bruteforce(emb, "vec_id", "embedding", q, k=10)
+    hits = approx.select("id").join(exact.select("id"), "id").count()
+    spark_ = spark
+    return spark_.createDataFrame(
+        [(10, hits / 10.0 >= 0.5)], "k bigint, recall_ok boolean"
+    )
+
+
+def _oracle_knn_ivf_learned() -> str:
+    return "SELECT 10::BIGINT AS k, TRUE AS recall_ok"
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_data_profile_spark.operators.dedup import cosine_expr  # noqa: F401
 
@@ -1202,6 +1235,71 @@ def _oracle_pack_documents() -> str:
     """
 
 
+def q_split_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-aligned EXACT packing (split_and_pack): the document
+    stream per source shard is cut at every 256-token boundary, docs
+    straddling a cut split into chunks — every pack is exactly 256
+    tokens except each shard's last (no overflow relaxation; closes
+    pack_by_cumsum's documented upstream-splitting contract)."""
+    from advanced_data_profile_spark.functions.text import token_count
+    from advanced_data_profile_spark.operators.packing import (
+        pack_summary,
+        split_and_pack,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    chunks = split_and_pack(sized, "doc_id", "n_tokens", 256, group_col="source")
+    return pack_summary(
+        chunks, "chunk_size", group_col="source"
+    ).withColumnRenamed("n_docs", "n_chunks").withColumnRenamed(
+        "total_tokens", "pack_tokens"
+    )
+
+
+def _oracle_split_pack_documents() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import (
+        sql_norm,
+        sql_token_count,
+    )
+
+    return f"""
+        WITH d AS (
+          SELECT source, doc_id, {sql_norm('text')} AS __norm FROM documents
+        ),
+        sized AS (
+          SELECT source, doc_id, {sql_token_count('__norm')}::BIGINT AS n_tokens
+          FROM d
+        ),
+        s AS (
+          SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum
+          FROM sized WHERE n_tokens > 0
+        ),
+        b AS (
+          -- sum() yields HUGEINT; range() needs BIGINT args
+          SELECT source, doc_id, (cum - n_tokens)::BIGINT AS st,
+                 cum::BIGINT AS en
+          FROM s
+        ),
+        ch AS (
+          SELECT source, doc_id, st, en,
+                 unnest(range(st // 256, (en - 1) // 256 + 1)) AS pack_idx
+          FROM b
+        )
+        SELECT source, pack_idx::BIGINT AS pack_idx,
+               count(*) AS n_chunks,
+               sum(least(en, (pack_idx + 1) * 256)
+                   - greatest(st, pack_idx * 256))::BIGINT AS pack_tokens
+        FROM ch GROUP BY 1, 2
+    """
+
+
 def q_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: redacted text + per-class match counts
     (functions.text.redact_pii / pii_counts). The redacted STRINGS are
@@ -1766,19 +1864,47 @@ def _oracle_range_join() -> str:
     """
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# Near-duplicate / intermediate-artifact queries kept OUT of the
+# driver's 50-row contract budget (CORRECTNESS_r03 showed the driver
+# records only the first 50 registry entries — the r3 registry had 56,
+# so 6 fell off the end unchecked). Each extended query's OPERATOR is
+# still contract-covered by a base query exercising the same code path
+# (noted inline); the extended set itself stays value-oracled via
+# scripts/check_oracles.py --extended and tests/test_oracles_extended.
+_EXTENDED_NAMES = [
+    "topk_mktsegment",        # same operator as topk_per_column (topk.py)
+    "referential_orphans",    # same anti-join as referential_integrity
+    "langid_distinct",        # same langid exprs as langid
+    "fingerprint_documents",  # same fingerprinting as dedup_exact_documents
+    "minhash_signatures",     # intermediate of near_dup_minhash
+    "simhash_documents",      # intermediate of simhash_near_dups
+    "embedding_norms",        # same JVM HOF arithmetic as knn_* cosines
+    "quality_keep_rate",      # aggregation of quality_filter's keep bits
+]
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Base entries are ordered highest-risk first (newest / most complex
+    # queries lead) so nothing load-bearing can fall off the end of the
+    # driver's budget again.
     return {
+        "knn_ivf_learned": q_knn_ivf_learned,
+        "split_pack_documents": q_split_pack_documents,
+        "infer_types": q_infer_types,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "pivot_events": q_pivot_events,
+        "hll_rollup": q_hll_rollup,
+        "moment_rollup": q_moment_rollup,
         "profile_lineitem": q_profile_lineitem,
         "table_summary_lineitem": q_table_summary_lineitem,
         "pricing_summary": q_pricing_summary,
-        "topk_mktsegment": q_topk_mktsegment,
         "topk_per_column": q_topk_per_column,
         "entropy_event_type": q_entropy_event_type,
         "categorical_confidence": q_categorical_confidence,
         "outlier_pct": q_outlier_pct,
         "skew_kurt": q_skew_kurt,
         "uniqueness_violations": q_uniqueness_violations,
-        "referential_orphans": q_referential_orphans,
         "referential_integrity": q_referential_integrity,
         "histogram_quantity": q_histogram_quantity,
         "datepart_histogram": q_datepart_histogram,
@@ -1788,10 +1914,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "langid": q_langid,
-        "langid_distinct": q_langid_distinct,
-        "fingerprint_documents": q_fingerprint_documents,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash_documents": q_simhash_documents,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_overlap": q_winnow_overlap,
@@ -1800,7 +1922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "embedding_norms": q_embedding_norms,
         "near_dup_embeddings": q_near_dup_embeddings,
         "correlation": q_correlation,
         "pca_importance": q_pca_importance,
@@ -1809,7 +1930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_frequencies": q_word_frequencies,
         "readability": q_readability,
         "quality_filter": q_quality_filter,
-        "quality_keep_rate": q_quality_keep_rate,
         "sample_fraction_documents": q_sample_fraction_documents,
         "sample_per_group_events": q_sample_per_group_events,
         "mixture_sample_documents": q_mixture_sample_documents,
@@ -1818,17 +1938,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_documents": q_redact_documents,
         "tfidf_top_ngrams": q_tfidf_top_ngrams,
         "sessionization": q_sessionization,
-        "infer_types": q_infer_types,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "pivot_events": q_pivot_events,
-        "hll_rollup": q_hll_rollup,
-        "moment_rollup": q_moment_rollup,
+        # --- extended (filtered out of queries(); see _EXTENDED_NAMES) ---
+        "topk_mktsegment": q_topk_mktsegment,
+        "referential_orphans": q_referential_orphans,
+        "langid_distinct": q_langid_distinct,
+        "fingerprint_documents": q_fingerprint_documents,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_documents": q_simhash_documents,
+        "embedding_norms": q_embedding_norms,
+        "quality_keep_rate": q_quality_keep_rate,
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    ext = set(_EXTENDED_NAMES)
+    return {k: v for k, v in _all_queries().items() if k not in ext}
+
+
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The value-oracled queries beyond the driver's 50-row contract
+    budget — checked by scripts/check_oracles.py and pytest, not the
+    driver."""
+    a = _all_queries()
+    return {k: a[k] for k in _EXTENDED_NAMES}
+
+
+def _all_oracle_sql() -> dict[str, str]:
     out = {
+        "knn_ivf_learned": _oracle_knn_ivf_learned(),
+        "split_pack_documents": _oracle_split_pack_documents(),
         "profile_lineitem": _oracle_profile_lineitem(),
         "table_summary_lineitem": """
             SELECT count(*) AS n_rows,
@@ -2027,3 +2165,13 @@ def oracle_sql() -> dict[str, str]:
     if pca is not None:
         out["pca_importance"] = pca
     return out
+
+
+def oracle_sql() -> dict[str, str]:
+    ext = set(_EXTENDED_NAMES)
+    return {k: v for k, v in _all_oracle_sql().items() if k not in ext}
+
+
+def extended_oracle_sql() -> dict[str, str]:
+    a = _all_oracle_sql()
+    return {k: a[k] for k in _EXTENDED_NAMES}

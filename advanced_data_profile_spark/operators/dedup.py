@@ -439,14 +439,16 @@ def auto_sign_bits(n_rows: int, dims: int, n_bands: int = 4) -> int:
 
 def resolve_sign_bits(
     df: DataFrame, vec_col: str, n_bands: int = 4,
-    bits_per_band: int | None = None,
+    bits_per_band: int | None = None, n_rows: int | None = None,
 ) -> int:
     """The defaults path of embedding_near_dups: explicit bits win;
     otherwise derive ~log2(n) from a cheap count (parquet row-group
-    metadata) + one head row for the vector width."""
+    metadata) + one head row for the vector width. ``n_rows`` (from
+    manifest/scan stats) skips the count() job entirely — the right
+    path inside pipelines where the row count is already known."""
     if bits_per_band is not None:
         return bits_per_band
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     head = df.select(vec_col).first()
     if head is None:  # empty input: any bits give the empty pair set
         return 1
@@ -456,7 +458,7 @@ def resolve_sign_bits(
 def embedding_near_dups(
     df: DataFrame, id_col: str, vec_col: str,
     threshold: float = 0.95, n_bands: int = 4,
-    bits_per_band: int | None = None,
+    bits_per_band: int | None = None, n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold.
 
@@ -469,7 +471,7 @@ def embedding_near_dups(
     to pin the construction (e.g. for an oracle). Exact cosine (JVM-side
     zip_with/aggregate) verifies each distinct candidate pair; the band
     equi-join never goes all-pairs."""
-    bits_per_band = resolve_sign_bits(df, vec_col, n_bands, bits_per_band)
+    bits_per_band = resolve_sign_bits(df, vec_col, n_bands, bits_per_band, n_rows)
     b = embedding_band_buckets(df, id_col, vec_col, n_bands, bits_per_band)
     cand = (
         b.alias("l")

@@ -63,6 +63,118 @@ def pack_by_cumsum(
     )
 
 
+def split_oversized(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    chunk_id_col: str = "chunk_id",
+    chunk_idx_col: str = "chunk_idx",
+    chunk_size_col: str = "chunk_size",
+) -> DataFrame:
+    """Deterministically split documents larger than the budget into
+    budget-sized chunks (last chunk = remainder); documents within
+    budget pass through as their own single chunk. Chunk ids are
+    ``<id>#<chunk_idx>`` — stable across runs and partition layouts.
+
+    Closes pack_by_cumsum's documented upstream contract ("oversized
+    docs should be split/truncated upstream"): after this pass every
+    chunk_size <= budget, so cumsum packing's bounded overflow tightens
+    from budget + max_doc - 1 to < 2*budget. For EXACT <=-budget packs
+    use split_and_pack, which also cuts at pack boundaries.
+
+    Scale shape: pure per-row explode (no shuffle, no window) — chunk
+    count per doc is ceil(size/budget)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    size = F.col(size_col).cast("bigint")
+    n_chunks = F.ceil(size / budget).cast("bigint")
+    ex = (
+        df.where(size > 0)
+        .withColumn("__nc", n_chunks)
+        .withColumn(chunk_idx_col, F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("__nc") - 1)))
+    )
+    idx = F.col(chunk_idx_col)
+    return (
+        ex.withColumn(
+            chunk_size_col,
+            F.least(F.lit(budget).cast("bigint"), size - idx * budget),
+        )
+        .withColumn(
+            chunk_id_col,
+            F.concat(F.col(id_col).cast("string"), F.lit("#"), idx.cast("string")),
+        )
+        .drop("__nc")
+    )
+
+
+def split_and_pack(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    group_col: str | None = None,
+    pack_col: str = "pack_idx",
+) -> DataFrame:
+    """Boundary-aligned EXACT packing: treat each group as one token
+    stream in (group, id) order, cut the stream at every multiple of
+    the budget, and split any document straddling a cut into chunks.
+    Result: one row per (document, pack) overlap with the chunk's token
+    count; EVERY pack holds exactly `budget` tokens except each group's
+    last — no overflow relaxation at all (the property pack_by_cumsum
+    cannot give, since its straddling doc overflows).
+
+    Columns added: chunk_id (<id>#<chunk_idx>), chunk_idx (0-based
+    within the document), chunk_size, pack_col. Oversized documents
+    (> budget) need no pre-pass — they simply span multiple packs.
+
+    Scale shape: ONE window cumsum per group + a per-row explode over
+    the packs the document overlaps (ceil(size/budget)+1 at most). The
+    group is the parallelism unit, as in pack_by_cumsum."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    keys = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*keys).orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    size = F.col(size_col).cast("bigint")
+    en = F.sum(size).over(w)
+    base = (
+        df.where(size > 0)
+        .select(
+            *keys,
+            F.col(id_col),
+            en.alias("__en"),
+            (en - size).alias("__st"),
+        )
+    )
+    first_pack = F.floor(F.col("__st") / budget).cast("bigint")
+    last_pack = F.floor((F.col("__en") - 1) / budget).cast("bigint")
+    ch = base.select(
+        *keys,
+        F.col(id_col),
+        "__st",
+        "__en",
+        first_pack.alias("__fp"),
+        F.explode(F.sequence(first_pack, last_pack)).alias(pack_col),
+    )
+    p = F.col(pack_col)
+    chunk_start = F.greatest(F.col("__st"), p * budget)
+    chunk_end = F.least(F.col("__en"), (p + 1) * budget)
+    chunk_idx = (p - F.col("__fp")).cast("bigint")
+    return ch.select(
+        *keys,
+        F.col(id_col),
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#"), chunk_idx.cast("string")
+        ).alias("chunk_id"),
+        chunk_idx.alias("chunk_idx"),
+        (chunk_end - chunk_start).cast("bigint").alias("chunk_size"),
+        p,
+    )
+
+
 def pack_summary(
     packed: DataFrame,
     size_col: str,

@@ -72,17 +72,24 @@ def auto_probe_bits(
 def knn_lsh(
     df: DataFrame, id_col: str, vec_col: str, query_vec: list[float],
     k: int = 10, bits: int | None = None, probe_hamming: int = 1,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only rows whose sign-LSH bucket is
     within `probe_hamming` bit flips of the query's bucket (multi-probe
     LSH). Filter prunes before the cosine; with the bucket as a
     partition key this becomes partition pruning at the scan.
 
-    bits=None (the default) derives the code width from a cheap count
-    via auto_probe_bits, so the probed fraction scales down with n;
-    pass an explicit int only to pin the construction (oracles)."""
+    bits=None (the default) derives the code width via auto_probe_bits,
+    so the probed fraction scales down with n; pass an explicit int
+    only to pin the construction (oracles). n_rows supplies the row
+    count from manifest/scan stats so no count() job runs at
+    query-build time (parquet answers counts from footer metadata, but
+    other sources pay a full scan)."""
     if bits is None:
-        bits = auto_probe_bits(df.count(), len(query_vec), k, probe_hamming)
+        bits = auto_probe_bits(
+            df.count() if n_rows is None else n_rows,
+            len(query_vec), k, probe_hamming,
+        )
     qb = 0
     for i in range(bits):
         if query_vec[i] >= 0:

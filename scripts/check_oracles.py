@@ -48,8 +48,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # The full surface: the driver's 50-query contract PLUS the
+    # extended registry (value-oracled queries beyond the driver's
+    # 50-row budget — still checked here and in pytest).
+    qs = {**entry_mod.queries(), **entry_mod.extended_queries()}
+    oracles = {**entry_mod.oracle_sql(), **entry_mod.extended_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

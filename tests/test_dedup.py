@@ -227,6 +227,11 @@ def test_embedding_near_dups_defaults_scale_bits_with_n(spark):
     b_small = D.resolve_sign_bits(small, "v")
     b_big = D.resolve_sign_bits(big, "v")
     assert b_small == 8 and b_big == 12  # ceil(log2(n))
+    # n_rows hint (manifest/scan stats) must skip the count() job
+    from unittest.mock import patch
+
+    with patch.object(type(big), "count", side_effect=AssertionError("count ran")):
+        assert D.resolve_sign_bits(big, "v", n_rows=4096) == 12
     got = {
         (r.id_a, r.id_b)
         for r in D.embedding_near_dups(small, "id", "v", threshold=0.2).collect()

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from advanced_data_profile_spark.operators.packing import (
     pack_by_cumsum,
@@ -56,6 +57,77 @@ def test_packing_deterministic_under_repartition(spark, sized):
     )
     assert {(r.grp, r.doc_id, r.pack_idx) for r in a.collect()} == \
            {(r.grp, r.doc_id, r.pack_idx) for r in b.collect()}
+
+
+def test_split_oversized_chunks(spark):
+    from advanced_data_profile_spark.operators.packing import split_oversized
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3], "n_tokens": [50, 100, 101, 250]})
+    )
+    out = split_oversized(df, "doc_id", "n_tokens", 100)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_size, r.chunk_id) for r in out.collect())
+    )
+    assert rows == [
+        (0, 0, 50, "0#0"),
+        (1, 0, 100, "1#0"),
+        (2, 0, 100, "2#0"), (2, 1, 1, "2#1"),
+        (3, 0, 100, "3#0"), (3, 1, 100, "3#1"), (3, 2, 50, "3#2"),
+    ]
+    # per-doc chunk totals reconstruct the original sizes
+    assert all(r[2] <= 100 for r in rows)
+
+
+def test_split_oversized_tightens_cumsum_overflow(spark, sized):
+    """split_oversized then pack: every chunk <= budget, so cumsum
+    packing's overflow bound tightens to < 2*budget."""
+    from advanced_data_profile_spark.operators.packing import split_oversized
+
+    chunks = split_oversized(sized, "doc_id", "n_tokens", 30)
+    packed = pack_by_cumsum(chunks, "chunk_id", "chunk_size", BUDGET,
+                            group_col="grp")
+    summ = pack_summary(packed, "chunk_size", group_col="grp").collect()
+    assert all(r.total_tokens < 2 * BUDGET for r in summ)
+
+
+def test_split_and_pack_exact_budget(spark, sized):
+    """The closed contract: boundary-aligned split+pack gives EVERY pack
+    exactly the budget except each group's last — no overflow
+    relaxation — and chunk sizes reassemble the documents exactly."""
+    from advanced_data_profile_spark.operators.packing import split_and_pack
+
+    chunks = split_and_pack(sized, "doc_id", "n_tokens", BUDGET, group_col="grp")
+    summ = pack_summary(chunks, "chunk_size", group_col="grp").collect()
+    by_grp = {}
+    for r in summ:
+        by_grp.setdefault(r.grp, []).append(r)
+    for rows in by_grp.values():
+        rows.sort(key=lambda r: r.pack_idx)
+        assert [r.pack_idx for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r.total_tokens == BUDGET  # exact, not <=
+        assert rows[-1].total_tokens <= BUDGET
+    # chunks reassemble each document's token count exactly
+    re = {
+        (r.grp, r.doc_id): r.total
+        for r in chunks.groupBy("grp", "doc_id")
+        .agg(F.sum("chunk_size").alias("total"))
+        .collect()
+    }
+    src = {(r.grp, r.doc_id): r.n_tokens for r in sized.collect() if r.n_tokens > 0}
+    assert re == src
+
+
+def test_split_and_pack_deterministic_under_repartition(spark, sized):
+    from advanced_data_profile_spark.operators.packing import split_and_pack
+
+    key = lambda r: (r.grp, r.chunk_id, r.pack_idx, r.chunk_size)  # noqa: E731
+    a = split_and_pack(sized, "doc_id", "n_tokens", BUDGET, group_col="grp")
+    b = split_and_pack(
+        sized.repartition(13), "doc_id", "n_tokens", BUDGET, group_col="grp"
+    )
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
 
 
 def test_packing_drops_nonpositive_and_validates(spark):

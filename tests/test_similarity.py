@@ -110,3 +110,20 @@ def test_knn_lsh_defaults_path(emb, query):
     rows = S.knn_lsh(emb, "vec_id", "embedding", query, k=10).collect()
     assert 1 <= len(rows) <= 10
     assert rows[0].id == 0 and rows[0].cosine == 1.0
+
+
+def test_knn_lsh_n_rows_hint_skips_count(emb, query, monkeypatch):
+    """With an n_rows hint (manifest/scan stats) the auto-bits path
+    must run NO count() job at query-build time — pipelines already
+    know the row count, and on non-parquet sources count() is a full
+    scan."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("count() ran despite n_rows hint")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = S.knn_lsh(emb, "vec_id", "embedding", query, k=10, n_rows=500)
+    monkeypatch.undo()
+    rows = df.collect()
+    assert rows[0].id == 0 and rows[0].cosine == 1.0
