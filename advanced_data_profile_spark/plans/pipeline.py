@@ -69,6 +69,14 @@ class PipelineConfig:
     extra_checks: list = field(default_factory=list)
     table_format: str = "parquet"          # "iceberg" on a real cluster
     global_unique: bool = False            # cross-RUN uniqueness pass per run
+    # Incremental global uniqueness (plans.id_index): when set, each run
+    # appends its partitions' (image_id, part_id) counts to this bucketed
+    # index table and global_unique uses the shuffle-free per-bucket
+    # self-check instead of a full payload-table rescan — the scale-safe
+    # path at 10^12 rows. Location defaults to {output_dir}/id_index.
+    id_index_table: str | None = None
+    id_index_location: str | None = None
+    id_index_buckets: int = 16
 
 
 def image_checks(images_ref: DataFrame, cfg: PipelineConfig) -> list[C.Check]:
@@ -408,6 +416,23 @@ def run_pipeline(
             fd.result()
     timings["writes_and_drift"] = time.time() - t
 
+    # id-index append BEFORE the manifest commit (crash between them =>
+    # replayed append, deduped by the check's latest-per-(key,part)
+    # rule) — one narrow agg over the pending partitions' id column,
+    # no payload bytes
+    if cfg.id_index_table:
+        from advanced_data_profile_spark.plans.id_index import index_append
+
+        t = time.time()
+        index_append(
+            df.select("image_id", "part_id"),
+            cfg.id_index_table,
+            cfg.id_index_location or f"{output_dir}/id_index",
+            run_id=run_id,
+            buckets=cfg.id_index_buckets,
+        )
+        timings["id_index_append"] = time.time() - t
+
     # per-partition lineage + metrics rows — commit point. Row counts
     # come from the already-persisted profiles (no extra scan).
     t = time.time()
@@ -444,9 +469,18 @@ def run_pipeline(
         "timings": {k: round(v, 3) for k, v in timings.items()},
     }
     if cfg.global_unique:
-        summary["global_uniqueness"] = global_uniqueness_check(
-            spark, images_path, output_dir, cfg=cfg
-        )
+        if cfg.id_index_table:
+            from advanced_data_profile_spark.plans.id_index import (
+                global_uniqueness_from_index,
+            )
+
+            summary["global_uniqueness"] = global_uniqueness_from_index(
+                spark, cfg.id_index_table, output_dir
+            )
+        else:
+            summary["global_uniqueness"] = global_uniqueness_check(
+                spark, images_path, output_dir, cfg=cfg
+            )
     return summary
 
 
