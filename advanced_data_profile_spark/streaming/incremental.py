@@ -146,6 +146,86 @@ def streaming_dedup(
     )
 
 
+def foreach_batch_writer(output_dir: str, checks: list[Check]):
+    """The exactly-once sink seam: a foreachBatch function computing
+    the fused per-partition violation counts for ONE micro-batch and
+    writing them to {output_dir}/constraint_batches partitioned by
+    batch_id with dynamic partition overwrite. Structured Streaming
+    replays a micro-batch after a crash with the SAME batch_id, and the
+    replay overwrites its own batch partition — so the sink is
+    idempotent (effectively exactly-once), the same discipline the
+    batch pipeline uses with part_id."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in checks:
+        if c.kind not in ("not_null", "domain"):
+            raise ValueError(f"streaming supports row-wise checks only, got {c.kind}")
+        aggs.append(F.sum(_violation_flag(c).cast("long")).alias(c.name))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("part_id").agg(*aggs)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/constraint_batches")
+        )
+
+    return write_batch
+
+
+def run_stream_to_results(
+    spark: SparkSession,
+    images_path: str,
+    checks: list[Check],
+    output_dir: str,
+    max_files: int = 2,
+) -> None:
+    """Drive the stream through foreachBatch to completion over the
+    existing files (durable checkpointLocation — a restarted query
+    resumes from the last committed batch)."""
+    stream = stream_images(spark, images_path, max_files)
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_writer(output_dir, checks))
+        .option("checkpointLocation", f"{output_dir}/_stream_checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def finalize_stream_results(
+    spark: SparkSession, output_dir: str, checks: list[Check]
+) -> DataFrame:
+    """Merge the per-batch counts into the SAME constraint_results
+    table (RESULT_COLUMNS rows, partitioned by part_id, dynamic
+    overwrite) the batch pipeline writes — per-(partition, constraint)
+    counts summed across batches, verdicts recomputed. Because the
+    batch partitions are replay-idempotent, running finalize after any
+    number of replays yields identical rows to one batch-pipeline pass
+    over the same files."""
+    from advanced_data_profile_spark.operators.constraints import (
+        rowwise_results_from_agg,
+    )
+
+    b = spark.read.parquet(f"{output_dir}/constraint_batches")
+    merged = b.groupBy("part_id").agg(
+        F.sum("n_rows").alias("n_rows"),
+        *[F.sum(c.name).alias(f"__v_{i}") for i, c in enumerate(checks)],
+    )
+    results = rowwise_results_from_agg(merged, checks, "part_id")
+    results.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_id").parquet(f"{output_dir}/constraint_results")
+    # partition-column discovery re-infers part_id as int; pin it back
+    # to the string type RESULT_COLUMNS carries everywhere else
+    return spark.read.parquet(f"{output_dir}/constraint_results").withColumn(
+        "part_id", F.col("part_id").cast("string")
+    )
+
+
 def run_incremental_demo(
     spark: SparkSession, images_path: str, checks: list[Check],
     query_name: str = "violations",

@@ -35,6 +35,55 @@ def test_streaming_violation_counts(spark, images_path):
         assert by[p].w_domain == gt[p]["w_domain_violations"]
 
 
+def test_foreach_batch_writes_constraint_results_idempotently(
+    spark, images_path, tmp_path
+):
+    """foreachBatch as the exactly-once sink seam, exercised end to
+    end: a multi-batch stream writes per-batch counts, finalize merges
+    them into the SAME constraint_results layout the batch pipeline
+    writes, the merged rows equal one batch evaluate() pass over the
+    same files, and a REPLAYED micro-batch (same batch_id — Structured
+    Streaming's crash-recovery contract) changes nothing."""
+    from advanced_data_profile_spark.operators.constraints import evaluate
+    from advanced_data_profile_spark.streaming.incremental import (
+        finalize_stream_results,
+        foreach_batch_writer,
+        run_stream_to_results,
+    )
+
+    checks = [
+        C.not_null("caption_not_null", "caption"),
+        C.domain("w_domain", (F.col("w") > 0) & (F.col("w") <= 8192), "w"),
+    ]
+    out = str(tmp_path / "stream_out")
+    run_stream_to_results(spark, images_path, checks, out, max_files=2)
+    batches = spark.read.parquet(f"{out}/constraint_batches")
+    assert batches.select("batch_id").distinct().count() >= 2  # multi-batch
+
+    def key(rows):
+        return {
+            (r.part_id, r.constraint, r.kind, r.n_rows, r.n_violations, r.passed)
+            for r in rows
+        }
+
+    merged = key(finalize_stream_results(spark, out, checks).collect())
+    batch_results, _ = evaluate(
+        read_images(spark, images_path), checks, part_col="part_id"
+    )
+    assert merged == key(batch_results.collect())
+
+    # batch replay: re-run ONE committed batch's write with the same
+    # batch_id and the same input slice — the sink must be a no-op
+    first_batch = batches.where(F.col("batch_id") == 0)
+    replay_parts = [r.part_id for r in first_batch.select("part_id").collect()]
+    writer = foreach_batch_writer(out, checks)
+    replay_df = read_images(spark, images_path).where(
+        F.col("part_id").isin(replay_parts)
+    )
+    writer(replay_df, 0)
+    assert key(finalize_stream_results(spark, out, checks).collect()) == merged
+
+
 def test_streaming_rejects_non_rowwise(spark, images_path):
     from advanced_data_profile_spark.streaming.incremental import (
         stream_images,
