@@ -1759,6 +1759,47 @@ def _oracle_hll_rollup() -> str:
     """
 
 
+_KLL_PROBS = [0.1, 0.5, 0.9, 0.99]
+_KLL_COLS = ["l_quantity", "l_extendedprice"]
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile rollup (north_star: 'KLL-sketch
+    quantiles' per partition, merged): per-partition sketches merged to
+    table level WITHOUT rescanning raw data, evaluated at 4 probs. The
+    estimate is sketch-specific, so the hashable contract is the rank
+    bound (hll_rollup discipline): the EXACT rank of each estimated
+    quantile must sit within 0.05 of the requested prob — KLL k=200
+    carries ~1.65% rank error and l_quantity's discrete values add ~2%
+    per-value mass, so 0.05 is tight enough that a broken merge or a
+    collapsed sketch fails it."""
+    from advanced_data_profile_spark.operators.sketches import quantile_rollup
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk, table = quantile_rollup(li, _KLL_COLS, _KLL_PROBS, group_by="l_returnflag")
+    est = table.collect()  # tiny: cols x probs
+    sk.unpersist()
+    exprs = []
+    for i, r in enumerate(est):
+        c = F.col(r.column).cast("double")
+        exprs.append(
+            (F.sum((c <= r.quantile_est).cast("long")) / F.count(c)).alias(f"__r_{i}")
+        )
+    ranks = li.agg(*exprs).collect()[0]
+    rows = sorted(
+        (r.column, float(r.prob), bool(abs(ranks[f"__r_{i}"] - r.prob) <= 0.05))
+        for i, r in enumerate(est)
+    )
+    return spark.createDataFrame(rows, "col_name string, prob double, rank_ok boolean")
+
+
+def _oracle_kll_quantiles() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {p} AS prob, TRUE AS rank_ok"
+        for c in _KLL_COLS for p in _KLL_PROBS
+    )
+
+
 def q_moment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welford/Chan mergeable moment rollup: per-group (n, mean, m2)
     sketches merged to table level WITHOUT rescanning raw data; the
@@ -1880,6 +1921,8 @@ _EXTENDED_NAMES = [
     "simhash_documents",      # intermediate of simhash_near_dups
     "embedding_norms",        # same JVM HOF arithmetic as knn_* cosines
     "quality_keep_rate",      # aggregation of quality_filter's keep bits
+    "kll_quantiles",          # round-4 add; sketch rollup family is
+                              # contract-covered by hll_rollup/moment_rollup
 ]
 
 
@@ -1947,6 +1990,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "embedding_norms": q_embedding_norms,
         "quality_keep_rate": q_quality_keep_rate,
+        "kll_quantiles": q_kll_quantiles,
     }
 
 
@@ -2157,6 +2201,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pivot_events": _oracle_pivot_events(),
         "hll_rollup": _oracle_hll_rollup(),
         "moment_rollup": _oracle_moment_rollup(),
+        "kll_quantiles": _oracle_kll_quantiles(),
     }
     # independent DuckDB+numpy recomputation emitted as literal SQL;
     # None (rows-only fallback) when the sf0.01 fixture is unreadable —

@@ -35,8 +35,14 @@ def main() -> None:
     ap.add_argument("--approx", action=argparse.BooleanOptionalAction, default=True,
                     help="sketch mode for distinct/quantiles (default on)")
     ap.add_argument("--global-unique", action="store_true",
-                    help="run the cross-RUN full-table uniqueness pass after "
-                         "the incremental run (writes constraint_results_global)")
+                    help="run the cross-RUN uniqueness pass after the "
+                         "incremental run (writes constraint_results_global)")
+    ap.add_argument("--id-index", default=None, metavar="TABLE",
+                    help="maintain a bucketed id-index under this catalog "
+                         "table name: each run appends its partitions' id "
+                         "counts and --global-unique becomes a shuffle-free "
+                         "per-bucket self-check instead of a full-table "
+                         "rescan (the scale path; see plans/id_index.py)")
     ap.add_argument("--report", default=None, help="also write an assembled JSON report")
     ap.add_argument("--html-report", default=None,
                     help="also render the self-contained gzip HTML report")
@@ -62,6 +68,7 @@ def main() -> None:
         baseline_part=args.baseline_part,
         table_format=args.format,
         global_unique=args.global_unique,
+        id_index_table=args.id_index,
     )
     summary = run_pipeline(
         spark, args.images, args.output, resume=not args.no_resume, cfg=cfg

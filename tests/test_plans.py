@@ -139,6 +139,36 @@ def test_hll_sketch_rollup(spark, images_path):
     assert t["image_id"] >= max(r.n_distinct_est for r in pp if r.column == "image_id") * 0.95
 
 
+def test_kll_quantile_rollup(lineitem, tmp_path):
+    """Merged per-group KLL sketches must estimate quantiles within the
+    sketch's rank bound vs the exact distribution, INCLUDING after a
+    persist/reload of the sketch relation — the north_star's KLL-sketch
+    quantile state must survive storage so rollups never rescan raw
+    data."""
+    from advanced_data_profile_spark.operators.sketches import (
+        merge_quantile_sketches,
+        partition_quantile_sketches,
+    )
+
+    cols = ["l_quantity", "l_extendedprice"]
+    probs = [0.1, 0.5, 0.9]
+    sk = partition_quantile_sketches(lineitem, cols, group_by="l_returnflag")
+    path = str(tmp_path / "kll_sketches")
+    sk.write.parquet(path)  # binary sketch column round-trips parquet
+    stored = lineitem.sparkSession.read.parquet(path)
+    est = merge_quantile_sketches(stored, probs).collect()
+    assert len(est) == len(cols) * len(probs)
+    n_total = lineitem.count()
+    for r in est:
+        assert r.n == n_total  # merge saw every row exactly once
+        exact_rank = (
+            lineitem.where(F.col(r.column).cast("double") <= r.quantile_est).count()
+            / n_total
+        )
+        # k=200 rank error ~1.65%; l_quantity discreteness adds ~2%
+        assert abs(exact_rank - r.prob) <= 0.05, (r.column, r.prob, exact_rank)
+
+
 def test_moment_sketches_merge_exact(lineitem):
     """Chan-merged per-group (n, mean, m2) must equal direct whole-table
     moments to fp tolerance — the no-rescan mean/stddev rollup."""
