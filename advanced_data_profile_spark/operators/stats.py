@@ -15,8 +15,10 @@ Scale notes (100 TB design point):
   because group keys are table partitions, each roughly equal sized.
 - exact mode uses ``count_distinct`` / ``percentile`` (expands to extra
   shuffles) and exists for oracle parity at test scale; ``approx`` mode
-  (default for scale) uses ``approx_count_distinct`` (HLL) and
-  ``percentile_approx`` (GK sketch), both single-pass and mergeable.
+  (default for scale) uses ``approx_count_distinct`` (HLL) and KLL
+  sketch quantiles (``kll_sketch_agg_double``), both single-pass and
+  MERGEABLE — the north_star's per-partition 'KLL-sketch quantiles +
+  HyperLogLog distinct counts' state (rollups: operators/sketches).
 - column pruning: only profiled columns are read; profiling an image
   table never touches the ``bytes`` payload column.
 """
@@ -109,7 +111,19 @@ def column_profile_struct(name: str, dt: T.DataType, approx: bool) -> Column:
     if numeric:
         cd = c.cast("double")
         if approx:
-            q = F.percentile_approx(cd, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
+            # KLL sketch quantiles (north_star: per-partition stats via
+            # 'KLL-sketch quantiles'): the sketch aggregate appears once
+            # (Catalyst dedupes identical aggregate expressions into one
+            # buffer), the three quantile reads are scalar post-steps.
+            # Unlike percentile_approx's GK summary, the KLL state is
+            # MERGEABLE (kll_merge_agg_double — see operators/sketches),
+            # so per-partition profile state rolls up without rescans.
+            # k=2048 → ~0.2% normalized rank error.
+            sk = F.kll_sketch_agg_double(cd, F.lit(2048))
+            q = F.array(*[
+                F.kll_sketch_get_quantile_double(sk, F.lit(p))
+                for p in (0.25, 0.5, 0.75)
+            ])
         else:
             q = F.percentile(cd, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
         mean = F.avg(cd)
