@@ -49,6 +49,22 @@ LANG_MARKERS: dict[str, list[str]] = {
     "cs": "je se na ale jako pro od ani nebo kdy tak".split(),
     "sw": "na ya wa kwa ni za katika kama hii pia sana".split(),
     "tl": "ang ng mga sa ay ito para hindi ako siya".split(),
+    # round-4 breadth (same rules: unaccented ASCII function words only;
+    # shared tokens across related languages are fine — argmax decides,
+    # and each set keeps enough distinctive members to win on its own
+    # text: sk 'som/aj/bol' vs cs, lv 'vai/tas' vs lt 'yra/kad',
+    # af 'nie/vir/hulle' vs nl/de)
+    "af": "die nie vir hulle baie iets haar wees".split(),
+    "ca": "els amb aquest aquesta mes dels seva fins".split(),
+    "cy": "yn wedi bod gan fel ond hefyd mae".split(),
+    "et": "see kui mis oma siis ka veel veidi".split(),
+    "eu": "eta da ez du bat hau dela baina izan".split(),
+    "ga": "agus ar go na le ach bhfuil nach".split(),
+    "hr": "su ali kao nije ili sto ovo bio".split(),
+    "lt": "ir yra kad bet kaip jis buvo tik".split(),
+    "lv": "un ir tas par vai no savu kas".split(),
+    "sk": "som ako ale aj za bol tento ktore".split(),
+    "sl": "so pa tudi kot lahko bilo nekaj tega".split(),
 }
 
 # Script-detection rules, FIRST MATCH WINS (normalization strips these
@@ -59,7 +75,19 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("ja", "[ぁ-ゟ゠-ヿ]"),      # hiragana + katakana
     ("ko", "[가-힣]"),           # hangul syllables
     ("zh", "[一-鿿]"),           # CJK unified ideographs
+    # Arabic-script family: most-specific letters first. Urdu's retro-
+    # flex/heh-goal/bari-ye letters are Urdu-only; Persian's pe/che/
+    # zhe/gaf are shared WITH Urdu, so ur must precede fa, and both
+    # precede the generic Arabic block.
+    ("ur", "[ٹڈڑںےہ]"),          # urdu-specific, BEFORE fa and ar
+    ("fa", "[پچژگ]"),            # persian-specific, BEFORE ar
+    # Cyrillic family: Kazakh's straight-stroke vowels/consonants are
+    # Kazakh-only (and Kazakh text also uses і, which Ukrainian's rule
+    # would claim — so kk first); Mongolian's ө/ү are shared with
+    # Kazakh but kk has already matched by here.
+    ("kk", "[әғқңұӘҒҚҢҰ]"),      # kazakh-specific, BEFORE uk/mn/ru
     ("uk", "[єїіґЄЇІҐ]"),        # ukrainian-specific cyrillic, BEFORE ru
+    ("mn", "[өүӨҮ]"),            # mongolian cyrillic, BEFORE ru
     ("ru", "[А-яЁё]"),           # cyrillic
     ("ar", "[؀-ۿ]"),             # arabic
     ("el", "[Ͱ-Ͽ]"),             # greek
@@ -69,9 +97,19 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("bn", "[ঀ-৿]"),            # bengali
     ("ta", "[஀-௿]"),            # tamil
     ("te", "[ఀ-౿]"),            # telugu
+    ("kn", "[ಀ-೿]"),            # kannada
+    ("ml", "[ഀ-ൿ]"),            # malayalam
+    ("gu", "[઀-૿]"),            # gujarati
+    ("pa", "[਀-੿]"),            # gurmukhi (punjabi)
+    ("or", "[଀-୿]"),            # odia
+    ("si", "[඀-෿]"),            # sinhala
     ("ka", "[Ⴀ-ჿ]"),             # georgian
     ("hy", "[԰-֏]"),             # armenian
     ("my", "[က-႟]"),             # myanmar
+    ("km", "[ក-៿]"),             # khmer
+    ("lo", "[ກ-ໟ]"),             # lao
+    ("am", "[ሀ-፿]"),             # ethiopic (amharic)
+    ("bo", "[ༀ-࿿]"),             # tibetan
 ]
 
 

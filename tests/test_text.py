@@ -154,6 +154,45 @@ def test_lang_predict_round3_breadth(spark):
                      "uk", "ru", "bn", "ta"]
 
 
+def test_lang_predict_round4_breadth(spark):
+    """Round-4 languages: 11 new Latin-script marker languages and the
+    new script rules, incl. the family orderings (ur before fa before
+    ar; kk before uk before mn before ru) and sibling discrimination
+    (sk-vs-cs, lv-vs-lt, af-vs-nl, hr-vs-sl)."""
+    pdf = pd.DataFrame({"t": [
+        "die mense wil nie vir hulle baie iets doen nie wees",       # af
+        "els llibres amb aquest tema mes dels que la seva fins",     # ca
+        "mae wedi bod yn gweithio gan fel ond hefyd yma",            # cy
+        "see raamat kui mis oma siis veel veidi aega",               # et
+        "eta hori da ez du bat hau dela baina izan zen",             # eu
+        "agus bhi said ar go leor na le ach bhfuil nach",            # ga
+        "su ali kao da nije ili sto ovo bio dobro",                  # hr
+        "ir yra kad bet kaip jis buvo tik namas",                    # lt
+        "un ir tas par vai no savu kas bija",                        # lv
+        "som ako ale aj za bol tento clovek ktore",                  # sk
+        "so pa tudi kot lahko bilo nekaj tega dne",                  # sl
+        "یہ اردو زبان ہے",                                            # ur (heh goal + bari ye)
+        "این متن فارسی است با گچپژ",                                  # fa (gaf/che/pe/zhe)
+        "бұл қазақ тілі әрі ұлттық",                                  # kk (қ/ә/ұ before uk/ru)
+        "энэ бол монгол хэл юм өө үү",                                # mn (ө/ү before ru)
+        "ಇದು ಕನ್ನಡ ವಾಕ್ಯ",                                             # kn
+        "ഇത് മലയാളം വാക്യം",                                           # ml
+        "આ ગુજરાતી વાક્ય છે",                                          # gu
+        "ਇਹ ਪੰਜਾਬੀ ਵਾਕ ਹੈ",                                            # pa
+        "នេះជាភាសាខ្មែរ",                                              # km
+        "ນີ້ແມ່ນພາສາລາວ",                                              # lo
+        "ይህ አማርኛ ነው",                                                # am
+        "བོད་སྐད་ཡིན།",                                                 # bo
+    ]})
+    preds = [
+        r.p for r in spark.createDataFrame(pdf)
+        .select(X.lang_predict(F.col("t")).alias("p")).collect()
+    ]
+    assert preds == ["af", "ca", "cy", "et", "eu", "ga", "hr", "lt",
+                     "lv", "sk", "sl", "ur", "fa", "kk", "mn", "kn",
+                     "ml", "gu", "pa", "km", "lo", "am", "bo"]
+
+
 def test_redact_pii_planted(spark):
     """Redaction over planted PII: emails, URLs (with embedded email),
     IPv4s, long digit runs — and a DUAL-ENGINE parity check running the
