@@ -282,10 +282,29 @@ def fingerprint(c: Column) -> Column:
 
 def char_ngrams(c: Column, n: int = 3) -> Column:
     """Character n-gram shingles of the normalized text, as an array.
-    Built with sequence+transform (codegen'd), no UDF."""
+    Pure JVM array ops, no UDF.
+
+    Built as an elementwise concat FOLD over n shifted copies of the
+    char array — NOT `transform(sequence(...), i -> substr(s, i, n))`:
+    an interpreted HOF lambda re-evaluates the captured `s` (the whole
+    lower+regexp normalization chain) once per ELEMENT, i.e. O(len²)
+    work per document (same trap as winnow_fingerprints' old window
+    min, measured ~100x). zip_with pads the shorter side with null and
+    concat(null) nulls out, but those tail elements fall outside the
+    final slice. Also fixes the short-string edge: sequence(1, 0)
+    counts DOWN [1, 0], so strings shorter than n used to yield
+    phantom duplicate grams; now they yield []."""
     s = norm_text(c)
     count = F.greatest(F.length(s) - (n - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), count), lambda i: s.substr(i, F.lit(n)))
+    grams = F.split(s, "")
+    for j in range(1, n):
+        shifted = F.slice(
+            F.split(s, ""), j + 1, F.greatest(F.length(s) - j, F.lit(1))
+        )
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, b))
+    return F.when(count >= 1, F.slice(grams, 1, count)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
@@ -297,19 +316,31 @@ def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
     documents yields at least one shared fingerprint — the substring-
     overlap dedup tier between whole-doc fingerprints and MinHash.
 
-    All JVM-side higher-order array ops (transform/slice/array_min) —
-    no UDF; mirrored 1:1 in oracle_fragments.sql_winnow."""
+    All JVM-side higher-order array ops (transform/slice/zip_with) —
+    no UDF; mirrored 1:1 in oracle_fragments.sql_winnow.
+
+    Construction note: the window minima are built as an elementwise
+    least() FOLD over w-1 SHIFTED copies of the hash array (zip_with
+    pads the shorter side with null; least skips nulls), NOT as
+    per-window `array_min(slice(hashes, i, w))` inside a transform
+    lambda. Interpreted HOF lambdas re-evaluate captured outer
+    expressions per ELEMENT, so the lambda form recomputes the entire
+    md5 k-gram chain once per window — O(n²) md5s per document
+    (measured 117s for 100 ~300-char docs; the fold form is ~1s). All
+    references here are row-scope: the chain evaluates O(w) times per
+    row."""
     hashes = F.transform(char_ngrams(c, k), md5_int60)
     n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(0))
-    # guard the degenerate case: F.sequence(1, 0) counts DOWN ([1, 0])
-    # and slice(start=0) raises — documents shorter than k+w-1 chars
-    # have no windows and an empty fingerprint set (oracle parity:
-    # DuckDB's end-exclusive range() yields [] for the same inputs)
-    wins = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-            lambda i: F.array_min(F.slice(hashes, i, w)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    windowed = hashes
+    for j in range(1, w):
+        shifted = F.slice(
+            hashes, j + 1, F.greatest(F.size(hashes) - j, F.lit(1))
+        )
+        windowed = F.zip_with(windowed, shifted, lambda a, b: F.least(a, b))
+    # documents shorter than k+w-1 chars have no windows and an empty
+    # fingerprint set (oracle parity: DuckDB's end-exclusive range()
+    # yields [] for the same inputs)
+    wins = F.when(n_win >= 1, F.slice(windowed, 1, n_win)).otherwise(
+        F.array().cast("array<bigint>")
+    )
     return F.array_sort(F.array_distinct(wins))

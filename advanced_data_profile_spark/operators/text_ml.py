@@ -192,15 +192,25 @@ def sklearn_tokens(c) -> "F.Column":
 
 def word_ngrams(toks, n: int):
     """Space-joined word n-grams of a token array — pure JVM-side
-    higher-order functions, no ml transformer."""
+    higher-order functions, no ml transformer.
+
+    Elementwise concat fold over n shifted copies (row-scope
+    references), not a transform lambda capturing `toks`: interpreted
+    HOF lambdas re-evaluate captured outer expressions per element,
+    turning the tokenization chain quadratic (see
+    functions/text.char_ngrams)."""
     if n == 1:
         return toks
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1))
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
     return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
+        F.size(toks) >= n, F.slice(grams, 1, F.size(toks) - n + 1)
     ).otherwise(F.array().cast("array<string>"))
 
 
