@@ -181,6 +181,15 @@ def _seeded_sample(df: DataFrame, sample_rows: int | None, seed: int = 42) -> Da
     return df.sample(fraction=min(1.0, 1.2 * sample_rows / n), seed=seed)
 
 
+def _literal_ts(val: "F.Column", fmt: str) -> "F.Column":
+    """try_to_timestamp with a LITERAL pattern — Spark caches the
+    compiled DateTimeFormatter per literal, while a pattern arriving as
+    a data column rebuilds the formatter per row (measured ~10x)."""
+    if fmt == LENIENT_FORMAT:
+        return F.try_to_timestamp(val)
+    return F.try_to_timestamp(val, F.lit(fmt))
+
+
 def vote_datetime_formats(
     voter: DataFrame, string_cols: list[str], formats: list[str]
 ) -> dict[str, tuple[str, bool]]:
@@ -190,10 +199,14 @@ def vote_datetime_formats(
     vs timestamp).
 
     Shape: melt the sampled values to (col, val), cross-join the tiny
-    broadcast formats relation, evaluate try_to_timestamp once per
-    (value, format), aggregate per (col, fmt_id). Work is
-    rows x formats spread across the cluster — no 3*formats-wide agg.
-    """
+    broadcast formats relation, aggregate per (col, fmt_id) — ONE job
+    regardless of candidate-list length (a chunked wide-agg loop was
+    measured paying more in repeated planning + past-codegen-limit
+    interpreted aggregation than the data pass itself). The parse
+    dispatches through a CASE chain of LITERAL patterns keyed by
+    fmt_id, not the joined fmt string: Spark caches the compiled
+    DateTimeFormatter per literal pattern, while a pattern arriving as
+    a data column rebuilds the formatter per row."""
     if not string_cols or voter.isEmpty():
         return {}
     spark = voter.sparkSession
@@ -206,11 +219,15 @@ def vote_datetime_formats(
         ).alias("s")
     ).select("s.col", "s.val")
     fmts = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(formats)], "fmt_id int, fmt string"
+        [(i,) for i in range(len(formats))], "fmt_id int"
     )
-    ts = F.when(
-        F.col("fmt") == LENIENT_FORMAT, F.try_to_timestamp(F.col("val"))
-    ).otherwise(F.try_to_timestamp(F.col("val"), F.col("fmt")))
+    ts = None
+    for i, fmt in enumerate(formats):
+        parsed = _literal_ts(F.col("val"), fmt)
+        ts = (
+            F.when(F.col("fmt_id") == i, parsed) if ts is None
+            else ts.when(F.col("fmt_id") == i, parsed)
+        )
     agg = (
         melted.crossJoin(F.broadcast(fmts))
         .groupBy("col", "fmt_id")
