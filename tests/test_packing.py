@@ -130,6 +130,53 @@ def test_split_and_pack_deterministic_under_repartition(spark, sized):
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
 
 
+def test_split_and_pack_matches_python_reference(spark):
+    """Randomized cross-check: 20 random size profiles (mixed tiny /
+    budget-sized / oversized docs, one group per case, ONE Spark job)
+    against an independent pure-Python streaming reference."""
+    import random
+
+    from advanced_data_profile_spark.operators.packing import split_and_pack
+
+    rng = random.Random(7)
+    rows = []
+    for case in range(20):
+        n_docs = rng.randint(1, 40)
+        for i in range(n_docs):
+            kind = rng.random()
+            if kind < 0.3:
+                size = rng.randint(1, 10)            # tiny
+            elif kind < 0.8:
+                size = rng.randint(11, BUDGET)       # within budget
+            else:
+                size = rng.randint(BUDGET + 1, 5 * BUDGET)  # oversized
+            rows.append((f"c{case}", i, size))
+
+    def reference(sizes):
+        out, off = [], 0
+        for i, size in sizes:
+            st_, en = off, off + size
+            for p in range(st_ // BUDGET, (en - 1) // BUDGET + 1):
+                lo, hi = max(st_, p * BUDGET), min(en, (p + 1) * BUDGET)
+                out.append((i, p - st_ // BUDGET, hi - lo, p))
+            off = en
+        return sorted(out)
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["grp", "doc_id", "n_tokens"])
+    )
+    got = {}
+    for r in split_and_pack(df, "doc_id", "n_tokens", BUDGET, group_col="grp").collect():
+        got.setdefault(r.grp, []).append(
+            (r.doc_id, r.chunk_idx, r.chunk_size, r.pack_idx)
+        )
+    by_case = {}
+    for grp, i, size in rows:
+        by_case.setdefault(grp, []).append((i, size))
+    for grp, sizes in by_case.items():
+        assert sorted(got[grp]) == reference(sizes), grp
+
+
 def test_packing_drops_nonpositive_and_validates(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [0, 1, 2], "n_tokens": [10, 0, None]})
