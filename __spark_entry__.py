@@ -580,7 +580,11 @@ def q_knn_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
-    labeled = ivf_kmeans_labels(emb, "embedding", k=8, seed=1)
+    # random init + bounded iters: k-means|| init alone costs ~5 extra
+    # passes, overkill for a coarse quantizer whose contract is a
+    # recall bound (the probed-cluster set, not the exact centroids)
+    labeled = ivf_kmeans_labels(emb, "embedding", k=8, seed=1,
+                                max_iter=10, init_mode="random")
     approx = knn_ivf(labeled, "vec_id", "embedding", "__ivf_label", q,
                      k=10, n_probe=2)
     exact = knn_bruteforce(emb, "vec_id", "embedding", q, k=10)

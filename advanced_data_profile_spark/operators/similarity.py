@@ -130,7 +130,8 @@ def ivf_centroids(
 
 def ivf_kmeans_labels(
     df: DataFrame, vec_col: str, k: int = 8, seed: int = 1,
-    label_col: str = "__ivf_label",
+    label_col: str = "__ivf_label", max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """Learned coarse quantizer: pyspark.ml KMeans over the embedding
     column, returning df + cluster label. This is the production IVF
@@ -145,7 +146,8 @@ def ivf_kmeans_labels(
         "__feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     model = KMeans(
-        k=k, seed=seed, featuresCol="__feat", predictionCol=label_col
+        k=k, seed=seed, featuresCol="__feat", predictionCol=label_col,
+        maxIter=max_iter, initMode=init_mode,
     ).fit(feat)
     return model.transform(feat).drop("__feat")
 
