@@ -481,6 +481,48 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def q_dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed END-TO-END corpus dedup a pipeline user actually
+    runs: MinHash near-dup pairs -> connected components -> drop every
+    non-canonical (non-min-id) cluster member -> surviving corpus.
+    Returns the kept doc_ids; the oracle replays the whole composition
+    via the recursive-CTE closure and an anti-join."""
+    from advanced_data_profile_spark.operators.dedup import (
+        dedup_keep_cluster_min,
+        minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", k=16, bands=4, threshold=0.8)
+    kept = dedup_keep_cluster_min(docs, "doc_id", pairs)
+    return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def _oracle_dedup_corpus_keep() -> str:
+    inner = _oracle_near_dup_minhash()
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({inner}) t
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        ),
+        clusters AS (
+          SELECT src AS id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src
+        )
+        SELECT doc_id::BIGINT AS doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)
+    """
+
+
 def _oracle_dup_clusters() -> str:
     inner = _oracle_near_dup_minhash()
     return f"""
@@ -1927,6 +1969,8 @@ _EXTENDED_NAMES = [
     "quality_keep_rate",      # aggregation of quality_filter's keep bits
     "kll_quantiles",          # round-4 add; sketch rollup family is
                               # contract-covered by hll_rollup/moment_rollup
+    "dedup_corpus_keep",      # round-4 add; composition of the already-
+                              # contract-covered near_dup_minhash + dup_clusters
 ]
 
 
@@ -1995,6 +2039,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "quality_keep_rate": q_quality_keep_rate,
         "kll_quantiles": q_kll_quantiles,
+        "dedup_corpus_keep": q_dedup_corpus_keep,
     }
 
 
@@ -2206,6 +2251,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "hll_rollup": _oracle_hll_rollup(),
         "moment_rollup": _oracle_moment_rollup(),
         "kll_quantiles": _oracle_kll_quantiles(),
+        "dedup_corpus_keep": _oracle_dedup_corpus_keep(),
     }
     # independent DuckDB+numpy recomputation emitted as literal SQL;
     # None (rows-only fallback) when the sf0.01 fixture is unreadable —
