@@ -116,6 +116,21 @@ def test_empty_column(spark):
     assert r.mean is None
 
 
+def test_profile_survives_nan_and_inf(spark):
+    """Real corpora carry NaN/Inf doubles: the KLL quantile path must
+    not throw, and quantiles stay on the finite values (Spark's KLL
+    aggregate skips NaN; Inf is an ordinary orderable value)."""
+    df = spark.sql(
+        "SELECT x FROM VALUES (1.0D),(double('NaN')),(2.0D),"
+        "(double('Infinity')),(3.0D),(CAST(NULL AS DOUBLE)) AS t(x)"
+    )
+    r = profile(df, approx=True).collect()[0]
+    assert r.n_nonnull == 5 and r.n_null == 1
+    assert (r.p25, r.p50, r.p75) == (1.0, 2.0, 3.0)
+    # exact mode must also not throw (NaN sorts beyond Inf)
+    profile(df, approx=False).collect()
+
+
 def test_skew_kurt_small_n_guards(spark):
     df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0]}))
     r = profile(df).collect()[0]
