@@ -186,6 +186,37 @@ def quantile_rollup(
     return sk, merge_quantile_sketches(sk, probs)
 
 
+def rollup_stored_profile_sketches(
+    spark, path: str, probs: list[float] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Table-level profile stats from the pipeline's PERSISTED
+    per-partition sketch state ({output_dir}/profile_sketches, written
+    by plans.pipeline when persist_sketches is on): one row per column
+    with the merged HLL distinct estimate and merged KLL quantiles.
+    Reads only the tiny sketch relation — the raw table is never
+    rescanned, which is the point: at 10^12 rows a table-level (or
+    any-subset-of-partitions) profile rollup is a metadata-sized job."""
+    sk = spark.read.parquet(path)
+    merged = sk.groupBy("column").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).cast("bigint").alias(
+            "n_distinct_est"
+        ),
+        F.kll_merge_agg_double("kll").alias("__kll"),
+        # non-numeric columns carry NULL kll state; merging zero inputs
+        # yields an EMPTY buffer that get_quantile rejects — gate on
+        # having merged at least one real sketch
+        F.count("kll").alias("__n_kll"),
+    )
+    qcols = [
+        F.when(
+            F.col("__n_kll") > 0,
+            F.kll_sketch_get_quantile_double("__kll", F.lit(float(p))),
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return merged.select("column", "n_distinct_est", *qcols)
+
+
 def distinct_rollup(
     df: DataFrame, columns: list[str], group_by: str = "part_id"
 ) -> tuple[DataFrame, DataFrame]:

@@ -15,10 +15,15 @@ Scale notes (100 TB design point):
   because group keys are table partitions, each roughly equal sized.
 - exact mode uses ``count_distinct`` / ``percentile`` (expands to extra
   shuffles) and exists for oracle parity at test scale; ``approx`` mode
-  (default for scale) uses ``approx_count_distinct`` (HLL) and KLL
-  sketch quantiles (``kll_sketch_agg_double``), both single-pass and
-  MERGEABLE — the north_star's per-partition 'KLL-sketch quantiles +
-  HyperLogLog distinct counts' state (rollups: operators/sketches).
+  (default for scale) uses Datasketches HLL distincts
+  (``hll_sketch_agg``) and KLL sketch quantiles
+  (``kll_sketch_agg_double``), both single-pass and MERGEABLE — the
+  north_star's per-partition 'KLL-sketch quantiles + HyperLogLog
+  distinct counts' state. ``sketch_state_struct`` emits the SAME
+  aggregates as binary state (shared buffers when fused), which
+  plans.pipeline persists to {out}/profile_sketches and
+  operators/sketches.rollup_stored_profile_sketches merges — profile
+  rollups never rescan raw data.
 - column pruning: only profiled columns are read; profiling an image
   table never touches the ``bytes`` payload column.
 """
@@ -72,6 +77,40 @@ PROFILE_FIELDS = [
 ]
 
 
+# Schema of one melted sketch-state row (pipeline profile_sketches
+# output): the PER-PARTITION mergeable state behind the approx profile
+# (north_star: per-partition KLL quantiles + HLL distincts, merged) —
+# persisting it makes any later rollup (table-level, snapshot-over-
+# snapshot) a merge over stored sketches, never a raw rescan
+# (operators/sketches.rollup_stored_profile_sketches).
+SKETCH_FIELDS = [
+    ("column", "string"),
+    ("kll", "binary"),    # numeric columns only; NULL otherwise
+    ("hll", "binary"),
+]
+
+KLL_K = 2048      # ~0.2% normalized rank error
+HLL_LG_K = 12     # ~1.6% distinct-count error
+
+
+def sketch_state_struct(name: str, dt: T.DataType) -> Column:
+    """One column's mergeable sketch state as a struct-valued aggregate
+    — built with the IDENTICAL aggregate expressions
+    column_profile_struct(approx=True) uses for its quantile/distinct
+    stats, so when both are fused into one agg Catalyst dedupes them
+    into shared buffers: persisting the state costs (almost) nothing
+    beyond the profile scan itself."""
+    c = F.col(name)
+    if _is_numeric(dt):
+        kll = F.kll_sketch_agg_double(c.cast("double"), F.lit(KLL_K))
+    else:
+        kll = F.first(F.lit(None).cast("binary"))
+    hll = F.hll_sketch_agg(c.cast("string"), HLL_LG_K)
+    return F.struct(
+        F.lit(name).alias("column"), kll.alias("kll"), hll.alias("hll")
+    ).alias(f"__sk_{name}")
+
+
 def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, _NUMERIC_TYPES)
 
@@ -100,7 +139,12 @@ def column_profile_struct(name: str, dt: T.DataType, approx: bool) -> Column:
     n_nonnull = F.count(c)
 
     if approx:
-        distinct = F.approx_count_distinct(name)
+        # Datasketches HLL (same construction as sketch_state_struct, so
+        # a fused agg shares ONE buffer for the estimate and the
+        # persisted state; estimate error ~1.6% at lg_k=12)
+        distinct = F.hll_sketch_estimate(
+            F.hll_sketch_agg(c.cast("string"), HLL_LG_K)
+        ).cast("bigint")
     else:
         distinct = F.lit(None).cast("bigint")  # filled by the distinct pass
 
@@ -118,8 +162,8 @@ def column_profile_struct(name: str, dt: T.DataType, approx: bool) -> Column:
             # Unlike percentile_approx's GK summary, the KLL state is
             # MERGEABLE (kll_merge_agg_double — see operators/sketches),
             # so per-partition profile state rolls up without rescans.
-            # k=2048 → ~0.2% normalized rank error.
-            sk = F.kll_sketch_agg_double(cd, F.lit(2048))
+            # k=KLL_K → ~0.2% normalized rank error.
+            sk = F.kll_sketch_agg_double(cd, F.lit(KLL_K))
             q = F.array(*[
                 F.kll_sketch_get_quantile_double(sk, F.lit(p))
                 for p in (0.25, 0.5, 0.75)

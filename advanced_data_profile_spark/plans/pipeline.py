@@ -44,9 +44,11 @@ from advanced_data_profile_spark.operators.image_verify import (
 )
 from advanced_data_profile_spark.operators.stats import (
     PROFILE_FIELDS,
+    SKETCH_FIELDS,
     SKIP_PROFILE_TYPES,
     column_profile_struct,
     profile,
+    sketch_state_struct,
 )
 from advanced_data_profile_spark.plans.manifest import Manifest, new_run_id
 from advanced_data_profile_spark.session import hadoop_path_exists
@@ -77,6 +79,11 @@ class PipelineConfig:
     id_index_table: str | None = None
     id_index_location: str | None = None
     id_index_buckets: int = 16
+    # persist per-(partition, column) KLL/HLL sketch STATE next to the
+    # profile values (approx mode only; the fused agg shares buffers so
+    # the marginal scan cost is ~zero) — later rollups merge stored
+    # sketches instead of rescanning raw data
+    persist_sketches: bool = True
 
 
 def image_checks(images_ref: DataFrame, cfg: PipelineConfig) -> list[C.Check]:
@@ -168,6 +175,8 @@ def run_pipeline(
         wide = meta_nb.groupBy("part_id").agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[column_profile_struct(c, dtypes[c], True) for c in prof_cols],
+            *([sketch_state_struct(c, dtypes[c]) for c in prof_cols]
+              if cfg.persist_sketches else []),
             *C.rowwise_count_exprs(rowwise),
         )
 
@@ -180,6 +189,17 @@ def run_pipeline(
             )
             return melted.select(
                 "part_id", *[F.col(f"s.{f}").alias(f) for f, _ in PROFILE_FIELDS]
+            )
+
+        def _sketches_from(w: DataFrame) -> DataFrame:
+            melted = w.select(
+                "part_id",
+                F.explode(
+                    F.array(*[F.col(f"__sk_{c}") for c in prof_cols])
+                ).alias("s"),
+            )
+            return melted.select(
+                "part_id", *[F.col(f"s.{f}").alias(f) for f, _ in SKETCH_FIELDS]
             )
     else:
         wide = None
@@ -265,6 +285,11 @@ def run_pipeline(
         profiles.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/column_profiles"
         )
+        if cfg.approx and cfg.persist_sketches:
+            # the sketch melt reuses the persisted wide rows — no scan
+            _sketches_from(wide).coalesce(1).write.mode(
+                "overwrite"
+            ).partitionBy("part_id").parquet(f"{output_dir}/profile_sketches")
 
     def _write_sample():
         # ~100 seeded random rows for the report (reference ships a

@@ -48,6 +48,42 @@ def test_verdict_values(spark, pipe_out):
     assert by[(2, "h_domain")].passed is True
 
 
+def test_profile_sketch_state_rolls_up_without_rescan(spark, images_path, pipe_out):
+    """The persisted per-partition KLL/HLL sketch state must merge to
+    table-level stats that match direct whole-table computation within
+    the sketch bounds — profiles roll up from STORED state, no raw
+    rescan."""
+    from advanced_data_profile_spark.operators.sketches import (
+        rollup_stored_profile_sketches,
+    )
+    from advanced_data_profile_spark.sources.images import read_images
+
+    out, _ = pipe_out
+    sk = spark.read.parquet(f"{out}/profile_sketches")
+    assert sk.count() == N_PARTS * 7  # same column set as column_profiles
+    rolled = {
+        r.column: r for r in rollup_stored_profile_sketches(
+            spark, f"{out}/profile_sketches"
+        ).collect()
+    }
+    images = read_images(spark, images_path)
+    exact_ids = images.select("image_id").distinct().count()
+    assert rolled["image_id"].n_distinct_est == pytest.approx(exact_ids, rel=0.05)
+    # near-continuous numeric column: merged KLL quantiles within rank
+    # bound of exact (w/h are 3-valued — a rank bound is meaningless
+    # there; their quantiles must still be actual domain values)
+    meta = images.withColumn("caption_len", F.length("caption"))
+    n = meta.where(F.col("caption_len").isNotNull()).count()
+    r = rolled["caption_len"]
+    for p, q in ((25, r.p25), (50, r.p50), (75, r.p75)):
+        rank = meta.where(F.col("caption_len").cast("double") <= q).count() / n
+        assert abs(rank - p / 100) <= 0.05
+    assert rolled["w"].p50 in (16.0, 32.0, 64.0)
+    # string column: no KLL state, but the HLL merge still answers
+    assert rolled["fmt"].p50 is None
+    assert rolled["fmt"].n_distinct_est >= 2
+
+
 def test_resume_skips_done(spark, images_path, pipe_out):
     out, _ = pipe_out
     s2 = run_pipeline(spark, images_path, out)
