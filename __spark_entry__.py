@@ -312,6 +312,150 @@ def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot drift as a merge over STORED KLL sketch
+    state (operators/drift.py:drift_from_sketches): per-(time-half,
+    weekday) partition sketches of events.value are merged per half and
+    KS/PSI computed from the sketches' quantile-grid ECDFs alone — no
+    raw-data rescan, no bin pre-pinning. The estimates are
+    sketch-specific, so the hashable contract is the error bound (the
+    kll_quantiles discipline): sketch KS must sit within 0.05 of the
+    EXACT two-sample KS (full sort/cumsum — viable only as a
+    verification step at test scale), and sketch PSI within 0.05 of the
+    exact PSI on the SAME sketch-derived equi-mass edges. A collapsed
+    sketch, a broken merge, or a mis-built grid-ECDF fails both."""
+    from advanced_data_profile_spark.operators.drift import drift_from_sketches
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = "2024-01-08"  # same fixed split as q_drift_psi_events
+    half = F.when(F.col("ts") < med, "a").otherwise("b")
+    ev2 = ev.select(half.alias("half"), F.dayofweek("ts").alias("part"),
+                    F.col("value").cast("double").alias("value"))
+    sk = ev2.groupBy("half", "part").agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("kll")
+    ).select("half", F.col("part").cast("string").alias("part_id"),
+             F.lit("value").alias("column"), "kll")
+    base_sk = sk.where(F.col("half") == "a").drop("half")
+    cur_sk = sk.where(F.col("half") == "b").drop("half")
+    est = drift_from_sketches(base_sk, cur_sk).collect()[0]
+
+    # exact two-sample KS: global sort/cumsum over distinct values
+    counts = ev2.groupBy("value").agg(
+        F.sum((F.col("half") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("half") == "b").cast("long")).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).collect()[0]
+    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.abs(
+        F.sum("ca").over(wc) / F.lit(float(tot.na))
+        - F.sum("cb").over(wc) / F.lit(float(tot.nb))
+    )
+    ks_exact = counts.select(gap.alias("g")).agg(F.max("g")).collect()[0][0]
+
+    # exact PSI on the sketch-derived edges: rebuild the same edges
+    # (merged BASELINE sketch quantiles at k/10), then exact bin masses
+    n_bins, eps = 10, 1e-6
+    merged_b = base_sk.agg(F.kll_merge_agg_double("kll").alias("m"))
+    edges = list(
+        merged_b.select(
+            *[
+                F.kll_sketch_get_quantile_double("m", F.lit(k / n_bins)).alias(f"e{k}")
+                for k in range(1, n_bins)
+            ]
+        ).collect()[0]
+    )
+    binc = sum(
+        ((F.col("value") > F.lit(float(e))).cast("int") for e in edges),
+        F.lit(0),
+    )
+    bins = {(r.half, r.bin): r.cnt for r in ev2.groupBy(
+        "half", binc.alias("bin")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    pa = [bins.get(("a", k), 0) / tot.na for k in range(n_bins)]
+    pb = [bins.get(("b", k), 0) / tot.nb for k in range(n_bins)]
+    import math
+
+    psi_exact = sum(
+        ((q + eps) - (p + eps)) * math.log((q + eps) / (p + eps))
+        for p, q in zip(pa, pb)
+    )
+    rows = [(
+        "value",
+        bool(abs(est.ks - ks_exact) <= 0.05),
+        bool(abs(est.psi - psi_exact) <= 0.05),
+    )]
+    return spark.createDataFrame(
+        rows, "col_name string, ks_ok boolean, psi_ok boolean"
+    )
+
+
+def _oracle_drift_from_sketches() -> str:
+    return "SELECT 'value' AS col_name, TRUE AS ks_ok, TRUE AS psi_ok"
+
+
+def q_chunk_slice_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-content slicing (operators/packing.py:slice_chunks): the
+    payload counterpart of split_pack_documents — each (document, pack)
+    chunk carries its ACTUAL token slice, so packs assemble into real
+    training sequences. The chunk_text strings are value-hashed against
+    DuckDB replaying the identical tokenize → boundary-aligned split →
+    list-slice pipeline, pinning the slicing semantics cross-engine."""
+    from advanced_data_profile_spark.functions.text import tokens
+    from advanced_data_profile_spark.operators.packing import slice_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("source", "doc_id", tokens(F.col("text")).alias("toks"))
+    out = slice_chunks(toked, "doc_id", "toks", 64, group_col="source")
+    return out.select(
+        "source", "doc_id", "chunk_id", "chunk_idx", "chunk_offset",
+        "chunk_size", "pack_idx", "chunk_text",
+    )
+
+
+def _oracle_chunk_slice_documents() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_norm
+
+    return f"""
+        WITH d AS (
+          SELECT source, doc_id, {sql_norm('text')} AS __norm FROM documents
+        ),
+        tok AS (
+          SELECT source, doc_id,
+                 CASE WHEN __norm = '' THEN []::VARCHAR[]
+                      ELSE string_split(__norm, ' ') END AS toks
+          FROM d
+        ),
+        s AS (
+          SELECT source, doc_id, toks, len(toks)::BIGINT AS n,
+                 sum(len(toks)) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum
+          FROM tok WHERE len(toks) > 0
+        ),
+        b AS (
+          SELECT source, doc_id, toks, (cum - n)::BIGINT AS st, cum::BIGINT AS en
+          FROM s
+        ),
+        ch AS (
+          SELECT source, doc_id, toks, st, en,
+                 unnest(range(st // 64, (en - 1) // 64 + 1)) AS p
+          FROM b
+        )
+        SELECT source, doc_id,
+               doc_id::VARCHAR || '#' || (p - st // 64)::VARCHAR AS chunk_id,
+               (p - st // 64)::BIGINT AS chunk_idx,
+               (greatest(st, p * 64) - st)::BIGINT AS chunk_offset,
+               (least(en, (p + 1) * 64) - greatest(st, p * 64))::BIGINT AS chunk_size,
+               p::BIGINT AS pack_idx,
+               array_to_string(
+                 list_slice(toks,
+                            (greatest(st, p * 64) - st + 1)::BIGINT,
+                            (least(en, (p + 1) * 64) - st)::BIGINT),
+                 ' ') AS chunk_text
+        FROM ch
+    """
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate summary over documents (dedup: exact tier)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1957,7 +2101,8 @@ def _oracle_range_join() -> str:
 # so 6 fell off the end unchecked). Each extended query's OPERATOR is
 # still contract-covered by a base query exercising the same code path
 # (noted inline); the extended set itself stays value-oracled via
-# scripts/check_oracles.py --extended and tests/test_oracles_extended.
+# scripts/check_oracles.py (which always checks contract + extended
+# registries) and tests/test_oracles_extended.
 _EXTENDED_NAMES = [
     "topk_mktsegment",        # same operator as topk_per_column (topk.py)
     "referential_orphans",    # same anti-join as referential_integrity
@@ -1971,6 +2116,10 @@ _EXTENDED_NAMES = [
                               # contract-covered by hll_rollup/moment_rollup
     "dedup_corpus_keep",      # round-4 add; composition of the already-
                               # contract-covered near_dup_minhash + dup_clusters
+    "datepart_histogram",     # rotated out r5: date-part groupBy; histogram
+                              # family contract-covered by histogram_quantity
+    "sample_per_group_events",  # rotated out r5: same md5-keyed hash filters
+                              # as sample_fraction/mixture_sample (both stay)
 ]
 
 
@@ -1979,6 +2128,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries lead) so nothing load-bearing can fall off the end of the
     # driver's budget again.
     return {
+        "drift_from_sketches": q_drift_from_sketches,
+        "chunk_slice_documents": q_chunk_slice_documents,
         "knn_ivf_learned": q_knn_ivf_learned,
         "split_pack_documents": q_split_pack_documents,
         "infer_types": q_infer_types,
@@ -1998,7 +2149,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_violations": q_uniqueness_violations,
         "referential_integrity": q_referential_integrity,
         "histogram_quantity": q_histogram_quantity,
-        "datepart_histogram": q_datepart_histogram,
         "minmax_datetime": q_minmax_datetime,
         "decimal_places": q_decimal_places,
         "drift_psi_events": q_drift_psi_events,
@@ -2022,7 +2172,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "quality_filter": q_quality_filter,
         "sample_fraction_documents": q_sample_fraction_documents,
-        "sample_per_group_events": q_sample_per_group_events,
         "mixture_sample_documents": q_mixture_sample_documents,
         "json_key_profile_events": q_json_key_profile_events,
         "pack_documents": q_pack_documents,
@@ -2040,6 +2189,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_keep_rate": q_quality_keep_rate,
         "kll_quantiles": q_kll_quantiles,
         "dedup_corpus_keep": q_dedup_corpus_keep,
+        "datepart_histogram": q_datepart_histogram,
+        "sample_per_group_events": q_sample_per_group_events,
     }
 
 
@@ -2058,6 +2209,8 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_oracle_sql() -> dict[str, str]:
     out = {
+        "drift_from_sketches": _oracle_drift_from_sketches(),
+        "chunk_slice_documents": _oracle_chunk_slice_documents(),
         "knn_ivf_learned": _oracle_knn_ivf_learned(),
         "split_pack_documents": _oracle_split_pack_documents(),
         "profile_lineitem": _oracle_profile_lineitem(),

@@ -84,29 +84,29 @@ def sql_lang_predict(col: str = "text", norm: str = "__norm") -> str:
     short-circuits in SCRIPT_RULES order, then argmax with
     first-alphabetical tie-break."""
     langs = sorted(LANG_MARKERS)
-    scores = {}
-    for lang in langs:
+    # same (score, -rank, lang) struct argmax as the Spark side: DuckDB
+    # structs compare field-wise left-to-right exactly like Spark's, so
+    # ties on score resolve to the first language in sorted order. This
+    # keeps the SQL LINEAR in language count — the previous pairwise
+    # CASE chain embedded every score expression O(n) times and grew
+    # quadratically (untenable past ~30 languages).
+    entries = []
+    for i, lang in enumerate(langs):
         markers = _sql_list(LANG_MARKERS[lang])
-        scores[lang] = (
+        score = (
             f"(CASE WHEN {norm} = '' THEN 0 ELSE "
             f"length(list_filter(string_split({norm}, ' '), "
             f"x -> list_contains({markers}, x))) END)"
         )
-    # argmax, first-alphabetical wins ties
-    cases = []
-    for i, lang in enumerate(langs):
-        conds = [f"{scores[lang]} >= {scores[o]}" for o in langs[i + 1:]]
-        cond = " AND ".join(conds) if conds else "TRUE"
-        cases.append(f"WHEN {cond} THEN '{lang}'")
-    argmax = "CASE " + " ".join(cases) + " END"
-    any_hit = " + ".join(scores[lang] for lang in langs)
+        entries.append(f"struct_pack(s := {score}, nr := {-i}, l := '{lang}')")
+    best = f"list_aggregate([{', '.join(entries)}], 'max')"
     script_whens = " ".join(
         f"WHEN regexp_matches({col}, '{pattern}') THEN '{lang}'"
         for lang, pattern in SCRIPT_RULES
     )
     return (
         f"(CASE {script_whens} "
-        f"WHEN ({any_hit}) > 0 THEN {argmax} ELSE 'und' END)"
+        f"WHEN ({best}).s > 0 THEN ({best}).l ELSE 'und' END)"
     )
 
 

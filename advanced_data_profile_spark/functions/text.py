@@ -65,6 +65,40 @@ LANG_MARKERS: dict[str, list[str]] = {
     "lv": "un ir tas par vai no savu kas".split(),
     "sk": "som ako ale aj za bol tento ktore".split(),
     "sl": "so pa tudi kot lahko bilo nekaj tega".split(),
+    # round-5 breadth (same rules as above: unaccented ASCII function
+    # words only; overlaps across related languages are fine — argmax
+    # decides, each set keeps enough distinctive members to win on its
+    # own text: ms 'boleh/kerana/ialah' vs id, ceb 'og/kini/gyud' vs
+    # tl, gl 'unha/polo/coa' vs pt/es, is 'ekki/hefur/mjog' vs no/da,
+    # fy 'foar/wurde/hawwe' vs nl, gd 'ann/gun/airson' vs ga,
+    # uz 'bilan/uchun' vs tr 'ile/icin'-less set, tk 'bilen/ucin')
+    "ms": "dalam boleh kerana ialah anda telah bagi mereka".split(),
+    "sq": "dhe te nje eshte por nuk jane shume".split(),
+    "gl": "unha polo coa nunha dunha ata moi ademais".split(),
+    "lb": "an net mat fir dat ass och ze vun".split(),
+    "mt": "li ta ma hija dan kif ukoll jew".split(),
+    "la": "et in est non cum sed ad quod atque".split(),
+    "eo": "estas kaj al ne por kun mi tre ankau".split(),
+    "so": "iyo oo waxaa waa uu aan aad mid".split(),
+    "ha": "da ya na ta cikin wannan suka yake amma".split(),
+    "yo": "ati awon naa si fun won nigba ni".split(),
+    "ig": "na nke ya bu ihe ndi maka otu".split(),
+    "zu": "ukuthi futhi ngoba kodwa lokhu kanye".split(),
+    "xh": "ukuba kwaye oku ngoku kuba yaye".split(),
+    "rw": "kandi ariko cyane ubwo uko ndetse".split(),
+    "mg": "ny sy dia amin izany tamin ho ary".split(),
+    "ceb": "og nga kini usa gyud dili kay adunay".split(),
+    "jv": "lan ing kang iku saka kanthi ora wis".split(),
+    "su": "jeung dina anu teu ieu tina henteu oge".split(),
+    "uz": "va bilan uchun ham emas lekin edi davlat".split(),
+    "tk": "we bilen ucin hem dal bolan yaly diyip".split(),
+    "fy": "it dat net mar ek foar wurde hawwe".split(),
+    "is": "og ekki sem hann hefur mjog var enn".split(),
+    "ht": "nan yo ak pou li te sa ki yon nou".split(),
+    "gd": "ann gun airson chan anns bha aig tha".split(),
+    "br": "hag eo ar en ur gant evit ket bet".split(),
+    "sn": "uye zvakare asi iyi kana uku vanhu".split(),
+    "ny": "ndi komanso ngati chifukwa kwambiri zimene".split(),
 }
 
 # Script-detection rules, FIRST MATCH WINS (normalization strips these
@@ -79,13 +113,32 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     # flex/heh-goal/bari-ye letters are Urdu-only; Persian's pe/che/
     # zhe/gaf are shared WITH Urdu, so ur must precede fa, and both
     # precede the generic Arabic block.
+    # round-5: Pashto's retroflexes (ټ U+067C, ډ U+0689, ړ U+0693...)
+    # and Sindhi's implosives are DIFFERENT codepoints from Urdu's
+    # (ٹ U+0679, ڈ U+0688, ڑ U+0691) — no overlap, order vs ur free
+    ("ps", "[ټځڅډړږښ]"),         # pashto-specific, BEFORE ar
+    ("sd", "[ڄڃڳڻ]"),            # sindhi-specific, BEFORE ar
     ("ur", "[ٹڈڑںےہ]"),          # urdu-specific, BEFORE fa and ar
+    ("ug", "[ۇۈ]"),              # uyghur-specific vowels, BEFORE fa/ar
+    ("ku", "[ڕڵێ]"),             # sorani kurdish-specific, BEFORE fa/ar
     ("fa", "[پچژگ]"),            # persian-specific, BEFORE ar
     # Cyrillic family: Kazakh's straight-stroke vowels/consonants are
     # Kazakh-only (and Kazakh text also uses і, which Ukrainian's rule
     # would claim — so kk first); Mongolian's ө/ү are shared with
     # Kazakh but kk has already matched by here.
+    # round-5 Cyrillic family, each with letters no OTHER rule claims.
+    # tg/tt/ba/cv must precede kk: ә/ғ/қ are shared Kipchak/Tajik
+    # letters kk's class claims, while ҷ/ӣ/ӯ (Tajik), җ (Tatar — vs
+    # Kazakh ж), ҙ (Bashkir), ӑ/ӗ/ӳ (Chuvash; ҫ is shared ba/cv so NOT
+    # used) appear in no Kazakh text. Kazakh keeps ұ as its own.
+    ("tg", "[ҷӣӯҶӢӮ]"),          # tajik-specific, BEFORE kk/ru
+    ("tt", "[җҖ]"),              # tatar-specific, BEFORE kk/ru
+    ("ba", "[ҙҘ]"),              # bashkir-specific, BEFORE kk/ru
+    ("cv", "[ӑӗӳӐӖӲ]"),          # chuvash-specific, BEFORE kk/ru
     ("kk", "[әғқңұӘҒҚҢҰ]"),      # kazakh-specific, BEFORE uk/mn/ru
+    ("be", "[ўЎ]"),              # belarusian-specific, BEFORE ru
+    ("sr", "[ђћЂЋ]"),            # serbian cyrillic-specific, BEFORE ru
+    ("mk", "[ѓќѕЃЌЅ]"),          # macedonian-specific, BEFORE ru
     ("uk", "[єїіґЄЇІҐ]"),        # ukrainian-specific cyrillic, BEFORE ru
     ("mn", "[өүӨҮ]"),            # mongolian cyrillic, BEFORE ru
     ("ru", "[А-яЁё]"),           # cyrillic
@@ -94,6 +147,7 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("he", "[א-ת]"),             # hebrew
     ("th", "[ก-๛]"),             # thai
     ("hi", "[ऀ-ॿ]"),            # devanagari
+    ("as", "[ৰৱ]"),              # assamese ra/wa, BEFORE the bengali block
     ("bn", "[ঀ-৿]"),            # bengali
     ("ta", "[஀-௿]"),            # tamil
     ("te", "[ఀ-౿]"),            # telugu
@@ -110,6 +164,17 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("lo", "[ກ-ໟ]"),             # lao
     ("am", "[ሀ-፿]"),             # ethiopic (amharic)
     ("bo", "[ༀ-࿿]"),             # tibetan
+    # round-5: unique blocks / unique Latin letters (rules run on RAW
+    # text, so Latin-script diacritics normalization would strip are
+    # usable). Vietnamese: ơ/ư + the Latin Extended Additional range
+    # U+1EA0-U+1EF9 (Vietnamese tone forms) — đ excluded, it is also
+    # Croatian/Serbian Latin. Azerbaijani: Latin schwa ə U+0259
+    # (distinct codepoint from Cyrillic ә).
+    ("vi", "[ơưƠƯẠ-ỹ]"),         # vietnamese
+    ("az", "[əƏ]"),              # azerbaijani latin
+    ("dv", "[ހ-ޱ]"),             # thaana (divehi)
+    ("chr", "[Ꭰ-Ᏽ]"),            # cherokee
+    ("iu", "[ᐁ-ᙿ]"),             # canadian aboriginal syllabics (inuktitut)
 ]
 
 

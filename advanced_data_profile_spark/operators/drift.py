@@ -149,6 +149,157 @@ def ks_psi(
     )
 
 
+def _merge_kll_side(sketches: DataFrame, sketch_col: str, out: str) -> DataFrame:
+    """(column, <out>) — one merged KLL sketch per column from a
+    per-partition sketch relation. NULL sketch rows (non-numeric
+    columns in the stored profile state) are dropped: merging zero
+    inputs yields an empty buffer the quantile getter rejects."""
+    return (
+        sketches.where(F.col(sketch_col).isNotNull())
+        .groupBy("column")
+        .agg(F.kll_merge_agg_double(sketch_col).alias(out))
+    )
+
+
+def drift_from_sketches(
+    base_sketches: DataFrame,
+    cur_sketches: DataFrame,
+    sketch_col: str = "kll",
+    n_grid: int = 256,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """KS + PSI per column from STORED KLL sketch state alone — the
+    snapshot-over-snapshot drift check as a merge over persisted
+    per-partition sketches. No raw-data rescan, no bin pre-pinning:
+    any two snapshots (or any two partition subsets of one snapshot)
+    whose sketch state exists can be compared after the fact, which
+    `histogram`+`ks_psi` cannot do unless their bin grids were pinned
+    when the data was still on disk.
+
+    Method: Spark's KLL rank getter needs a foldable value argument,
+    so each merged sketch's ECDF is reconstructed from its QUANTILES
+    at a literal midpoint prob grid ((i+0.5)/n_grid):
+    F(v) ~= |{i : Q((i+0.5)/n_grid) <= v}| / n_grid — the generalized
+    inverse, within 1/n_grid of the sketch's own ECDF. KS is the exact
+    sup-gap of the two grid-ECDFs (both only jump at their own grid
+    quantiles, so the max over the union of grid values IS the sup);
+    PSI uses n_bins equi-mass bins from the BASELINE sketch's quantiles
+    with unbounded outer bins (out-of-range drift lands in the tails)
+    and the same eps smoothing convention as `ks_psi`. Total KS error
+    vs the exact two-sample statistic is bounded by the two sketches'
+    rank error (~1.65% each at k=200) + 2/n_grid — <= ~0.05 worst case
+    at the defaults, and the contract query verifies the bound against
+    the exact KS on the fixture.
+
+    Scale shape: everything after the two sketch merges operates on a
+    relation of n_columns rows with array columns of n_grid doubles —
+    a metadata-sized job regardless of raw table size. Columns present
+    in only one snapshot are unscorable and dropped (inner join), the
+    same contract as `ks_psi`'s empty-baseline filter.
+
+    Returns (column, ks, psi, n_base, n_cur).
+    """
+    b = _merge_kll_side(base_sketches, sketch_col, "__b")
+    c = _merge_kll_side(cur_sketches, sketch_col, "__c")
+    j = b.join(c, "column")
+    probs = [(i + 0.5) / n_grid for i in range(n_grid)]
+    edge_probs = [k / n_bins for k in range(1, n_bins)]
+    # materialize the quantile grids as plain array columns BEFORE any
+    # HOF touches them: a lambda that captured the quantile-getter
+    # expressions directly would re-evaluate them per element
+    g = j.select(
+        "column",
+        F.array(
+            *[F.kll_sketch_get_quantile_double("__b", F.lit(p)) for p in probs]
+        ).alias("qb"),
+        F.array(
+            *[F.kll_sketch_get_quantile_double("__c", F.lit(p)) for p in probs]
+        ).alias("qc"),
+        F.array(
+            *[F.kll_sketch_get_quantile_double("__b", F.lit(p)) for p in edge_probs]
+        ).alias("edges"),
+        F.kll_sketch_get_n_double("__b").cast("bigint").alias("n_base"),
+        F.kll_sketch_get_n_double("__c").cast("bigint").alias("n_cur"),
+    )
+    m = float(n_grid)
+
+    def ecdf(grid_col: str, v):
+        return F.size(F.filter(F.col(grid_col), lambda x: x <= v)) / F.lit(m)
+
+    ks = F.array_max(
+        F.transform(
+            F.concat(F.col("qb"), F.col("qc")),
+            lambda v: F.abs(ecdf("qb", v) - ecdf("qc", v)),
+        )
+    )
+    # cumulative mass of each snapshot at the baseline's equi-mass
+    # edges, with implicit -inf/+inf outer edges -> n_bins masses that
+    # sum to exactly 1 on each side
+    cum_b = F.concat(
+        F.array(F.lit(0.0)),
+        F.transform(F.col("edges"), lambda v: ecdf("qb", v)),
+        F.array(F.lit(1.0)),
+    )
+    cum_c = F.concat(
+        F.array(F.lit(0.0)),
+        F.transform(F.col("edges"), lambda v: ecdf("qc", v)),
+        F.array(F.lit(1.0)),
+    )
+    h = g.select(
+        "column", "n_base", "n_cur", ks.alias("__ks"),
+        cum_b.alias("__cb"), cum_c.alias("__cc"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(n_bins))
+    mass = lambda cumcol: F.transform(  # noqa: E731
+        idx,
+        lambda i: F.element_at(F.col(cumcol), (i + 1).cast("int"))
+        - F.element_at(F.col(cumcol), i.cast("int")),
+    )
+    h = h.select(
+        "column", "n_base", "n_cur", "__ks",
+        mass("__cb").alias("__mb"), mass("__cc").alias("__mc"),
+    )
+    psi_terms = F.zip_with(
+        F.col("__mc"),
+        F.col("__mb"),
+        lambda p, q: ((p + eps) - (q + eps)) * F.log((p + eps) / (q + eps)),
+    )
+    return h.select(
+        "column",
+        F.round(F.col("__ks"), 6).alias("ks"),
+        F.round(
+            F.aggregate(psi_terms, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("psi"),
+        "n_base",
+        "n_cur",
+    )
+
+
+def drift_from_stored_state(
+    spark,
+    base_path: str,
+    cur_path: str,
+    base_parts: list[str] | None = None,
+    cur_parts: list[str] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """`drift_from_sketches` over two pipeline runs' PERSISTED sketch
+    state ({output_dir}/profile_sketches, written by plans.pipeline
+    when persist_sketches is on). Optional part_id filters compare any
+    partition subsets — e.g. this week's partitions vs last week's —
+    reading only the tiny sketch relations; the raw tables are never
+    rescanned. `base_path`/`cur_path` may be the same directory with
+    different part filters."""
+    b = spark.read.parquet(base_path)
+    c = spark.read.parquet(cur_path)
+    if base_parts is not None:
+        b = b.where(F.col("part_id").isin([str(p) for p in base_parts]))
+    if cur_parts is not None:
+        c = c.where(F.col("part_id").isin([str(p) for p in cur_parts]))
+    return drift_from_sketches(b, c, **kwargs)
+
+
 def drift_verdicts(
     scores: DataFrame,
     ks_threshold: float = 0.1,

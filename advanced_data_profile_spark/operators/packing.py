@@ -28,8 +28,25 @@ No reference counterpart; task-brief training-data op.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _warn_global_window(fn: str) -> None:
+    """group_col=None means ONE window over the whole input — correct,
+    but a single-task total order that serializes at scale. Loud by
+    design (the docstrings say the group is the parallelism unit; this
+    makes the contract unmissable at call time)."""
+    warnings.warn(
+        f"{fn}(group_col=None) packs the ENTIRE input as one ordered "
+        "stream — a single-partition window that serializes at scale. "
+        "Pass group_col (e.g. a shard/part id) for any input that "
+        "doesn't comfortably fit one task.",
+        UserWarning,
+        stacklevel=3,
+    )
 
 
 def pack_by_cumsum(
@@ -49,6 +66,8 @@ def pack_by_cumsum(
     order (nondeterministic across runs)."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    if group_col is None:
+        _warn_global_window("pack_by_cumsum")
     keys = [group_col] if group_col else []
     w = (
         Window.partitionBy(*keys).orderBy(F.col(id_col))
@@ -115,6 +134,7 @@ def split_and_pack(
     budget: int,
     group_col: str | None = None,
     pack_col: str = "pack_idx",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Boundary-aligned EXACT packing: treat each group as one token
     stream in (group, id) order, cut the stream at every multiple of
@@ -125,14 +145,21 @@ def split_and_pack(
     cannot give, since its straddling doc overflows).
 
     Columns added: chunk_id (<id>#<chunk_idx>), chunk_idx (0-based
-    within the document), chunk_size, pack_col. Oversized documents
-    (> budget) need no pre-pass — they simply span multiple packs.
+    within the document), chunk_offset (the chunk's 0-based token
+    offset WITHIN its document — what payload slicing needs),
+    chunk_size, pack_col. Oversized documents (> budget) need no
+    pre-pass — they simply span multiple packs. `carry_cols` ride
+    through unchanged (duplicated per chunk) so payload columns reach
+    the output without a join back — one shuffle total; duplication
+    factor is the chunks-per-document count, ~1 for in-budget docs.
 
     Scale shape: ONE window cumsum per group + a per-row explode over
     the packs the document overlaps (ceil(size/budget)+1 at most). The
     group is the parallelism unit, as in pack_by_cumsum."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    if group_col is None:
+        _warn_global_window("split_and_pack")
     keys = [group_col] if group_col else []
     w = (
         Window.partitionBy(*keys).orderBy(F.col(id_col))
@@ -145,6 +172,7 @@ def split_and_pack(
         .select(
             *keys,
             F.col(id_col),
+            *[F.col(c) for c in carry_cols],
             en.alias("__en"),
             (en - size).alias("__st"),
         )
@@ -154,6 +182,7 @@ def split_and_pack(
     ch = base.select(
         *keys,
         F.col(id_col),
+        *carry_cols,
         "__st",
         "__en",
         first_pack.alias("__fp"),
@@ -166,13 +195,63 @@ def split_and_pack(
     return ch.select(
         *keys,
         F.col(id_col),
+        *carry_cols,
         F.concat(
             F.col(id_col).cast("string"), F.lit("#"), chunk_idx.cast("string")
         ).alias("chunk_id"),
         chunk_idx.alias("chunk_idx"),
+        (chunk_start - F.col("__st")).cast("bigint").alias("chunk_offset"),
         (chunk_end - chunk_start).cast("bigint").alias("chunk_size"),
         p,
     )
+
+
+def slice_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    group_col: str | None = None,
+    pack_col: str = "pack_idx",
+    joiner: str = " ",
+    chunk_text_col: str = "chunk_text",
+) -> DataFrame:
+    """split_and_pack WITH the chunk payload materialized: each output
+    row carries chunk_text — the document's tokens [chunk_offset,
+    chunk_offset + chunk_size) joined by `joiner` — so packs can be
+    assembled into actual training sequences, not just (id, size)
+    bookkeeping.
+
+    `tokens_col` is a precomputed array<string> column (tokenize
+    upstream — e.g. functions.text.tokens for the whitespace/norm
+    contract; the operator is tokenizer-agnostic). Reconstruction
+    contract (oracle-checked): concatenating a document's chunk_text
+    in chunk_idx order with `joiner` equals the tokens joined by
+    `joiner` — i.e. the tokenizer-normalized text, NOT raw bytes;
+    and size(chunk tokens) == chunk_size exactly.
+
+    Scale shape: the token array rides split_and_pack's single group
+    shuffle via carry_cols (no join back to the payload), then one
+    F.slice per chunk — JVM array ops end to end, no UDF. Rows with
+    empty token arrays are excluded (split_and_pack's size > 0
+    contract)."""
+    out = split_and_pack(
+        df.withColumn("__n_toks", F.size(F.col(tokens_col))),
+        id_col,
+        "__n_toks",
+        budget,
+        group_col=group_col,
+        pack_col=pack_col,
+        carry_cols=(tokens_col,),
+    )
+    sliced = F.slice(
+        F.col(tokens_col),
+        (F.col("chunk_offset") + 1).cast("int"),
+        F.col("chunk_size").cast("int"),
+    )
+    return out.withColumn(
+        chunk_text_col, F.array_join(sliced, joiner)
+    ).drop(tokens_col)
 
 
 def pack_summary(

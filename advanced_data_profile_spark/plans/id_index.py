@@ -22,9 +22,28 @@ rescan with a MAINTAINED INDEX:
 Crash safety: the append runs BEFORE the manifest commit; a crash
 between them makes the rerun append the same partition again under a
 new stamp. The check dedupes by keeping the LATEST append per
-(key, partition) — max_by(n, appended_at) — so replays never create
-false duplicates, while genuine same-partition duplicate keys (n > 1
-within one append) are preserved.
+(key, partition) — max_by(n, (appended_at, run_id)) so wall-clock ties
+between replays break deterministically by run_id — and replays never
+create false duplicates, while genuine same-partition duplicate keys
+(n > 1 within one append) are preserved.
+
+APPEND-ONLY PRECONDITION: latest-append-wins assumes a partition's key
+set only gets re-APPENDED identically (crash replay), never
+regenerated with keys removed or moved. If a partition is ever
+backfilled/regenerated (e.g. rerun with --no-resume over changed
+payload), run ``index_compact(..., supersede_parts=True)`` afterwards:
+it drops every index row not written by each partition's LATEST run,
+so the regenerated partition fully supersedes its stale state. Routine
+compaction (supersede_parts=False) keeps only the latest row per
+(key, partition), bounding the check's cost at O(distinct keys) no
+matter how many runs have appended.
+
+Lifecycle guards: every append asserts the bucket count matches the
+existing table's spec — a silent mismatch would break the per-bucket
+clustering the zero-Exchange check rests on. DEFAULT_BUCKETS=16 is a
+sandbox number: size buckets so each holds O(10^7-10^8) keys at design
+scale (10^12 keys -> O(10^4-10^5) buckets), and keep the count FIXED
+for the table's lifetime — changing it requires a full rewrite.
 
 Outputs are IDENTICAL in shape and values to the full-pass check
 (equivalence-tested): kind='unique_global' RESULT_COLUMNS rows per
@@ -48,6 +67,32 @@ from advanced_data_profile_spark.plans.manifest import Manifest, new_run_id
 
 DEFAULT_BUCKETS = 16
 
+def _append_order():
+    """latest-append-wins ordering: wall-clock stamp, ties broken by
+    run_id so two replays within clock resolution still pick ONE
+    deterministic winner (they write identical counts, but determinism
+    should hold on paper, not just in practice)."""
+    return F.struct(F.col("appended_at"), F.col("run_id"))
+
+
+def _existing_bucket_spec(
+    spark: SparkSession, table_name: str
+) -> tuple[int, str] | None:
+    """(num_buckets, bucket_column) of an existing table, or None if the
+    table does not exist. Read from DESCRIBE EXTENDED — the catalog's
+    own record of the physical spec."""
+    if not spark.catalog.tableExists(table_name):
+        return None
+    rows = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    }
+    n = rows.get("Num Buckets")
+    cols = rows.get("Bucket Columns", "")
+    if n is None:
+        return None
+    return int(n), cols.strip("[]` ")
+
 
 def index_append(
     df: DataFrame,
@@ -61,8 +106,28 @@ def index_append(
     """Append per-(key, partition) counts for df's rows to the bucketed
     index table, creating it (external, at ``location``) on first use.
     One narrow aggregation over columns the caller already scanned —
-    never reads payload bytes."""
+    never reads payload bytes.
+
+    Raises ValueError if the existing table's bucket spec differs from
+    ``buckets``: mixed bucket counts would silently break the
+    per-bucket key clustering the zero-Exchange check depends on (see
+    module docstring for bucket sizing — the count is fixed for the
+    table's lifetime)."""
     spark = df.sparkSession
+    exists = spark.catalog.tableExists(table_name)
+    existing = _existing_bucket_spec(spark, table_name)
+    if exists and existing is None:
+        raise ValueError(
+            f"table {table_name} exists but carries no bucket spec — "
+            "not an id-index table; refusing to append."
+        )
+    if existing is not None and existing != (buckets, "key"):
+        raise ValueError(
+            f"index table {table_name} is bucketed as {existing[0]} x "
+            f"({existing[1]}); appending with buckets={buckets} would "
+            "break bucket clustering. Pass the table's own bucket count "
+            "(changing it requires a full rewrite)."
+        )
     rows = (
         df.groupBy(
             F.col(key_col).alias("key"),
@@ -73,7 +138,7 @@ def index_append(
         .withColumn("appended_at", F.lit(float(time.time())))
     )
     writer = rows.write.format("parquet").bucketBy(buckets, "key").sortBy("key")
-    if spark.catalog.tableExists(table_name):
+    if exists:
         writer.mode("append").saveAsTable(table_name)
     else:
         writer.option("path", location).saveAsTable(table_name)
@@ -84,10 +149,7 @@ def duplicate_keys(spark: SparkSession, table_name: str) -> DataFrame:
     past 1 — the core check. Both aggregations cluster on `key`, which
     the bucketed scan already provides, so the plan carries ZERO
     Exchange and never touches the payload table."""
-    idx = spark.table(table_name)
-    latest = idx.groupBy("key", "part_id").agg(
-        F.max_by("n", "appended_at").alias("n")
-    )
+    latest = _latest_per_part(spark, table_name)
     per_key = latest.groupBy("key").agg(F.sum("n").alias("cnt"))
     return per_key.where(F.col("cnt") > 1)
 
@@ -95,8 +157,74 @@ def duplicate_keys(spark: SparkSession, table_name: str) -> DataFrame:
 def _latest_per_part(spark: SparkSession, table_name: str) -> DataFrame:
     idx = spark.table(table_name)
     return idx.groupBy("key", "part_id").agg(
-        F.max_by("n", "appended_at").alias("n")
+        F.max_by("n", _append_order()).alias("n")
     )
+
+
+def index_compact(
+    spark: SparkSession,
+    table_name: str,
+    staging_dir: str,
+    supersede_parts: bool = False,
+) -> int:
+    """Rewrite the index keeping only the winning rows, so the check
+    stays O(distinct keys) after any number of appends (without this,
+    one append per (partition, run) accumulates forever and the
+    "O(index)" check degrades toward O(appends)).
+
+    - supersede_parts=False (routine): keep the latest append per
+      (key, partition) — exactly the rows the check already reduces to.
+    - supersede_parts=True (after a partition backfill/regeneration):
+      keep only rows written by each PARTITION's latest run, so a
+      regenerated partition fully supersedes its previous index state
+      — stale keys from older runs disappear (see the append-only
+      precondition in the module docstring).
+
+    The rewrite preserves the table's bucket spec (read from the
+    catalog) and its external location. Compacted rows are staged to
+    ``staging_dir`` and fully materialized BEFORE the table is
+    overwritten — a self-overwrite would otherwise read and truncate
+    the same files. Returns the compacted row count.
+
+    Scale shape: one shuffle-free pass for the routine mode (both aggs
+    cluster on the bucketed key); the supersede mode adds an O(runs x
+    partitions) broadcast join. The rewrite itself is O(index), run it
+    on the cadence index growth warrants, not per-append."""
+    spec = _existing_bucket_spec(spark, table_name)
+    if spec is None:
+        raise ValueError(f"{table_name} is not an existing bucketed index table")
+    buckets, _ = spec
+    location = next(
+        r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+        if r.col_name == "Location"
+    )
+    idx = spark.table(table_name)
+    if supersede_parts:
+        latest_run = idx.groupBy("part_id").agg(
+            F.max_by("run_id", _append_order()).alias("run_id")
+        )
+        kept = idx.join(F.broadcast(latest_run), ["part_id", "run_id"])
+    else:
+        kept = idx.groupBy("key", "part_id").agg(
+            F.max_by(
+                F.struct("n", "run_id", "appended_at"), _append_order()
+            ).alias("w")
+        ).select("key", "part_id", "w.n", "w.run_id", "w.appended_at")
+    kept = kept.select("key", "part_id", "n", "run_id", "appended_at")
+    kept.write.mode("overwrite").parquet(staging_dir)
+    staged = spark.read.parquet(staging_dir)
+    n_rows = staged.count()
+    spark.sql(f"DROP TABLE {table_name}")
+    (
+        staged.write.format("parquet")
+        .bucketBy(buckets, "key")
+        .sortBy("key")
+        .option("path", location)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return n_rows
 
 
 def global_uniqueness_from_index(
@@ -142,8 +270,14 @@ def global_uniqueness_from_index(
             "n_rows"
         )
     )
+    # FULL outer: a partition indexed but not yet manifest-committed
+    # (the crash window between index append and manifest commit) must
+    # still appear here — otherwise its rows would show in
+    # violations_global but vanish from constraint_results_global and
+    # the two artifacts would disagree transiently. Such partitions
+    # carry NULL n_rows until their manifest row lands.
     res = (
-        totals.join(viol_per_part, "part_id", "left")
+        totals.join(viol_per_part, "part_id", "full")
         .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
         .select(
             F.col("part_id"),

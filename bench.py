@@ -31,6 +31,10 @@ HEADLINE = [
     "histogram_quantity",
     "datepart_histogram",
     "drift_psi_events",
+    # round-5 adds (new operator surfaces; totals are not comparable to
+    # BENCH_r04 — compare per-query)
+    "drift_from_sketches",
+    "chunk_slice_documents",
 ]
 
 BENCH_IMAGES = "/tmp/adp_bench_images"
@@ -57,11 +61,53 @@ def ensure_images(spark, path: str, n_parts: int, rows: int, dims) -> None:
         f.write("ok")
 
 
+def kernel_probe(n_procs: int = 32, repeats: int = 3) -> dict:
+    """Frameworkless hardware-health probe (the machine-vs-engine
+    attribution evidence, embedded so every BENCH_rN.json is
+    self-contained): the pipeline's real bytes-reading decode kernel
+    (scripts/scaling_bench._calib_worker — pyarrow parquet read +
+    _validate_arrow) over the steady-state images fixture via raw
+    multiprocessing, NO Spark in the loop. If this number moves between
+    rounds on identical code and fixtures, the box moved, not the
+    engine; a regression narrative may only blame the engine for time
+    the probe does NOT account for."""
+    import multiprocessing as mp
+
+    scripts_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    sys.path.insert(0, scripts_dir)
+    import scaling_bench  # noqa: E402
+
+    files = scaling_bench._part_files(BIG_IMAGES)
+    n_images = BIG_PARTS * BIG_ROWS
+    groups = [files[i::n_procs] for i in range(n_procs)]
+    # warm the page cache (the Spark passes also read warm /tmp files)
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    samples = []
+    for _ in range(repeats):
+        with mp.get_context("spawn").Pool(n_procs) as pool:
+            ts = pool.map(scaling_bench._calib_worker, groups)
+        samples.append(round(max(ts), 3))  # slowest worker bounds the stage
+    s = sorted(samples)
+    best = s[0]
+    return {
+        "probe_kernel_sec": best,
+        "probe_kernel_imgs_per_sec": round(n_images / best, 1),
+        "probe_spread": {"min": s[0], "med": s[len(s) // 2], "max": s[-1]},
+        "probe_procs": n_procs,
+        "probe_images": n_images,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="adp-bench")
-    qs = entry_mod.queries()
+    # merged surface: HEADLINE membership is independent of which
+    # registry (contract vs extended) a query currently lives in
+    qs = {**entry_mod.queries(), **entry_mod.extended_queries()}
 
     # warm-up: JVM JIT + parquet footer reads + the Python worker pool
     # (forked workers import pandas on first use; reused afterwards).
@@ -139,6 +185,10 @@ def main() -> None:
     timings["images_pipeline_steady"] = best
     spreads["images_pipeline_steady"] = spread(steady_samples)
 
+    # hardware-health probe AFTER the Spark passes (it saturates all
+    # cores; running it concurrently would poison both measurements)
+    probe = kernel_probe()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_plus_images_pipeline_total",
@@ -151,6 +201,7 @@ def main() -> None:
         "images_per_sec_steady": big.get("images_per_sec"),
         "images_rows_steady": big.get("rows"),
         "queries_spread": spreads,
+        **probe,
     }
     if second:
         s2 = second_sf_dir.rstrip("/").split("sf")[-1]

@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from advanced_data_profile_spark.operators.drift import (
+    drift_from_sketches,
+    drift_from_stored_state,
     drift_verdicts,
     histogram,
     ks_psi,
@@ -107,3 +109,101 @@ def test_ks_psi_skips_empty_baseline_column(spark):
     assert cols == {"x"}
     for r in scores:
         assert r.ks is not None and r.psi is not None
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def _part_sketches(spark, arr, n_parts=4, column="x", label_offset=0):
+    pdf = pd.DataFrame({
+        "x": np.asarray(arr, dtype=float),
+        "part_id": [f"p{label_offset + (i % n_parts)}" for i in range(len(arr))],
+    })
+    df = spark.createDataFrame(pdf)
+    return df.groupBy("part_id").agg(
+        F.kll_sketch_agg_double(F.col("x"), F.lit(200)).alias("kll")
+    ).select("part_id", F.lit(column).alias("column"), "kll")
+
+
+def _exact_ks(a, b):
+    sa, sb = np.sort(a), np.sort(b)
+    grid = np.concatenate([sa, sb])
+    fa = np.searchsorted(sa, grid, side="right") / len(sa)
+    fb = np.searchsorted(sb, grid, side="right") / len(sb)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def test_sketch_drift_within_rank_error_of_exact(spark):
+    # KS from merged KLL sketches must sit within the documented bound
+    # (2 x ~1.65% sketch rank error + 2/n_grid ~= 0.05) of the exact
+    # two-sample KS — on both a drifted and a null pair
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 1, 20000)
+    b = np.concatenate([rng.normal(0.35, 1.25, 15000), rng.normal(0, 1, 5000)])
+    c = rng.normal(0, 1, 20000)
+    ska = _part_sketches(spark, a)
+    skb = _part_sketches(spark, b)
+    skc = _part_sketches(spark, c)
+    drifted = drift_from_sketches(ska, skb).collect()[0]
+    null = drift_from_sketches(ska, skc).collect()[0]
+    assert abs(drifted.ks - _exact_ks(a, b)) <= 0.05
+    assert abs(null.ks - _exact_ks(a, c)) <= 0.05
+    assert drifted.psi > 5 * null.psi  # separation, not just bounds
+    assert drifted.n_base == 20000 and drifted.n_cur == 20000
+
+
+def test_sketch_drift_from_stored_state_detects_one_partition(spark, tmp_path):
+    # the point of persisted state: drift ONE partition after the
+    # baseline was stored, and detect it from the sketch relations
+    # alone — no raw data in scope at check time
+    rng = np.random.default_rng(12)
+    base = _part_sketches(spark, rng.normal(0, 1, 16000), n_parts=4)
+    base_path = str(tmp_path / "base_sketches")
+    base.write.partitionBy("part_id").parquet(base_path)
+    # current snapshot: parts q0..q2 match baseline dist, q3 drifted
+    cur_ok = _part_sketches(spark, rng.normal(0, 1, 12000), n_parts=3)
+    cur_bad = _part_sketches(spark, rng.normal(2.0, 1, 4000), n_parts=1,
+                             label_offset=3)
+    cur_path = str(tmp_path / "cur_sketches")
+    cur_ok.unionByName(cur_bad).withColumn(
+        "part_id", F.regexp_replace("part_id", "p", "q")
+    ).write.partitionBy("part_id").parquet(cur_path)
+
+    full = drift_from_stored_state(spark, base_path, cur_path).collect()[0]
+    assert full.psi > 0.05  # 25% of rows shifted by 2 sigma
+
+    # subset comparison: the clean parts alone show no drift; the bad
+    # part alone screams — all from stored state
+    clean = drift_from_stored_state(
+        spark, base_path, cur_path, cur_parts=["q0", "q1", "q2"]
+    ).collect()[0]
+    bad = drift_from_stored_state(
+        spark, base_path, cur_path, cur_parts=["q3"]
+    ).collect()[0]
+    assert clean.ks < 0.05 and clean.psi < 0.05
+    assert bad.ks > 0.5 and bad.psi > 1.0
+
+
+def test_sketch_drift_column_handling(spark):
+    # columns missing on either side are unscorable and dropped
+    # (inner-join contract, same as ks_psi's empty-baseline filter);
+    # NULL sketch rows (non-numeric columns) are ignored; constant
+    # columns score 0 drift
+    rng = np.random.default_rng(13)
+    a = _part_sketches(spark, rng.normal(0, 1, 2000), column="shared")
+    a2 = _part_sketches(spark, np.full(2000, 7.0), column="const")
+    a_only = _part_sketches(spark, rng.normal(0, 1, 500), column="gone")
+    null_row = a.limit(1).select(
+        "part_id", F.lit("strcol").alias("column"),
+        F.lit(None).cast("binary").alias("kll"),
+    )
+    b = _part_sketches(spark, rng.normal(0, 1, 2000), column="shared")
+    b2 = _part_sketches(spark, np.full(2000, 7.0), column="const")
+    out = drift_from_sketches(
+        a.unionByName(a2).unionByName(a_only).unionByName(null_row),
+        b.unionByName(b2),
+    )
+    rows = {r.column: r for r in out.collect()}
+    assert set(rows) == {"shared", "const"}
+    assert rows["const"].ks == 0.0 and abs(rows["const"].psi) < 1e-9
+    assert rows["shared"].ks < 0.05

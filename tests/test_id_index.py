@@ -124,3 +124,80 @@ def test_replayed_append_creates_no_false_duplicates(spark, tmp_path_factory):
     # NOT surface from the replay
     assert dups == {("c", 2)}
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucket_spec_mismatch_raises(spark, tmp_path_factory):
+    """Appending with a different bucket count than the table's spec
+    must fail loudly — a silent mismatch would break the per-bucket
+    clustering the zero-Exchange check rests on."""
+    base = tmp_path_factory.mktemp("idxb")
+    table = "idx_test_buckets"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = spark.createDataFrame([("a", 0)], "image_id string, part_id int")
+    index_append(df, table, str(base / "idx"), buckets=8)
+    with pytest.raises(ValueError, match="bucket"):
+        index_append(df, table, str(base / "idx"), buckets=16)
+    # matching spec still appends fine
+    index_append(df, table, str(base / "idx"), buckets=8, run_id="r2")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compaction_equivalence_and_plan(spark, tmp_path_factory):
+    """index_compact must not change duplicate_keys' answer, must
+    shrink the row count to one row per (key, partition), and the
+    compacted table must still plan the check with zero Exchange."""
+    from advanced_data_profile_spark.plans.id_index import index_compact
+
+    base = tmp_path_factory.mktemp("idxc")
+    table = "idx_test_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("c", 0)], "image_id string, part_id int"
+    )
+    df2 = spark.createDataFrame(
+        [("a", 1), ("d", 1)], "image_id string, part_id int"
+    )
+    for rid in ("r1", "r1-replay", "r1-replay2"):
+        index_append(df, table, str(base / "idx"), run_id=rid)
+    index_append(df2, table, str(base / "idx"), run_id="r2")
+    before = {(r.key, r.cnt) for r in duplicate_keys(spark, table).collect()}
+    n = index_compact(spark, table, str(base / "staging"))
+    after = {(r.key, r.cnt) for r in duplicate_keys(spark, table).collect()}
+    assert before == after == {("c", 2), ("a", 2)}
+    assert n == 5  # (a,0) (b,0) (c,0) (a,1) (d,1) — one row per key-part
+    assert spark.table(table).count() == 5
+    plan = _plan(duplicate_keys(spark, table))
+    assert "Exchange" not in plan
+    # appends still work against the compacted table (spec preserved)
+    index_append(df2, table, str(base / "idx"), run_id="r3")
+    assert duplicate_keys(spark, table).count() == 2
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compaction_supersede_regenerated_partition(spark, tmp_path_factory):
+    """A regenerated partition (keys removed/moved) leaves stale rows
+    under latest-append-wins; supersede_parts=True compaction drops
+    every row not written by the partition's latest run, restoring
+    full-rescan equivalence after a backfill."""
+    from advanced_data_profile_spark.plans.id_index import index_compact
+
+    base = tmp_path_factory.mktemp("idxs")
+    table = "idx_test_supersede"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    v1 = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "image_id string, part_id int"
+    )
+    index_append(v1, table, str(base / "idx"), run_id="r1")
+    other = spark.createDataFrame([("a", 1)], "image_id string, part_id int")
+    index_append(other, table, str(base / "idx"), run_id="r2")
+    # partition 0 regenerated WITHOUT key 'a' — but r1's (a,0) row is
+    # stale in the index, so the check still reports 'a' duplicated
+    v2 = spark.createDataFrame([("b", 0), ("e", 0)], "image_id string, part_id int")
+    index_append(v2, table, str(base / "idx"), run_id="r3")
+    stale = {r.key for r in duplicate_keys(spark, table).collect()}
+    assert stale == {"a"}  # the documented precondition violation
+    index_compact(spark, table, str(base / "staging"), supersede_parts=True)
+    assert duplicate_keys(spark, table).count() == 0
+    rows = {(r.key, r.part_id) for r in spark.table(table).collect()}
+    assert rows == {("b", "0"), ("e", "0"), ("a", "1")}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from advanced_data_profile_spark.operators.packing import (
     pack_by_cumsum,
     pack_summary,
+    slice_chunks,
+    split_and_pack,
 )
 
 BUDGET = 100
@@ -185,3 +187,84 @@ def test_packing_drops_nonpositive_and_validates(spark):
     assert [r.doc_id for r in out.collect()] == [0]
     with pytest.raises(ValueError):
         pack_by_cumsum(df, "doc_id", "n_tokens", 0)
+
+
+# ------------------------------------------------------------- slicing
+
+
+def test_split_and_pack_chunk_offset(spark, sized):
+    # chunk_offset is the chunk's token offset within its document:
+    # offsets start at 0, advance by chunk_size, and the last chunk
+    # ends exactly at the document's size
+    chunks = split_and_pack(sized, "doc_id", "n_tokens", BUDGET, group_col="grp")
+    sizes = {(r.grp, r.doc_id): r.n_tokens for r in sized.collect()}
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault((r.grp, r.doc_id), []).append(r)
+    for key, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        off = 0
+        for r in rows:
+            assert r.chunk_offset == off
+            off += r.chunk_size
+        assert off == sizes[key]
+
+
+def test_slice_chunks_reconstructs_documents(spark):
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = [
+        (g, i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 90))))
+        for g in ("a", "b") for i in range(80)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["grp", "doc_id", "text"]))
+    toked = df.withColumn("toks", F.split(F.col("text"), " "))
+    out = slice_chunks(toked, "doc_id", "toks", 32, group_col="grp")
+    # per-chunk token count == chunk_size, exactly
+    bad = out.where(
+        F.size(F.split(F.col("chunk_text"), " ")) != F.col("chunk_size")
+    ).count()
+    assert bad == 0
+    # concat of chunk texts in chunk_idx order == the original text
+    rebuilt = {
+        (r.grp, r.doc_id): r.whole
+        for r in out.groupBy("grp", "doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("whole")
+        )
+        .collect()
+    }
+    for g, i, text in rows:
+        assert rebuilt[(g, i)] == text
+
+
+def test_slice_chunks_empty_docs_excluded(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", 0, ["x", "y"]), ("a", 1, [])],
+            columns=["grp", "doc_id", "toks"],
+        )
+    )
+    out = slice_chunks(df, "doc_id", "toks", 8, group_col="grp").collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].chunk_text == "x y"
+
+
+def test_global_window_warns(spark, sized):
+    with pytest.warns(UserWarning, match="serializes at scale"):
+        pack_by_cumsum(sized, "doc_id", "n_tokens", BUDGET)
+    with pytest.warns(UserWarning, match="serializes at scale"):
+        split_and_pack(sized, "doc_id", "n_tokens", BUDGET)
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")
+        pack_by_cumsum(sized, "doc_id", "n_tokens", BUDGET, group_col="grp")
+        split_and_pack(sized, "doc_id", "n_tokens", BUDGET, group_col="grp")

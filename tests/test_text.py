@@ -244,3 +244,78 @@ def test_redact_pii_planted(spark):
     }
     for r in out:
         assert oracle[r.doc_id] == r.red, r.doc_id
+
+
+def test_lang_predict_round5_breadth(spark):
+    """Round-5 languages: 27 new Latin-script marker languages + 17 new
+    script rules (total surface now >= 100), incl. the new family
+    orderings (ps/sd/ug/ku before fa/ar; tg/tt/ba/cv/be/sr/mk before
+    ru; as before bn) and sibling discrimination (ms-vs-id, ceb-vs-tl,
+    gl-vs-pt, is-vs-no/da, fy-vs-nl, gd-vs-ga, uz-vs-tr)."""
+    from advanced_data_profile_spark.functions.text import (
+        LANG_MARKERS,
+        SCRIPT_RULES,
+    )
+
+    assert len(LANG_MARKERS) + len(SCRIPT_RULES) >= 100
+    # script rule languages and marker languages never overlap
+    assert not set(LANG_MARKERS) & {lang for lang, _ in SCRIPT_RULES}
+
+    cases = [
+        ("anda boleh pergi kerana mereka telah ada dalam bilik itu ialah", "ms"),
+        ("dhe kjo nje gjuhe eshte por nuk jane shume njerez", "sq"),
+        ("unha lingua polo tanto coa xente nunha vila ata moi lonxe", "gl"),
+        ("ech hunn dat mat fir ze maachen an ass och vun him", "lb"),
+        ("din hija lingwa li kif ukoll jew dan ta maltin", "mt"),
+        ("gallia est omnis divisa in partes tres quod cum sed non atque", "la"),
+        ("tio estas lingvo kaj mi parolas kun vi tre ankau por ne", "eo"),
+        ("waxaa jira dad badan oo iyo waa uu aan aad u mid ah", "so"),
+        ("akwai mutane da yawa cikin wannan gari suka zo yake amma", "ha"),
+        ("awon eniyan ati oro naa si fun won nigba ti o ni", "yo"),
+        ("ndi otu ihe nke oma maka na ya bu ihe a", "ig"),
+        ("ukuthi abantu futhi ngoba kodwa lokhu kanye nabo", "zu"),
+        ("ukuba abantu kwaye oku ngoku kuba yaye bona", "xh"),
+        ("abantu kandi ariko cyane ubwo uko ndetse bose", "rw"),
+        ("ny olona sy ny fiteny dia amin izany tamin ho ary", "mg"),
+        ("ang mga tawo og nga kini usa gyud ka dili kay adunay", "ceb"),
+        ("wong akeh lan ing kang iku saka kanthi ora wis teka", "jv"),
+        ("jalma rea jeung dina anu teu ieu tina henteu oge datang", "su"),
+        ("odamlar kop va bu bilan uchun ham emas lekin edi davlat", "uz"),
+        ("adamlar kop we bu bilen ucin hem dal bolan yaly diyip", "tk"),
+        ("de minsken wolle it dat net mar ek foar wurde hawwe", "fy"),
+        ("folk vilja og tala ekki sem hann hefur mjog var enn", "is"),
+        ("moun yo nan peyi a ak pou li te sa ki yon nou", "ht"),
+        ("tha daoine ann gun obair airson chan anns bha aig sin", "gd"),
+        ("tud zo hag eo ar yezh en ur gant evit ket bet", "br"),
+        ("vanhu vazhinji uye zvakare asi iyi kana uku vose", "sn"),
+        ("anthu ambiri ndi komanso ngati chifukwa kwambiri zimene", "ny"),
+        # script rules, incl. ordering within families
+        ("دا پښتو ژبه ده ټول خلک ئې وايي ډېره ښه ده", "ps"),
+        ("هيءَ سنڌي ٻولي آهي ڄاڻ ۽ ڳالهه ٻولهه جي ٻولي", "sd"),
+        ("بۇ ئۇيغۇر تىلى بولۇپ ئۈچۈن ياخشى", "ug"),
+        ("ئەمە زمانی کوردیيە ڕاست و دڵسۆز و جوانە بێگومان", "ku"),
+        ("ин забони тоҷикӣ аст ва хеле зебоӯст бе гумон", "tg"),
+        ("бу татар теле һәм бик матур җыр яңгырый", "tt"),
+        ("был башҡорт теле һәм бик матур ҙур ил", "ba"),
+        ("ку чӑваш чӗлхи пулать питӗ илемлӗ ӳкерчӗк", "cv"),
+        ("гэта беларуская мова і яна вельмі прыгожая ў свеце", "be"),
+        ("ово је српски језик ћирилицом и веома је леп ђак", "sr"),
+        ("ова е македонски јазик со ѕвезда и убава ќерка и ѓерѓеф", "mk"),
+        ("tiếng việt là ngôn ngữ của người việt nam", "vi"),
+        ("bu azərbaycan dilidir və çox gözəldir əlbəttə", "az"),
+        ("ދިވެހިބަހަކީ ރާއްޖޭގެ ރަސްމީ ބަހެވެ", "dv"),
+        ("ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ ᎤᏬᏂᎯᏍᏗ", "chr"),
+        ("ᐃᓄᒃᑎᑐᑦ ᐅᖃᐅᓯᖅ ᐱᐅᔪᖅ", "iu"),
+        ("এয়া অসমীয়া ভাষা ৰং আৰু ৱাণী", "as"),
+    ]
+    pdf = pd.DataFrame({"t": [t for t, _ in cases]})
+    preds = [
+        r.p for r in spark.createDataFrame(pdf)
+        .select(X.lang_predict(F.col("t")).alias("p")).collect()
+    ]
+    expected = [lang for _, lang in cases]
+    mism = [
+        (t[:30], want, got)
+        for (t, want), got in zip(cases, preds) if want != got
+    ]
+    assert not mism, mism
