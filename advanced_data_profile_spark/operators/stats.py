@@ -279,7 +279,11 @@ def profile(
     # exact distinct counts: dedicated scan, melted and joined back.
     # Kept OUT of the main agg to avoid the EXPAND rewrite (docstring
     # above); this agg has only count_distincts so the expand carries
-    # no heavy expressions.
+    # no heavy expressions. Round-5 A/B vs a melt-shuffle variant
+    # (explode to (column, value) rows, count_distinct per column — no
+    # EXPAND but shuffles n_rows x n_cols rows): 3.242s vs 3.299s at
+    # sf0.1 x 32 cores, and the melt's distinct is over string casts.
+    # The dedicated scan stays.
     keys = [group_by] if group_by else []
     dagg = (df.groupBy(*keys) if keys else df).agg(
         *[F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in columns]

@@ -575,3 +575,50 @@ def global_uniqueness_check(
         "passed": n_violations == 0,
         "elapsed_sec": round(time.time() - t0, 3),
     }
+
+
+def sketch_drift_between_runs(
+    spark: SparkSession,
+    base_output_dir: str,
+    cur_output_dir: str,
+    ks_threshold: float = 0.15,
+    psi_threshold: float = 0.25,
+    base_parts: list[str] | None = None,
+    cur_parts: list[str] | None = None,
+    write: bool = True,
+):
+    """Snapshot-over-snapshot drift from two pipeline runs' PERSISTED
+    sketch state ({output_dir}/profile_sketches, written when
+    PipelineConfig.persist_sketches is on): KS/PSI per column via
+    operators.drift.drift_from_sketches — a merge over the tiny stored
+    sketch relations, no raw-data rescan, no bin pre-pinning, and any
+    partition subsets comparable after the fact (base_parts/cur_parts).
+
+    Complements the in-run histogram drift (_drift above), which scores
+    partitions against a baseline partition WITHIN a run; this scores
+    one run's data against another run's — the drift-vs-last-week
+    question — at metadata cost. Writes drift_verdicts-shaped rows
+    (part_id='__snapshot__') to {cur_output_dir}/sketch_drift_results
+    and returns (verdicts_df, scores_df)."""
+    from advanced_data_profile_spark.operators.drift import (
+        drift_from_stored_state,
+        drift_verdicts,
+    )
+
+    scores = drift_from_stored_state(
+        spark,
+        f"{base_output_dir}/profile_sketches",
+        f"{cur_output_dir}/profile_sketches",
+        base_parts=base_parts,
+        cur_parts=cur_parts,
+    ).persist()
+    dv = drift_verdicts(
+        scores.withColumn("grp", F.lit("__snapshot__")),
+        ks_threshold,
+        psi_threshold,
+    )
+    if write:
+        dv.coalesce(1).write.mode("overwrite").parquet(
+            f"{cur_output_dir}/sketch_drift_results"
+        )
+    return dv, scores

@@ -207,3 +207,35 @@ def test_sketch_drift_column_handling(spark):
     assert set(rows) == {"shared", "const"}
     assert rows["const"].ks == 0.0 and abs(rows["const"].psi) < 1e-9
     assert rows["shared"].ks < 0.05
+
+
+def test_sketch_drift_between_runs_pipeline_surface(spark, tmp_path):
+    # the run-level wiring: two pipeline-shaped sketch-state dirs
+    # (part_id, column, kll, hll), verdicts written under the current
+    # run's output dir in drift_verdicts shape
+    from advanced_data_profile_spark.plans.pipeline import (
+        sketch_drift_between_runs,
+    )
+
+    rng = np.random.default_rng(21)
+    base_out = str(tmp_path / "run1")
+    cur_out = str(tmp_path / "run2")
+    hll = F.hll_sketch_agg(F.col("x").cast("string")).alias("hll")
+    for out, arr in ((base_out, rng.normal(0, 1, 8000)),
+                     (cur_out, rng.normal(3.0, 1, 8000))):
+        pdf = pd.DataFrame({"x": arr, "part_id": np.arange(len(arr)) % 4})
+        sk = spark.createDataFrame(pdf).groupBy("part_id").agg(
+            F.kll_sketch_agg_double(F.col("x"), F.lit(200)).alias("kll"), hll
+        ).select(F.col("part_id").cast("string").alias("part_id"),
+                 F.lit("w").alias("column"), "kll", "hll")
+        sk.write.partitionBy("part_id").parquet(f"{out}/profile_sketches")
+
+    dv, scores = sketch_drift_between_runs(spark, base_out, cur_out)
+    rows = dv.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.part_id == "__snapshot__" and r.constraint == "drift_w"
+    assert r.passed is False and r.ks > 0.5
+    stored = spark.read.parquet(f"{cur_out}/sketch_drift_results").collect()
+    assert len(stored) == 1 and stored[0].passed is False
+    scores.unpersist()
