@@ -192,6 +192,21 @@ def render_html(report: dict) -> str:
         )
         wf = t.get("word_frequencies") or []
         if wf:
+            # rasterized word cloud (PNG data-URI, the reference's
+            # Profiler.py:812-851 artifact) above the exact-count table;
+            # rendered driver-side from the aggregated rows only
+            from advanced_data_profile_spark.plans.raster import (
+                png_data_uri,
+                render_word_cloud,
+            )
+
+            cloud = render_word_cloud(
+                [(w.get("word"), w.get("cnt", 0)) for w in wf]
+            )
+            parts.append(
+                f'<div><img src="{png_data_uri(cloud)}" '
+                f'alt="word cloud — {_esc(col)}"></div>'
+            )
             parts.append(_table(
                 ["word", "count"],
                 [[_esc(w.get("word")), _fmt(w.get("cnt"))] for w in wf],

@@ -160,4 +160,10 @@ def profile_table_report(
     from advanced_data_profile_spark.plans.figures import figures_for_report
 
     report["figures"] = figures_for_report(report)
+    # rasterized counterparts (PNG data-URIs; reference exports its
+    # figures as images — Profiler.py word-cloud PNG + plotly image
+    # export). Pure-stdlib encoder; built from the same trace data.
+    from advanced_data_profile_spark.plans.raster import rasterize_figures
+
+    report["figure_images"] = rasterize_figures(report["figures"])
     return report
