@@ -456,6 +456,84 @@ def _oracle_chunk_slice_documents() -> str:
     """
 
 
+def q_ngram_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition signals (operators/quality.py:
+    ngram_repetition): per document, the char-coverage of the most
+    frequent {2,3,4}-gram and of all duplicated {5..10}-grams — the
+    §A1.1 repetition half that line-level rules can't see. One explode
+    + one (id, n, gram) shuffle for all nine signals; the DuckDB oracle
+    replays tokenize -> windowed grams -> struct-max/dup-sum with the
+    identical deterministic tie-break, value-hashing every fraction."""
+    from advanced_data_profile_spark.operators.quality import ngram_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_repetition(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _oracle_ngram_repetition_documents() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import sql_norm
+
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    tops = ", ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round((top.cnt * top.gc)"
+        f" / tc, 6) END), 0.0) AS top_{n}_char_frac"
+        for n in top_ns
+    )
+    dups = ", ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(dup_chars / tc, 6)"
+        f" END), 0.0) AS dup_{n}_char_frac"
+        for n in dup_ns
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {sql_norm('text')} AS __norm FROM documents
+        ),
+        base AS (
+          SELECT doc_id,
+                 string_split(__norm, ' ') AS toks,
+                 len(string_split(__norm, ' '))::BIGINT AS nt,
+                 length(replace(__norm, ' ', ''))::BIGINT AS tc
+          FROM d WHERE __norm <> ''
+        ),
+        ns AS (SELECT unnest({list(all_ns)}) AS n),
+        gi AS (
+          SELECT doc_id, tc, n, toks,
+                 unnest(range(1::BIGINT, (nt - n + 2)::BIGINT)) AS i
+          FROM base CROSS JOIN ns
+          WHERE nt >= n
+        ),
+        g AS (
+          SELECT doc_id, tc, n,
+                 array_to_string(toks[i:i + n - 1], ' ') AS gram
+          FROM gi
+        ),
+        counts AS (
+          SELECT doc_id, tc, n, gram, count(*) AS cnt FROM g GROUP BY ALL
+        ),
+        per AS (
+          SELECT doc_id, tc, n,
+                 max({{'cnt': cnt,
+                      'gc': (length(gram) - (n - 1))::BIGINT,
+                      'gram': gram}}) AS top,
+                 sum(CASE WHEN cnt > 1
+                     THEN cnt * (length(gram) - (n - 1)) ELSE 0 END
+                 )::BIGINT AS dup_chars
+          FROM counts GROUP BY ALL
+        ),
+        wide AS (
+          SELECT doc_id, {tops}, {dups} FROM per GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               {', '.join(f'coalesce(w.top_{n}_char_frac, 0.0) AS top_{n}_char_frac' for n in top_ns)},
+               {', '.join(f'coalesce(w.dup_{n}_char_frac, 0.0) AS dup_{n}_char_frac' for n in dup_ns)}
+        FROM (SELECT DISTINCT doc_id FROM base) b
+        LEFT JOIN wide w USING (doc_id)
+    """
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate summary over documents (dedup: exact tier)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2120,6 +2198,8 @@ _EXTENDED_NAMES = [
                               # family contract-covered by histogram_quantity
     "sample_per_group_events",  # rotated out r5: same md5-keyed hash filters
                               # as sample_fraction/mixture_sample (both stay)
+    "ngram_repetition_documents",  # round-5 add; quality family is
+                              # contract-covered by quality_filter
 ]
 
 
@@ -2191,6 +2271,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_keep": q_dedup_corpus_keep,
         "datepart_histogram": q_datepart_histogram,
         "sample_per_group_events": q_sample_per_group_events,
+        "ngram_repetition_documents": q_ngram_repetition_documents,
     }
 
 
@@ -2391,6 +2472,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "quality_keep_rate": _oracle_quality_keep_rate(),
         "sample_fraction_documents": _oracle_sample_fraction_documents(),
         "sample_per_group_events": _oracle_sample_per_group_events(),
+        "ngram_repetition_documents": _oracle_ngram_repetition_documents(),
         "mixture_sample_documents": _oracle_mixture_sample_documents(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),

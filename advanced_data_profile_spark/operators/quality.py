@@ -158,3 +158,133 @@ def keep_rate(df: DataFrame, text_col: str, group_by: str | None = None,
         ],
     ]
     return df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)
+
+
+# Gopher §A1.1 repetition thresholds: max allowed fraction of
+# characters in the most-frequent n-gram (top) / in all n-grams
+# occurring more than once (dup)
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher's n-gram repetition signals — the half of §A1.1 the
+    line-level rules in quality_rules can't see: per document,
+    - top_{n}_char_frac: fraction of (normalized, space-free)
+      characters covered by the single most frequent n-gram
+      (count x its char length / total chars), for n in top_ns;
+    - dup_{n}_char_frac: fraction covered by ALL n-grams occurring
+      more than once, for n in dup_ns.
+    Most-frequent ties break deterministically by (count, char length,
+    gram) struct max — the same rule the DuckDB oracle applies.
+    Documents with no tokens are excluded; a document shorter than n
+    tokens scores 0.0 for that n.
+
+    Scale shape: ONE explode emits every (n, gram) window for all
+    requested n (sum_n (len-n+1) rows per doc), then ONE shuffle keyed
+    (id, n, gram) -> per-(id, n) aggregation -> per-id conditional agg.
+    No quadratic per-row HOF self-joins (transform(grams, g ->
+    count_in(grams, g)) is O(len^2) per document and was rejected);
+    cost is linear in corpus token count, independent of document
+    length skew."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    t = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("id"), t.alias("__toks"))
+        .withColumn("__nt", F.size("__toks"))
+        .where(F.col("__nt") > 0)
+        .withColumn(
+            "__tc",
+            F.aggregate(
+                "__toks", F.lit(0).cast("bigint"),
+                lambda a, x: a + F.length(x),
+            ),
+        )
+    )
+    def _gram_struct(n: int):
+        # closure factory, NOT a defaulted lambda: pyspark dispatches
+        # HOF lambdas on arity, so `lambda i, _n=n:` would be treated
+        # as an (element, index) lambda and the index would overwrite n
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(F.col("__toks"), i, n), " ").alias("gram"),
+        )
+
+    gram_arrays = [
+        F.when(
+            F.col("__nt") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.col("__nt") - n + 1, F.lit(1))),
+                _gram_struct(n),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        for n in all_ns
+    ]
+    # explode_OUTER: a document shorter than every requested n emits no
+    # grams at all, but must still appear in the output (scoring 0.0
+    # everywhere) — its null-n row survives the shuffle and the final
+    # conditional aggs ignore it
+    g = base.select(
+        "id", "__tc", F.explode_outer(F.concat(*gram_arrays)).alias("g")
+    ).select("id", "__tc", "g.n", "g.gram")
+    counts = g.groupBy("id", "__tc", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gchars = (F.length(F.col("gram")) - (F.col("n") - 1)).cast("bigint")
+    per = counts.groupBy("id", "__tc", "n").agg(
+        F.max(F.struct(F.col("cnt"), gchars.alias("gc"), F.col("gram"))).alias("top"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * gchars).otherwise(0)).alias(
+            "__dup_chars"
+        ),
+    )
+    top_frac = F.round(F.col("top.cnt") * F.col("top.gc") / F.col("__tc"), 6)
+    dup_frac = F.round(F.col("__dup_chars") / F.col("__tc"), 6)
+    scored = per.select("id", "n", top_frac.alias("tf"), dup_frac.alias("df_"))
+    zero = F.lit(0.0)
+    return scored.groupBy("id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("tf"))), zero
+            ).alias(f"top_{n}_char_frac")
+            for n in top_ns
+        ],
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("df_"))), zero
+            ).alias(f"dup_{n}_char_frac")
+            for n in dup_ns
+        ],
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_max: dict[int, float] | None = None,
+    dup_max: dict[int, float] | None = None,
+) -> DataFrame:
+    """ngram_repetition + the Gopher thresholds: per-document
+    repetition_keep boolean (every signal within bound) alongside the
+    fractions — composes with quality_filter's keep for the full
+    Gopher rule set."""
+    top_max = top_max or GOPHER_TOP_NGRAM_MAX
+    dup_max = dup_max or GOPHER_DUP_NGRAM_MAX
+    rep = ngram_repetition(
+        df, id_col, text_col,
+        top_ns=tuple(sorted(top_max)), dup_ns=tuple(sorted(dup_max)),
+    )
+    keep = None
+    for n, mx in sorted(top_max.items()):
+        c = F.col(f"top_{n}_char_frac") <= mx
+        keep = c if keep is None else (keep & c)
+    for n, mx in sorted(dup_max.items()):
+        c = F.col(f"dup_{n}_char_frac") <= mx
+        keep = keep & c
+    return rep.withColumn("repetition_keep", keep)

@@ -123,3 +123,102 @@ def test_quality_invariants_random_text(spark):
         want_failed = sorted(c for c in rule_cols if not d[c])
         got = d["failed_rules"].split(",") if d["failed_rules"] else []
         assert got == want_failed
+
+
+# ------------------------------------------------------- n-gram repetition
+
+
+def _py_repetition(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Streaming pure-Python reference of ngram_repetition's contract
+    (normalize -> whitespace tokens -> char-coverage fractions)."""
+    import re
+    from collections import Counter
+
+    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    toks = norm.split(" ") if norm else []
+    if not toks:
+        return None
+    tc = sum(len(t) for t in toks)
+    out = {}
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            cnt = Counter(grams)
+            if not grams:
+                out[f"{kind}_{n}_char_frac"] = 0.0
+                continue
+            if kind == "top":
+                best = max(cnt.items(), key=lambda kv: (
+                    kv[1], len(kv[0]) - (n - 1), kv[0]
+                ))
+                out[f"top_{n}_char_frac"] = round(
+                    best[1] * (len(best[0]) - (n - 1)) / tc, 6
+                )
+            else:
+                dup_chars = sum(
+                    c * (len(g) - (n - 1)) for g, c in cnt.items() if c > 1
+                )
+                out[f"dup_{n}_char_frac"] = round(dup_chars / tc, 6)
+    return out
+
+
+def test_ngram_repetition_hand_case(spark):
+    from advanced_data_profile_spark.operators.quality import ngram_repetition
+
+    # "ab cd ab cd ef": bigram "ab cd" occurs 2x of 4 bigrams;
+    # chars: ab+cd+ab+cd+ef = 10; top-2 coverage = 2*4/10 = 0.8
+    df = spark.createDataFrame(
+        [(1, "ab cd ab cd ef"), (2, "all tokens unique here now")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in ngram_repetition(
+        df, "doc_id", "text", top_ns=(2,), dup_ns=(2,)
+    ).collect()}
+    assert out[1].top_2_char_frac == 0.8
+    assert out[1].dup_2_char_frac == 0.8
+    # all bigrams unique: top coverage = the longest bigram's chars
+    # over total chars ("tokens unique" = 12 of 22), dup coverage = 0
+    assert out[2].top_2_char_frac == round(12 / 22, 6)
+    assert out[2].dup_2_char_frac == 0.0
+
+
+def test_ngram_repetition_matches_python_reference(spark):
+    import random
+
+    from advanced_data_profile_spark.operators.quality import ngram_repetition
+
+    rng = random.Random(17)
+    words = ["spam", "ham", "eggs", "foo", "bar", "baz", "qux"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 60)))
+        for _ in range(40)
+    ] + ["repeat me " * 30, "x", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.id: r.asDict() for r in ngram_repetition(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        want = _py_repetition(t)
+        if want is None:
+            assert i not in got  # empty docs excluded
+            continue
+        g = got[i]
+        for k, v in want.items():
+            assert abs(g[k] - v) < 1e-9, (i, k, g[k], v)
+
+
+def test_repetition_filter_thresholds(spark):
+    from advanced_data_profile_spark.operators.quality import repetition_filter
+
+    # NB: Gopher's top-n-gram thresholds presuppose web-page-length
+    # documents (a count-1 n-gram trivially covers >16% of a 15-word
+    # doc) — which is why repetition_filter composes with
+    # quality_filter's min_words gate rather than replacing it
+    varied = " ".join(f"word{i} item{i * 7 % 97}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, "the same phrase " * 40), (2, varied)],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in repetition_filter(df, "doc_id", "text").collect()}
+    assert out[1].repetition_keep is False
+    assert out[2].repetition_keep is True
