@@ -43,6 +43,15 @@ def main() -> None:
                          "counts and --global-unique becomes a shuffle-free "
                          "per-bucket self-check instead of a full-table "
                          "rescan (the scale path; see plans/id_index.py)")
+    ap.add_argument("--id-index-compact", action="store_true",
+                    help="after the run, compact the --id-index table "
+                         "(keep latest per (key, partition)) so the check "
+                         "stays O(distinct keys) across many runs")
+    ap.add_argument("--sketch-drift-baseline", default=None, metavar="DIR",
+                    help="a PRIOR run's output dir: score this run's data "
+                         "against it from the two runs' persisted sketch "
+                         "state alone (no rescan; writes "
+                         "<output>/sketch_drift_results)")
     ap.add_argument("--report", default=None, help="also write an assembled JSON report")
     ap.add_argument("--html-report", default=None,
                     help="also render the self-contained gzip HTML report")
@@ -74,6 +83,34 @@ def main() -> None:
         spark, args.images, args.output, resume=not args.no_resume, cfg=cfg
     )
     print(json.dumps(summary))
+
+    if args.id_index_compact:
+        if not args.id_index:
+            ap.error("--id-index-compact requires --id-index")
+        from advanced_data_profile_spark.plans.id_index import index_compact
+
+        n = index_compact(
+            spark, args.id_index, f"{args.output}/_id_index_staging"
+        )
+        print(json.dumps({"id_index_compacted_rows": n}))
+
+    if args.sketch_drift_baseline:
+        from advanced_data_profile_spark.plans.pipeline import (
+            sketch_drift_between_runs,
+        )
+
+        dv, scores = sketch_drift_between_runs(
+            spark, args.sketch_drift_baseline, args.output
+        )
+        rows = dv.collect()
+        scores.unpersist()
+        print(json.dumps({
+            "sketch_drift": [
+                {"constraint": r.constraint, "passed": bool(r.passed),
+                 "ks": r.ks, "psi": r.psi}
+                for r in rows
+            ]
+        }))
 
     if args.report or args.html_report:
         report = assemble_report(spark, args.output)

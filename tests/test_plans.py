@@ -300,3 +300,64 @@ def test_bucketed_join_is_shuffle_free(spark, images_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
         for t in ("bkt_cand", "bkt_ref"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_slice_chunks_plan_single_window_shuffle(spark):
+    """slice_chunks must be ONE group-keyed window shuffle end to end:
+    the token payload rides carry_cols through that single Exchange —
+    no join back to the documents (a second shuffle at corpus scale)
+    and no Python."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.packing import slice_chunks
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "grp": ["a", "b"] * 10, "doc_id": range(20),
+        "toks": [["x", "y", "z"]] * 20,
+    }))
+    plan = _plan(slice_chunks(df, "doc_id", "toks", 2, group_col="grp"))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_drift_from_sketches_plan_merges_only(spark):
+    """drift_from_sketches operates on the sketch relation only: the
+    plan aggregates/merges sketches and joins the two tiny per-column
+    sides — it must never contain a Python stage, and its only scans
+    are of the sketch inputs."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.drift import drift_from_sketches
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "x": [float(i % 13) for i in range(200)],
+        "part_id": [i % 4 for i in range(200)],
+    }))
+    sk = df.groupBy("part_id").agg(
+        F.kll_sketch_agg_double("x", F.lit(200)).alias("kll")
+    ).select("part_id", F.lit("x").alias("column"), "kll")
+    plan = _plan(drift_from_sketches(sk, sk))
+    assert "kll_merge_agg_double" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_ngram_repetition_plan_linear_shuffles(spark):
+    """ngram_repetition is explode -> keyed aggregations: a bounded
+    number of Exchanges (gram counts, per-(id, n), per-id), no joins,
+    no Python, no per-row quadratic HOF self-scans (the explode row
+    count is linear in corpus tokens)."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.quality import ngram_repetition
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(10), "text": ["a b c d e f g"] * 10,
+    }))
+    plan = _plan(ngram_repetition(df, "doc_id", "text"))
+    assert plan.count("Exchange") <= 3
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Generate" in plan  # the single explode
