@@ -247,3 +247,94 @@ def run_incremental_demo(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_sketch_writer(output_dir: str, columns: list[str] | None = None):
+    """foreachBatch writer emitting the SAME per-(partition, column)
+    KLL/HLL sketch state the batch pipeline persists (stats.py
+    SKETCH_FIELDS), one batch_id partition per micro-batch with dynamic
+    overwrite — replay-idempotent like foreach_batch_writer. Because
+    the state is mergeable, a stream processed in ANY batching yields
+    state that finalizes to the same rollups as one batch pass."""
+    from advanced_data_profile_spark.operators.stats import (
+        SKIP_PROFILE_TYPES,
+        sketch_state_struct,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dtypes = {f.name: f.dataType for f in batch_df.schema.fields}
+        cols = columns or [
+            f.name for f in batch_df.schema.fields
+            if not isinstance(f.dataType, SKIP_PROFILE_TYPES)
+            and f.name != "part_id"
+        ]
+        agg = batch_df.groupBy("part_id").agg(
+            *[sketch_state_struct(c, dtypes[c]) for c in cols]
+        )
+        melted = agg.select(
+            "part_id",
+            F.explode(F.array(*[F.col(f"__sk_{c}") for c in cols])).alias("s"),
+        ).select("part_id", "s.column", "s.kll", "s.hll")
+        (
+            melted.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/profile_sketch_batches")
+        )
+
+    return write_batch
+
+
+def run_stream_sketches(
+    spark: SparkSession,
+    images_path: str,
+    output_dir: str,
+    columns: list[str] | None = None,
+    max_files: int = 2,
+) -> None:
+    """Drive the stream through streaming_sketch_writer to completion
+    over the existing files (durable checkpoint, resumes from the last
+    committed batch)."""
+    stream = stream_images(spark, images_path, max_files)
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_sketch_writer(output_dir, columns)
+        )
+        .option("checkpointLocation", f"{output_dir}/_sketch_checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def finalize_stream_sketches(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Merge the per-batch sketch state into the batch pipeline's
+    profile_sketches layout ((part_id, column, kll, hll), partitioned
+    by part_id): KLL merge + HLL union per (partition, column) across
+    batches. After this, every stored-state consumer — table rollups
+    (sketches.rollup_stored_profile_sketches), snapshot drift
+    (pipeline.sketch_drift_between_runs) — works identically on
+    stream-built and batch-built state; the merge is over the tiny
+    sketch relation only. String columns keep NULL kll (merging zero
+    non-null inputs would yield an empty buffer the quantile getter
+    rejects)."""
+    b = spark.read.parquet(f"{output_dir}/profile_sketch_batches")
+    merged = b.groupBy("part_id", "column").agg(
+        F.count("kll").alias("__nk"),
+        F.kll_merge_agg_double("kll").alias("__kll"),
+        F.hll_union_agg("hll").alias("hll"),
+    ).select(
+        "part_id", "column",
+        F.when(F.col("__nk") > 0, F.col("__kll")).otherwise(
+            F.lit(None).cast("binary")
+        ).alias("kll"),
+        "hll",
+    )
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_id").parquet(f"{output_dir}/profile_sketches")
+    out = spark.read.parquet(f"{output_dir}/profile_sketches")
+    return out.withColumn("part_id", F.col("part_id").cast("string"))

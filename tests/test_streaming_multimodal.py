@@ -478,3 +478,60 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = sorted((r.image_id, r.payload) for r in rows)
     # first sighting per key survives (all dups here fall within 1h)
     assert got == [("a", 0), ("b", 2), ("c", 3), ("d", 6)]
+
+
+def test_streaming_sketch_state_merges_with_batch_consumers(
+    spark, images_path, tmp_path
+):
+    """Streamed sketch state is the SAME mergeable state the batch
+    pipeline persists: after finalize, (a) the stored-state rollup
+    gives distinct estimates within HLL error of exact, and (b)
+    sketch drift between a batch pipeline run and the streamed state
+    over the IDENTICAL files scores ~zero on every column — the
+    cross-path consistency that makes stream- and batch-built
+    snapshots comparable."""
+    from advanced_data_profile_spark.operators.sketches import (
+        rollup_stored_profile_sketches,
+    )
+    from advanced_data_profile_spark.plans.pipeline import (
+        run_pipeline,
+        sketch_drift_between_runs,
+    )
+    from advanced_data_profile_spark.streaming.incremental import (
+        finalize_stream_sketches,
+        run_stream_sketches,
+    )
+
+    stream_out = str(tmp_path / "stream_sk")
+    run_stream_sketches(spark, images_path, stream_out, max_files=2)
+    batches = spark.read.parquet(f"{stream_out}/profile_sketch_batches")
+    assert batches.select("batch_id").distinct().count() >= 2  # multi-batch
+    merged = finalize_stream_sketches(spark, stream_out)
+    assert set(merged.columns) == {"part_id", "column", "kll", "hll"}
+
+    # (a) rollup over streamed state: distinct estimate ~ exact
+    roll = {
+        r.column: r
+        for r in rollup_stored_profile_sketches(
+            spark, f"{stream_out}/profile_sketches"
+        ).collect()
+    }
+    imgs = read_images(spark, images_path)
+    exact = imgs.agg(
+        F.count_distinct("image_id").alias("ids"),
+        F.count_distinct("w").alias("ws"),
+    ).collect()[0]
+    assert abs(roll["image_id"].n_distinct_est - exact.ids) / exact.ids < 0.05
+    assert roll["w"].n_distinct_est == exact.ws  # tiny cardinality: exact
+    assert roll["w"].p50 is not None  # numeric column carries KLL state
+
+    # (b) batch-pipeline state vs streamed state over the same files:
+    # no drift on any column
+    batch_out = str(tmp_path / "batch_sk")
+    run_pipeline(spark, images_path, batch_out)
+    dv, scores = sketch_drift_between_runs(spark, batch_out, stream_out)
+    rows = scores.collect()
+    scores.unpersist()
+    assert len(rows) >= 3  # w, h, phash at least
+    for r in rows:
+        assert r.ks <= 0.02 and abs(r.psi) <= 0.01, r
