@@ -534,6 +534,62 @@ def _oracle_ngram_repetition_documents() -> str:
     """
 
 
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination (operators/dedup.py:decontaminate;
+    GPT-3 appendix-C 13-gram discipline, here n=8 for the short
+    fixture docs): every doc sharing any word 8-gram with the
+    'benchmark' subset (doc_id % 50 == 0) is flagged with its distinct
+    overlap count. Benchmark hashes broadcast; corpus never shuffles.
+    The DuckDB oracle replays normalize -> windowed 8-grams ->
+    md5-int60 -> semi-join bit-identically."""
+    from advanced_data_profile_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, "doc_id", "text", n=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _oracle_decontaminate_documents() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import (
+        sql_md5_int60,
+        sql_norm,
+    )
+
+    ghash = sql_md5_int60("array_to_string(toks[i:i + 7], ' ')")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {sql_norm('text')} AS __norm FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, string_split(__norm, ' ') AS toks,
+                 len(string_split(__norm, ' '))::BIGINT AS nt
+          FROM d WHERE __norm <> ''
+        ),
+        gi AS (
+          SELECT doc_id, toks,
+                 unnest(range(1::BIGINT, (nt - 8 + 2)::BIGINT)) AS i
+          FROM tok WHERE nt >= 8
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, {ghash} AS ghash FROM gi
+        ),
+        banned AS (
+          SELECT DISTINCT ghash FROM g WHERE doc_id % 50 = 0
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS n_overlaps
+          FROM g JOIN banned USING (ghash) GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               coalesce(h.n_overlaps, 0)::BIGINT AS n_overlaps,
+               coalesce(h.n_overlaps, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents) a
+        LEFT JOIN hits h USING (doc_id)
+    """
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate summary over documents (dedup: exact tier)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2200,6 +2256,8 @@ _EXTENDED_NAMES = [
                               # as sample_fraction/mixture_sample (both stay)
     "ngram_repetition_documents",  # round-5 add; quality family is
                               # contract-covered by quality_filter
+    "decontaminate_documents",  # round-5 add; dedup/fingerprint family is
+                              # contract-covered by dedup_exact/near_dup
 ]
 
 
@@ -2272,6 +2330,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datepart_histogram": q_datepart_histogram,
         "sample_per_group_events": q_sample_per_group_events,
         "ngram_repetition_documents": q_ngram_repetition_documents,
+        "decontaminate_documents": q_decontaminate_documents,
     }
 
 
@@ -2473,6 +2532,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "sample_fraction_documents": _oracle_sample_fraction_documents(),
         "sample_per_group_events": _oracle_sample_per_group_events(),
         "ngram_repetition_documents": _oracle_ngram_repetition_documents(),
+        "decontaminate_documents": _oracle_decontaminate_documents(),
         "mixture_sample_documents": _oracle_mixture_sample_documents(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),

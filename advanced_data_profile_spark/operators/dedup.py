@@ -493,3 +493,74 @@ def embedding_near_dups(
     return j.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------------- decontamination
+
+def word_ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 13
+) -> DataFrame:
+    """(id, ghash) — md5-int60 hashes of every word n-gram of the
+    normalized text, DISTINCT per document. The n-gram windows come
+    from F.slice over a materialized token array (one pass, no HOF
+    capture of the normalization chain); the hash is the cross-engine
+    md5 primitive every other fingerprint here uses, so the DuckDB
+    oracle replays it bit-identically."""
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
+        .withColumn("__nt", F.size("__t"))
+        .where(F.col("__nt") >= n)
+    )
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nt") - n + 1),
+                lambda i: F.array_join(F.slice(F.col("__t"), i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    return grams.select("id", md5_int60(F.col("gram")).alias("ghash")).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Training-set decontamination (the GPT-3 appendix-C discipline,
+    Brown et al. 2020 — public method): flag every corpus document
+    sharing ANY word n-gram with the benchmark/eval set, so evaluation
+    data can be struck from training data. Returns one row per corpus
+    document: (id, n_overlaps = distinct benchmark n-grams hit,
+    contaminated).
+
+    Scale shape: the benchmark side is the SMALL side by construction
+    (eval sets are thousands of docs; the corpus is the 100 TB side) —
+    its distinct gram hashes are broadcast, the corpus grams
+    semi-joined without shuffling corpus data, and only the tiny hit
+    relation is broadcast back onto the corpus row set. Documents
+    shorter than n tokens have no n-grams and are clean by
+    definition."""
+    bench_col = bench_text_col or text_col
+    banned = (
+        word_ngram_hashes(benchmark, id_col, bench_col, n)
+        .select("ghash").distinct()
+    )
+    grams = word_ngram_hashes(corpus, id_col, text_col, n)
+    hits = (
+        grams.join(F.broadcast(banned), "ghash")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+    out = corpus.select(F.col(id_col).alias("id")).join(
+        F.broadcast(hits), "id", "left"
+    )
+    return out.select(
+        "id",
+        F.coalesce("n_overlaps", F.lit(0)).cast("bigint").alias("n_overlaps"),
+        (F.coalesce("n_overlaps", F.lit(0)) > 0).alias("contaminated"),
+    )

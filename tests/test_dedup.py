@@ -266,3 +266,49 @@ def test_dup_clusters_long_chain_converges_logarithmically(spark):
     star = {n for n in got2 if n < 300}
     assert {got2[n] for n in star} == {100}
     assert got2[500] == 500 and got2[501] == 500
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc containing a benchmark passage verbatim (>= n
+    shared tokens) is flagged; clean docs are not; docs shorter than n
+    tokens are clean by definition; the benchmark side never needs to
+    be part of the corpus."""
+    from advanced_data_profile_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy "
+                "dog tonight and more trailing words"),
+            (2, "a completely unrelated document about distributed "
+                "query engines and shuffle strategies"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in decontaminate(
+        corpus, bench, "doc_id", "text", n=8
+    ).collect()}
+    assert out[1].contaminated is True and out[1].n_overlaps >= 1
+    assert out[2].contaminated is False and out[2].n_overlaps == 0
+    assert out[3].contaminated is False
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """Scale contract: the benchmark hash set and the hit relation are
+    broadcast — the corpus side must not shuffle for the join (its only
+    Exchange is the per-doc distinct/groupBy on the gram side)."""
+    from advanced_data_profile_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(0, "a b c d e f g h")],
+                                  "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                                   "doc_id long, text string")
+    plan = decontaminate(
+        corpus, bench, "doc_id", "text", n=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
