@@ -339,18 +339,26 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur_sk = sk.where(F.col("half") == "b").drop("half")
     est = drift_from_sketches(base_sk, cur_sk).collect()[0]
 
-    # exact two-sample KS: global sort/cumsum over distinct values
+    # exact two-sample KS: global sort/cumsum over distinct values.
+    # Totals come from unbounded windows over the SAME tiny counts
+    # relation, so max-gap + totals are ONE job/collect (the totals
+    # feed the PSI mass normalization below too)
     counts = ev2.groupBy("value").agg(
         F.sum((F.col("half") == "a").cast("long")).alias("ca"),
         F.sum((F.col("half") == "b").cast("long")).alias("cb"),
     )
-    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).collect()[0]
     wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    na_c, nb_c = F.sum("ca").over(wall), F.sum("cb").over(wall)
     gap = F.abs(
-        F.sum("ca").over(wc) / F.lit(float(tot.na))
-        - F.sum("cb").over(wc) / F.lit(float(tot.nb))
+        F.sum("ca").over(wc) / na_c - F.sum("cb").over(wc) / nb_c
     )
-    ks_exact = counts.select(gap.alias("g")).agg(F.max("g")).collect()[0][0]
+    tot = counts.select(
+        gap.alias("g"), na_c.alias("na"), nb_c.alias("nb")
+    ).agg(
+        F.max("g").alias("g"), F.first("na").alias("na"), F.first("nb").alias("nb")
+    ).collect()[0]
+    ks_exact = tot.g
 
     # exact PSI on the sketch-derived edges: rebuild the same edges
     # (merged BASELINE sketch quantiles at k/10), then exact bin masses
@@ -587,6 +595,54 @@ def _oracle_decontaminate_documents() -> str:
                coalesce(h.n_overlaps, 0) > 0 AS contaminated
         FROM (SELECT doc_id FROM documents) a
         LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def q_curate_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed END-TO-END curation funnel a training-data pipeline
+    runs (operators/curation.py): Gopher/C4 quality rules + n-gram
+    repetition thresholds + benchmark decontamination (doc_id % 50
+    'benchmark', 8-grams) + near-dup canonical-member dedup, one keep
+    verdict per stage per document plus the final AND. The oracle
+    replays all four stages from their already-oracled SQL fragments
+    and value-hashes every boolean."""
+    from advanced_data_profile_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return curate_corpus(
+        docs, "doc_id", "text", benchmark=bench, decon_n=8
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _oracle_curate_corpus_documents() -> str:
+    from advanced_data_profile_spark.operators.quality import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+    )
+
+    rep_cond = " AND ".join(
+        [f"top_{n}_char_frac <= {mx}" for n, mx in sorted(GOPHER_TOP_NGRAM_MAX.items())]
+        + [f"dup_{n}_char_frac <= {mx}" for n, mx in sorted(GOPHER_DUP_NGRAM_MAX.items())]
+    )
+    return f"""
+        SELECT d.doc_id,
+               coalesce(q.keep, FALSE) AS keep_quality,
+               coalesce(r.keep_repetition, FALSE) AS keep_repetition,
+               coalesce(NOT c.contaminated, FALSE) AS keep_decontamination,
+               (k.doc_id IS NOT NULL) AS keep_dedup,
+               (coalesce(q.keep, FALSE)
+                AND coalesce(r.keep_repetition, FALSE)
+                AND coalesce(NOT c.contaminated, FALSE)
+                AND k.doc_id IS NOT NULL) AS keep_final
+        FROM documents d
+        LEFT JOIN ({_oracle_quality_filter()}) q ON q.id = d.doc_id
+        LEFT JOIN (
+          SELECT doc_id, ({rep_cond}) AS keep_repetition
+          FROM ({_oracle_ngram_repetition_documents()}) rr
+        ) r ON r.doc_id = d.doc_id
+        LEFT JOIN ({_oracle_decontaminate_documents()}) c ON c.doc_id = d.doc_id
+        LEFT JOIN ({_oracle_dedup_corpus_keep()}) k ON k.doc_id = d.doc_id
     """
 
 
@@ -2258,6 +2314,8 @@ _EXTENDED_NAMES = [
                               # contract-covered by quality_filter
     "decontaminate_documents",  # round-5 add; dedup/fingerprint family is
                               # contract-covered by dedup_exact/near_dup
+    "curate_corpus_documents",  # round-5 add; composition of four already-
+                              # oracled stages (quality/repetition/decon/dedup)
 ]
 
 
@@ -2331,6 +2389,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group_events": q_sample_per_group_events,
         "ngram_repetition_documents": q_ngram_repetition_documents,
         "decontaminate_documents": q_decontaminate_documents,
+        "curate_corpus_documents": q_curate_corpus_documents,
     }
 
 
@@ -2533,6 +2592,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "sample_per_group_events": _oracle_sample_per_group_events(),
         "ngram_repetition_documents": _oracle_ngram_repetition_documents(),
         "decontaminate_documents": _oracle_decontaminate_documents(),
+        "curate_corpus_documents": _oracle_curate_corpus_documents(),
         "mixture_sample_documents": _oracle_mixture_sample_documents(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),

@@ -1,0 +1,117 @@
+"""The composed corpus-curation pass: quality rules + repetition
+signals + benchmark decontamination + near-dup removal as ONE per-doc
+verdict relation — the end-to-end funnel a training-data pipeline runs
+over a raw corpus before packing/sampling, assembled from the
+already-oracled stages (quality.quality_filter, quality.repetition_
+filter, dedup.decontaminate, dedup.minhash_dedup + keep-cluster-min).
+
+Scale shape: each stage is its own scan/shuffle pattern (documented in
+its module); the composition joins four per-doc boolean relations on
+the id. At 10^12 docs those joins are id-keyed shuffles of NARROW
+relations (id + a few booleans — orders of magnitude smaller than the
+corpus payloads); co-partitioning/bucketing by id makes them
+exchange-free, same as every other id-keyed artifact here. The corpus
+text is scanned once per stage, never joined by payload.
+
+No reference counterpart; task-brief training-data op (the round-4
+dedup_corpus_keep composition, widened to the full funnel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from advanced_data_profile_spark.operators.dedup import (
+    decontaminate,
+    dedup_keep_cluster_min,
+    minhash_dedup,
+)
+from advanced_data_profile_spark.operators.quality import (
+    QualityParams,
+    quality_filter,
+    repetition_filter,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame | None = None,
+    quality_params: QualityParams | None = None,
+    decon_n: int = 13,
+    minhash_k: int = 16,
+    minhash_bands: int = 4,
+    minhash_threshold: float = 0.8,
+) -> DataFrame:
+    """One row per document with each stage's keep verdict and the
+    final AND:
+
+      (id, keep_quality, keep_repetition, keep_decontamination,
+       keep_dedup, keep_final)
+
+    - keep_quality: every Gopher/C4 rule in quality_filter passes;
+    - keep_repetition: every n-gram repetition signal within the
+      Gopher thresholds (repetition_filter);
+    - keep_decontamination: shares no word decon_n-gram with
+      `benchmark` (True everywhere when benchmark is None);
+    - keep_dedup: the document is its near-dup cluster's canonical
+      (min-id) member — or unclustered (minhash_dedup -> connected
+      components -> keep-cluster-min);
+    - keep_final: all of the above. Filter the corpus with
+      `docs.join(curated.where("keep_final"), id)` or inspect the
+      funnel with `curation_funnel`.
+    """
+    q = quality_filter(docs, text_col, id_col=id_col).select(
+        "id", F.col("keep").alias("keep_quality")
+    )
+    rep = repetition_filter(docs, id_col, text_col).select(
+        "id", F.col("repetition_keep").alias("keep_repetition")
+    )
+    pairs = minhash_dedup(
+        docs, id_col, text_col,
+        k=minhash_k, bands=minhash_bands, threshold=minhash_threshold,
+    )
+    kept = dedup_keep_cluster_min(docs, id_col, pairs).select(
+        F.col(id_col).alias("id"), F.lit(True).alias("keep_dedup")
+    )
+    out = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(q, "id", "left")
+        .join(rep, "id", "left")
+        .join(kept, "id", "left")
+    )
+    if benchmark is not None:
+        dec = decontaminate(
+            docs, benchmark, id_col, text_col, n=decon_n
+        ).select("id", (~F.col("contaminated")).alias("keep_decontamination"))
+        out = out.join(dec, "id", "left")
+    else:
+        out = out.withColumn("keep_decontamination", F.lit(True))
+    cols = [
+        "keep_quality", "keep_repetition", "keep_decontamination", "keep_dedup"
+    ]
+    out = out.select(
+        "id", *[F.coalesce(F.col(c), F.lit(False)).alias(c) for c in cols]
+    )
+    keep_final = None
+    for c in cols:
+        keep_final = F.col(c) if keep_final is None else (keep_final & F.col(c))
+    return out.withColumn("keep_final", keep_final)
+
+
+def curation_funnel(curated: DataFrame) -> DataFrame:
+    """The attrition view: one row — total docs, per-stage keep counts,
+    final survivors. A monitoring aggregate over the verdict relation
+    (no corpus scan)."""
+    return curated.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(c).cast("long")).alias(f"n_{c}")
+            for c in (
+                "keep_quality", "keep_repetition",
+                "keep_decontamination", "keep_dedup", "keep_final",
+            )
+        ],
+    )

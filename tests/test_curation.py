@@ -1,0 +1,60 @@
+"""Composed corpus-curation funnel (operators/curation.py): stage
+verdicts compose the already-tested stages; the funnel view counts
+attrition; final keep is the AND."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from advanced_data_profile_spark.operators.curation import (
+    curate_corpus,
+    curation_funnel,
+)
+
+
+def _corpus(spark):
+    varied = " ".join(
+        f"the word{i} and item{i * 7 % 97} of part{i % 13}" for i in range(40)
+    )
+    rows = [
+        (1, varied),                                  # clean -> kept
+        (2, varied + " trailing"),                    # near-dup of 1 -> dropped
+        (3, "the same phrase " * 60),                 # repetition fail
+        (4, "x y"),                                   # quality fail (too short)
+        (5, varied.replace("word", "term")),          # clean, distinct
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_curation_stage_verdicts_and_final(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        pd.DataFrame([(100, "the term0 and item0 of part0 the term1 and "
+                            "item7 of part1")], columns=["doc_id", "text"])
+    )
+    out = {r.id: r for r in curate_corpus(
+        docs, "doc_id", "text", benchmark=bench, decon_n=8
+    ).collect()}
+    assert len(out) == 5
+    assert out[1].keep_final is True
+    # 2 is a near-dup cluster member with the larger id -> dedup drops it
+    assert out[2].keep_dedup is False and out[2].keep_final is False
+    assert out[3].keep_repetition is False
+    assert out[4].keep_quality is False
+    # 5 contains the benchmark 8-gram run -> decontamination drops it
+    assert out[5].keep_decontamination is False
+    assert out[5].keep_quality is True  # other stages unaffected
+
+    funnel = curation_funnel(
+        curate_corpus(docs, "doc_id", "text", benchmark=bench, decon_n=8)
+    ).collect()[0]
+    assert funnel.n_docs == 5
+    assert funnel.n_keep_final == 1
+    assert funnel.n_keep_dedup == 4
+
+
+def test_curation_without_benchmark(spark):
+    docs = _corpus(spark)
+    out = {r.id: r for r in curate_corpus(docs, "doc_id", "text").collect()}
+    assert all(r.keep_decontamination for r in out.values())
+    assert out[5].keep_final is True  # nothing to decontaminate against
