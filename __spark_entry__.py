@@ -646,6 +646,76 @@ def _oracle_curate_corpus_documents() -> str:
     """
 
 
+def q_categorical_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (operators/drift.py:categorical_psi_chi2):
+    PSI + two-sample chi-square of event_type frequencies between the
+    two time halves of events — the order-free drift signals numeric
+    binning can't express. Raw data reduces once to category counts;
+    scoring runs on that tiny relation (same shape as ks_psi). The
+    oracle replays counts -> zero-filled category frame -> PSI/chi2
+    with identical eps smoothing and rounding."""
+    from advanced_data_profile_spark.operators.drift import (
+        categorical_counts,
+        categorical_psi_chi2,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    med = "2024-01-08"  # same fixed split as the numeric drift queries
+    half = F.when(F.col("ts") < med, "a").otherwise("b")
+    counts = categorical_counts(
+        ev.withColumn("__half", half), ["event_type"], "__half"
+    )
+    out = categorical_psi_chi2(counts, "a")
+    return out.select(
+        F.col("grp").alias("grp"), F.col("column").alias("col_name"),
+        "psi", "chi2", "dof", "n_categories",
+    )
+
+
+def _oracle_categorical_drift_events() -> str:
+    return """
+        WITH ev AS (
+          SELECT CASE WHEN ts < '2024-01-08' THEN 'a' ELSE 'b' END AS grp,
+                 coalesce(event_type::VARCHAR, '__null__') AS category
+          FROM events
+        ),
+        counts AS (
+          SELECT grp, category, count(*) AS cnt FROM ev GROUP BY ALL
+        ),
+        cats AS (SELECT DISTINCT category FROM counts),
+        filled AS (
+          SELECT c.category,
+                 coalesce(b.cnt, 0) AS bcnt,
+                 coalesce(o.cnt, 0) AS cnt
+          FROM cats c
+          LEFT JOIN (SELECT * FROM counts WHERE grp = 'a') b USING (category)
+          LEFT JOIN (SELECT * FROM counts WHERE grp = 'b') o USING (category)
+          WHERE coalesce(b.cnt, 0) > 0 OR coalesce(o.cnt, 0) > 0
+        ),
+        tot AS (
+          SELECT sum(cnt)::DOUBLE AS ct, sum(bcnt)::DOUBLE AS bt FROM filled
+        ),
+        terms AS (
+          SELECT
+            (cnt / ct + 1e-6 - (bcnt / bt + 1e-6))
+              * ln((cnt / ct + 1e-6) / (bcnt / bt + 1e-6)) AS psi_term,
+            (cnt - (cnt + bcnt) * ct / (ct + bt))
+              * (cnt - (cnt + bcnt) * ct / (ct + bt))
+              / ((cnt + bcnt) * ct / (ct + bt))
+            + (bcnt - (cnt + bcnt) * bt / (ct + bt))
+              * (bcnt - (cnt + bcnt) * bt / (ct + bt))
+              / ((cnt + bcnt) * bt / (ct + bt)) AS chi_term
+          FROM filled, tot
+        )
+        SELECT 'b' AS grp, 'event_type' AS col_name,
+               round(sum(psi_term), 6) AS psi,
+               round(sum(chi_term), 6) AS chi2,
+               (count(*) - 1)::BIGINT AS dof,
+               count(*)::BIGINT AS n_categories
+        FROM terms
+    """
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate summary over documents (dedup: exact tier)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2316,6 +2386,8 @@ _EXTENDED_NAMES = [
                               # contract-covered by dedup_exact/near_dup
     "curate_corpus_documents",  # round-5 add; composition of four already-
                               # oracled stages (quality/repetition/decon/dedup)
+    "categorical_drift_events",  # round-5 add; drift family is contract-
+                              # covered by drift_psi_events/drift_from_sketches
 ]
 
 
@@ -2390,6 +2462,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition_documents": q_ngram_repetition_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "curate_corpus_documents": q_curate_corpus_documents,
+        "categorical_drift_events": q_categorical_drift_events,
     }
 
 
@@ -2593,6 +2666,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "ngram_repetition_documents": _oracle_ngram_repetition_documents(),
         "decontaminate_documents": _oracle_decontaminate_documents(),
         "curate_corpus_documents": _oracle_curate_corpus_documents(),
+        "categorical_drift_events": _oracle_categorical_drift_events(),
         "mixture_sample_documents": _oracle_mixture_sample_documents(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),

@@ -315,3 +315,101 @@ def drift_verdicts(
         ((F.col("ks") <= ks_threshold) & (F.col("psi") <= psi_threshold)).alias("passed"),
         F.col("ks"), F.col("psi"),
     )
+
+
+def categorical_counts(
+    df: DataFrame, columns: list[str], group_by: str
+) -> DataFrame:
+    """(grp, column, category, cnt) — the categorical analogue of
+    `histogram`: raw data reduced ONCE per (group, column) to category
+    frequencies (all columns in one melt + one aggregation). NULL
+    categories count as the sentinel '__null__' so null-rate shifts are
+    drift too. Like histograms, the counts relation is tiny and
+    mergeable — store it per snapshot and compare later without
+    rescans."""
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.coalesce(F.col(c).cast("string"), F.lit("__null__")).alias(
+                "category"
+            ),
+        )
+        for c in columns
+    ]
+    return (
+        df.select(F.col(group_by).alias("grp"), F.explode(F.array(*structs)).alias("s"))
+        .select("grp", "s.column", "s.category")
+        .groupBy("grp", "column", "category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def categorical_psi_chi2(
+    counts: DataFrame,
+    baseline_grp: str | int,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI + chi-square statistic of every group vs the baseline, per
+    column, from the category-counts relation alone (no raw rescans —
+    the categorical counterpart of `ks_psi`; KS needs an ordering, so
+    the order-free signals here are PSI over category masses and the
+    two-sample chi-square statistic with its degrees of freedom).
+
+    Categories absent on one side get zero mass (eps-smoothed for PSI;
+    chi-square uses the standard two-sample expected counts, which
+    handle zeros natively). Columns with an empty baseline are
+    unscorable and dropped — same contract as ks_psi. Returns
+    (grp, column, psi, chi2, dof, n_categories)."""
+    base = (
+        counts.where(F.col("grp") == baseline_grp)
+        .groupBy("column", "category")
+        .agg(F.sum("cnt").alias("bcnt"))
+    )
+    other = counts.where(F.col("grp") != baseline_grp)
+    # full category frame per (grp, column): categories seen in either
+    # side must appear for both (zero-filled), or PSI misses mass that
+    # moved into a NEW category
+    grps = other.select("grp").distinct()
+    frame = grps.crossJoin(counts.select("column", "category").distinct())
+    j = (
+        frame.join(other, ["grp", "column", "category"], "left")
+        .join(F.broadcast(base), ["column", "category"], "left")
+        .select(
+            "grp", "column", "category",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("bcnt", F.lit(0)).alias("bcnt"),
+        )
+    )
+    w = Window.partitionBy("grp", "column")
+    j = (
+        j.withColumn("__ct", F.sum("cnt").over(w))
+        .withColumn("__bt", F.sum("bcnt").over(w))
+        .where((F.col("__ct") > 0) & (F.col("__bt") > 0))
+        # drop categories absent from BOTH sides of this pair (they
+        # exist only in some other group): they carry no information
+        # and would inflate dof
+        .where((F.col("cnt") > 0) | (F.col("bcnt") > 0))
+    )
+    p = F.col("cnt") / F.col("__ct")
+    q = F.col("bcnt") / F.col("__bt")
+    ps, qs = p + eps, q + eps
+    # two-sample chi-square: E_cur = (cnt+bcnt) * ct/(ct+bt),
+    # E_base = (cnt+bcnt) * bt/(ct+bt); X2 = sum (O-E)^2/E over both
+    tot = F.col("cnt") + F.col("bcnt")
+    ec = tot * F.col("__ct") / (F.col("__ct") + F.col("__bt"))
+    eb = tot * F.col("__bt") / (F.col("__ct") + F.col("__bt"))
+    chi_term = (
+        (F.col("cnt") - ec) * (F.col("cnt") - ec) / ec
+        + (F.col("bcnt") - eb) * (F.col("bcnt") - eb) / eb
+    )
+    scored = j.select(
+        "grp", "column",
+        ((ps - qs) * F.log(ps / qs)).alias("psi_term"),
+        chi_term.alias("chi_term"),
+    )
+    return scored.groupBy("grp", "column").agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.round(F.sum("chi_term"), 6).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )

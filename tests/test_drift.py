@@ -239,3 +239,47 @@ def test_sketch_drift_between_runs_pipeline_surface(spark, tmp_path):
     stored = spark.read.parquet(f"{cur_out}/sketch_drift_results").collect()
     assert len(stored) == 1 and stored[0].passed is False
     scores.unpersist()
+
+
+# ------------------------------------------------------------ categorical
+
+
+def test_categorical_drift_detects_frequency_shift(spark):
+    from advanced_data_profile_spark.operators.drift import (
+        categorical_counts,
+        categorical_psi_chi2,
+    )
+
+    rows = (
+        [("base", "a")] * 500 + [("base", "b")] * 400 + [("base", "c")] * 100
+        # new snapshot: mass moved from a to c, plus a NEW category d
+        + [("new", "a")] * 200 + [("new", "b")] * 400
+        + [("new", "c")] * 300 + [("new", "d")] * 100
+        # null snapshot: same as baseline
+        + [("same", "a")] * 500 + [("same", "b")] * 400 + [("same", "c")] * 100
+    )
+    df = spark.createDataFrame(rows, "grp0 string, cat string")
+    counts = categorical_counts(df, ["cat"], "grp0")
+    out = {r.grp: r for r in categorical_psi_chi2(counts, "base").collect()}
+    assert out["new"].psi > 0.3 and out["new"].chi2 > 100
+    assert out["new"].n_categories == 4  # the new category is in frame
+    assert out["same"].psi < 1e-6 and out["same"].chi2 < 1e-6
+    assert out["same"].dof == 2  # only a,b,c exist in this pair
+
+
+def test_categorical_drift_null_sentinel(spark):
+    from advanced_data_profile_spark.operators.drift import (
+        categorical_counts,
+        categorical_psi_chi2,
+    )
+
+    rows = (
+        [("base", "x")] * 90 + [("base", None)] * 10
+        + [("new", "x")] * 50 + [("new", None)] * 50  # null-rate spike
+    )
+    df = spark.createDataFrame(rows, "grp0 string, cat string")
+    counts = categorical_counts(df, ["cat"], "grp0")
+    cats = {r.category for r in counts.collect()}
+    assert "__null__" in cats
+    r = categorical_psi_chi2(counts, "base").collect()[0]
+    assert r.psi > 0.5  # the null-rate shift IS drift
