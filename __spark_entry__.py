@@ -716,6 +716,85 @@ def _oracle_categorical_drift_events() -> str:
     """
 
 
+def q_embedding_profile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA (operators/similarity.py:embedding_profile):
+    NULL/dimension-drift/NaN/zero-vector counts + L2-norm distribution
+    in one aggregation pass — the failure modes that silently break
+    ANN/dedup downstream. The oracle replays the identical left-fold
+    norm (list_reduce over double-cast squares — same addition order as
+    F.aggregate) and interpolated percentiles."""
+    from advanced_data_profile_spark.operators.similarity import embedding_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_profile(emb, "embedding")
+
+
+def _oracle_embedding_profile_vectors() -> str:
+    return """
+        WITH t AS (
+          SELECT embedding,
+                 CASE WHEN embedding IS NULL THEN NULL ELSE
+                   len(list_filter(embedding,
+                       x -> isnan(x) OR isinf(x))) = 0 END AS finite,
+                 CASE WHEN embedding IS NULL THEN NULL ELSE
+                   sqrt(list_reduce(
+                     list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                     (a, b) -> a + b)) END AS norm
+          FROM embeddings
+        )
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_null,
+               count(DISTINCT CASE WHEN embedding IS NOT NULL
+                     THEN len(embedding) END)::BIGINT AS n_dims_distinct,
+               min(len(embedding)) AS dim_min,
+               max(len(embedding)) AS dim_max,
+               sum(CASE WHEN embedding IS NOT NULL AND NOT finite
+                   THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+               sum(CASE WHEN embedding IS NOT NULL AND
+                   len(list_filter(embedding, x -> x <> 0)) = 0
+                   THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+               round(avg(CASE WHEN finite THEN norm END), 6) AS norm_mean,
+               round(quantile_cont(CASE WHEN finite THEN norm END, 0.25), 6)
+                 AS norm_p25,
+               round(quantile_cont(CASE WHEN finite THEN norm END, 0.5), 6)
+                 AS norm_p50,
+               round(quantile_cont(CASE WHEN finite THEN norm END, 0.75), 6)
+                 AS norm_p75
+        FROM t
+    """
+
+
+def q_dimension_stats_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding stats (operators/similarity.py:
+    dimension_stats): mean/std/zero-fraction per coordinate — dead or
+    collapsed dimensions degrade every cosine downstream and are
+    invisible in whole-vector stats."""
+    from advanced_data_profile_spark.operators.similarity import dimension_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dimension_stats(emb, "embedding")
+
+
+def _oracle_dimension_stats_vectors() -> str:
+    return """
+        WITH ex AS (
+          SELECT unnest(list_transform(
+                   range(0, len(embedding)),
+                   i -> {'dim': i, 'x': embedding[i + 1]::DOUBLE}
+                 )) AS s
+          FROM embeddings WHERE embedding IS NOT NULL
+        )
+        SELECT (s.dim)::INT AS dim,
+               count(*) AS n,
+               round(avg(s.x), 6) AS mean,
+               round(coalesce(stddev_pop(s.x), 0.0), 6) AS std,
+               round(avg(CASE WHEN s.x = 0 THEN 1.0 ELSE 0.0 END), 6)
+                 AS zero_frac
+        FROM ex GROUP BY 1
+    """
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate summary over documents (dedup: exact tier)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2388,6 +2467,9 @@ _EXTENDED_NAMES = [
                               # oracled stages (quality/repetition/decon/dedup)
     "categorical_drift_events",  # round-5 add; drift family is contract-
                               # covered by drift_psi_events/drift_from_sketches
+    "embedding_profile_vectors",  # round-5 add; embedding HOF arithmetic is
+                              # contract-covered by knn_*/near_dup_embeddings
+    "dimension_stats_vectors",  # round-5 add; same family
 ]
 
 
@@ -2463,6 +2545,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "curate_corpus_documents": q_curate_corpus_documents,
         "categorical_drift_events": q_categorical_drift_events,
+        "embedding_profile_vectors": q_embedding_profile_vectors,
+        "dimension_stats_vectors": q_dimension_stats_vectors,
     }
 
 
@@ -2667,6 +2751,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "decontaminate_documents": _oracle_decontaminate_documents(),
         "curate_corpus_documents": _oracle_curate_corpus_documents(),
         "categorical_drift_events": _oracle_categorical_drift_events(),
+        "embedding_profile_vectors": _oracle_embedding_profile_vectors(),
+        "dimension_stats_vectors": _oracle_dimension_stats_vectors(),
         "mixture_sample_documents": _oracle_mixture_sample_documents(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),

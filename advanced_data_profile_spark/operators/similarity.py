@@ -173,3 +173,67 @@ def knn_ivf(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def embedding_profile(
+    df: DataFrame, emb_col: str, group_by: str | None = None
+) -> DataFrame:
+    """Embedding-column QA in ONE aggregation pass — the vector
+    analogue of the scalar profile, catching the failure modes that
+    break ANN/dedup downstream: NULL vectors, dimension drift (mixed
+    lengths from a bad backfill), NaN/Inf components, zero vectors,
+    and norm-distribution shifts (a normalization bug moves the norm
+    quantiles immediately).
+
+    Per (group?): n_rows, n_null, n_dims_distinct, dim_min/dim_max,
+    n_nonfinite (rows with any NaN/Inf), n_zero (all-zero vectors),
+    norm_mean/norm_p25/p50/p75 (L2, finite rows only). All JVM array
+    HOFs over the scan — no explode, no shuffle beyond the group agg."""
+    v = F.col(emb_col)
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(sq)
+    finite = F.isnotnull(v) & ~F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
+    )
+    zero = F.isnotnull(v) & F.forall(v, lambda x: x == 0.0)
+    fnorm = F.when(finite, norm)
+    keys = [group_by] if group_by else []
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v.isNull().cast("long")).alias("n_null"),
+        F.count_distinct(F.when(v.isNotNull(), F.size(v))).alias(
+            "n_dims_distinct"
+        ),
+        # size(NULL) is -1 under non-ANSI legacy semantics — guard so
+        # null vectors never pollute the dimension range (the DuckDB
+        # oracle's len(NULL) is NULL and aggregate-skipped)
+        F.min(F.when(v.isNotNull(), F.size(v))).alias("dim_min"),
+        F.max(F.when(v.isNotNull(), F.size(v))).alias("dim_max"),
+        F.sum((F.isnotnull(v) & ~finite).cast("long")).alias("n_nonfinite"),
+        F.sum(zero.cast("long")).alias("n_zero"),
+        F.round(F.avg(fnorm), 6).alias("norm_mean"),
+        F.round(F.percentile(fnorm, F.lit(0.25)), 6).alias("norm_p25"),
+        F.round(F.percentile(fnorm, F.lit(0.5)), 6).alias("norm_p50"),
+        F.round(F.percentile(fnorm, F.lit(0.75)), 6).alias("norm_p75"),
+    ]
+    return (df.groupBy(*keys) if keys else df).agg(*aggs)
+
+
+def dimension_stats(df: DataFrame, emb_col: str) -> DataFrame:
+    """Per-dimension (dim, mean, std, zero_frac, n) — collapsed or
+    dead dimensions (zero variance, all-zero) degrade every cosine
+    downstream and are invisible in whole-vector stats. posexplode +
+    one groupBy(dim): shuffle volume is n_rows x dim narrow rows,
+    partial-aggregated map-side; dim cardinality is tiny so the final
+    agg is trivially parallel."""
+    ex = df.select(
+        F.posexplode(F.col(emb_col)).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.coalesce(F.stddev_pop("x"), F.lit(0.0)), 6).alias("std"),
+        F.round(F.avg((F.col("x") == 0.0).cast("double")), 6).alias("zero_frac"),
+    )

@@ -127,3 +127,47 @@ def test_knn_lsh_n_rows_hint_skips_count(emb, query, monkeypatch):
     monkeypatch.undo()
     rows = df.collect()
     assert rows[0].id == 0 and rows[0].cosine == 1.0
+
+
+# ------------------------------------------------------- embedding QA
+
+
+def test_embedding_profile_catches_failure_modes(spark):
+    from advanced_data_profile_spark.operators.similarity import (
+        embedding_profile,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, [0.0, 0.0]),          # zero vector
+        (3, [float("nan"), 1.0]),  # non-finite
+        (4, [1.0, 2.0, 2.0]),     # dimension drift (3 dims)
+        (5, None),                # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_profile(df, "embedding").collect()[0]
+    assert r.n_rows == 5 and r.n_null == 1
+    assert r.n_dims_distinct == 2 and r.dim_min == 2 and r.dim_max == 3
+    assert r.n_nonfinite == 1 and r.n_zero == 1
+    # norm stats over finite rows only: norms {5, 0, 3}
+    assert r.norm_p50 == 3.0 and r.norm_mean == round(8.0 / 3, 6)
+
+
+def test_dimension_stats_finds_dead_dimension(spark):
+    import random
+
+    from advanced_data_profile_spark.operators.similarity import (
+        dimension_stats,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1), 0.0, 7.0]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    by = {r.dim: r for r in dimension_stats(df, "embedding").collect()}
+    assert set(by) == {0, 1, 2}
+    assert by[0].std > 0.3 and by[0].zero_frac == 0.0
+    assert by[1].zero_frac == 1.0 and by[1].std == 0.0  # dead dim
+    assert by[2].mean == 7.0 and by[2].std == 0.0       # collapsed dim
+    assert all(r.n == 200 for r in by.values())
