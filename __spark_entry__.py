@@ -795,6 +795,45 @@ def _oracle_dimension_stats_vectors() -> str:
     """
 
 
+def q_cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters from STORED count-min state (operators/sketches.py
+    partition_frequency_sketches + functions/cmsketch): per-weekday CMS
+    sketches of event_type merged driver-side, candidate values scored
+    by the pure-Python estimator that replays Spark's murmur double
+    hashing bit-identically. At this sketch width the event-type
+    cardinality is collision-free, so estimates EQUAL exact counts and
+    the DuckDB oracle is the plain GROUP BY — a broken parse, merge, or
+    hash replication fails the value hash immediately."""
+    from advanced_data_profile_spark.operators.sketches import (
+        heavy_hitters_from_state,
+        partition_frequency_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    sk = partition_frequency_sketches(
+        ev.withColumn("part", F.dayofweek("ts")), ["event_type"], "part"
+    )
+    candidates = ev.select(
+        F.lit("event_type").alias("column"),
+        F.col("event_type").cast("string").alias("value"),
+    ).distinct()
+    hh = heavy_hitters_from_state(sk, candidates)
+    return spark.createDataFrame(
+        [(h["column"], h["value"], h["est_count"]) for h in hh],
+        "col_name string, value string, est_count bigint",
+    )
+
+
+def _oracle_cms_heavy_hitters_events() -> str:
+    return """
+        SELECT 'event_type' AS col_name,
+               event_type::VARCHAR AS value,
+               count(*)::BIGINT AS est_count
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 2
+    """
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate summary over documents (dedup: exact tier)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2470,6 +2509,8 @@ _EXTENDED_NAMES = [
     "embedding_profile_vectors",  # round-5 add; embedding HOF arithmetic is
                               # contract-covered by knn_*/near_dup_embeddings
     "dimension_stats_vectors",  # round-5 add; same family
+    "cms_heavy_hitters_events",  # round-5 add; frequency-sketch family is
+                              # contract-covered by topk/hll_rollup
 ]
 
 
@@ -2547,6 +2588,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift_events": q_categorical_drift_events,
         "embedding_profile_vectors": q_embedding_profile_vectors,
         "dimension_stats_vectors": q_dimension_stats_vectors,
+        "cms_heavy_hitters_events": q_cms_heavy_hitters_events,
     }
 
 
@@ -2753,6 +2795,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "categorical_drift_events": _oracle_categorical_drift_events(),
         "embedding_profile_vectors": _oracle_embedding_profile_vectors(),
         "dimension_stats_vectors": _oracle_dimension_stats_vectors(),
+        "cms_heavy_hitters_events": _oracle_cms_heavy_hitters_events(),
         "mixture_sample_documents": _oracle_mixture_sample_documents(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),

@@ -229,3 +229,74 @@ def distinct_rollup(
         F.hll_sketch_estimate("sketch").cast("bigint").alias("n_distinct_est"),
     )
     return per_part, merge_distinct_sketches(sk)
+
+
+def partition_frequency_sketches(
+    df: DataFrame, columns: list[str], group_by: str = "part_id",
+    eps: float = 0.001, confidence: float = 0.99, seed: int = 1,
+) -> DataFrame:
+    """One count-min sketch per (partition, column) — the FREQUENCY
+    member of the stored-state triad (HLL distinct / KLL quantiles /
+    CMS counts): binary, persistable, mergeable. Items are sketched as
+    strings (the HLL discipline). eps/confidence/seed are part of the
+    sketch SPEC — every sketch that will ever be merged must use the
+    same values (functions/cmsketch.merge_cms enforces this)."""
+    agg = df.groupBy(group_by).agg(
+        *[
+            F.count_min_sketch(
+                F.col(c).cast("string"), F.lit(eps), F.lit(confidence),
+                F.lit(seed),
+            ).alias(f"__s_{c}")
+            for c in columns
+        ]
+    )
+    melted = agg.select(
+        F.col(group_by),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("column"), F.col(f"__s_{c}").alias("cms"))
+                for c in columns
+            ])
+        ).alias("s"),
+    )
+    return melted.select(group_by, "s.column", "s.cms")
+
+
+def heavy_hitters_from_state(
+    sketches: DataFrame,
+    candidates: DataFrame,
+    min_count: int = 1,
+) -> list[dict]:
+    """Heavy hitters from STORED state alone — no raw rescan. Spark
+    ships no CMS merge/estimate functions, so the merge runs
+    driver-side over the collected sketch relation (kilobytes per
+    (partition, column)) via functions/cmsketch.
+
+    `candidates` supplies (column, value) rows to score — the standard
+    CMS recovery shape: a global heavy hitter is a local top-k member
+    in at least one partition, so per-partition top-k output
+    (operators/topk.py) is a sound candidate superset. Returns
+    [{column, value, est_count}] sorted by (column, -est_count, value),
+    filtered to est_count >= min_count. CMS never undercounts, so no
+    true heavy hitter can be dropped by the filter."""
+    from advanced_data_profile_spark.functions.cmsketch import (
+        estimate_cms,
+        merge_cms,
+    )
+
+    by_col: dict[str, list[bytes]] = {}
+    for r in sketches.select("column", "cms").collect():
+        by_col.setdefault(r.column, []).append(bytes(r.cms))
+    merged = {c: merge_cms(parts) for c, parts in by_col.items()}
+    out = []
+    seen = set()
+    for r in candidates.collect():
+        key = (r.column, r.value)
+        if key in seen or r.column not in merged:
+            continue
+        seen.add(key)
+        est = estimate_cms(merged[r.column], str(r.value))
+        if est >= min_count:
+            out.append({"column": r.column, "value": r.value, "est_count": est})
+    out.sort(key=lambda d: (d["column"], -d["est_count"], str(d["value"])))
+    return out
