@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from advanced_data_profile_spark.plans.manifest import Manifest
-from advanced_data_profile_spark.plans.pipeline import run_pipeline
+from advanced_data_profile_spark.plans.pipeline import PipelineConfig, run_pipeline
 from advanced_data_profile_spark.sources.images import ground_truth
 
 N_PARTS, ROWS = 4, 250
@@ -284,3 +284,35 @@ def test_global_uniqueness_pass_is_idempotent(spark, images_path, tmp_path_facto
     assert n1 == n2 == N_PARTS  # one row per partition per key col
     assert g1["n_violations"] == g2["n_violations"]
     assert g1["passed"] == g2["passed"] is False  # fixture plants dups
+
+
+def test_pipeline_categorical_drift_flags_fmt_shift(spark, tmp_path):
+    """A partition whose fmt mix departs from the baseline partition's
+    must fail drift_cat_fmt; matching partitions pass. Exercises the
+    categorical-drift leg end to end (counts persisted, verdicts in
+    drift_results_categorical)."""
+    from advanced_data_profile_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, n_parts=3, rows_per_part=300)
+    # parts 0/1 keep the generated mix; part 2 forced to a single fmt
+    shifted = imgs.withColumn(
+        "fmt",
+        F.when(F.col("part_id") == 2, F.lit("bmp")).otherwise(F.col("fmt")),
+    )
+    path = str(tmp_path / "imgs")
+    shifted.write.partitionBy("part_id").parquet(path)
+    out = str(tmp_path / "out")
+    run_pipeline(spark, path, out, cfg=PipelineConfig(validate_images=False))
+
+    dv = {
+        # partition-column discovery re-infers part_id as int
+        str(r.part_id): r
+        for r in spark.read.parquet(f"{out}/drift_results_categorical").collect()
+    }
+    assert set(dv) == {"1", "2"}
+    assert dv["2"].passed is False and dv["2"].psi > 0.25
+    assert dv["1"].passed is True
+    assert dv["2"].constraint == "drift_cat_fmt"
+    # counts artifact persisted per partition (the resume baseline)
+    cc = spark.read.parquet(f"{out}/category_counts")
+    assert cc.where(F.col("column") == "fmt").count() > 0
