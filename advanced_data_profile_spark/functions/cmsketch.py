@@ -84,16 +84,27 @@ class CountMin:
 
 
 def parse_cms(b: bytes) -> CountMin:
+    if len(b) < 20:
+        raise ValueError("truncated CountMinSketch payload (no header)")
     (version,) = struct.unpack_from(">i", b, 0)
     if version != 1:
         raise ValueError(f"unsupported CountMinSketch version {version}")
     (total,) = struct.unpack_from(">q", b, 4)
     depth, width = struct.unpack_from(">ii", b, 12)
-    hash_a = struct.unpack_from(f">{depth}q", b, 20)
     off = 20 + 8 * depth
+    expected = off + 8 * depth * width
+    # length checks BEFORE unpacking, so corrupt stored state raises
+    # ValueError (catchable) rather than a raw struct.error
+    if len(b) < expected:
+        raise ValueError(
+            f"truncated CountMinSketch payload: {len(b)} < {expected} bytes"
+        )
+    if len(b) > expected:
+        raise ValueError(
+            f"oversized CountMinSketch payload: {len(b)} > {expected} bytes"
+        )
+    hash_a = struct.unpack_from(f">{depth}q", b, 20)
     table = list(struct.unpack_from(f">{depth * width}q", b, off))
-    if len(b) != off + 8 * depth * width:
-        raise ValueError("truncated CountMinSketch payload")
     return CountMin(total, depth, width, hash_a, table)
 
 

@@ -99,15 +99,18 @@ def sql_lang_predict(col: str = "text", norm: str = "__norm") -> str:
             f"x -> list_contains({markers}, x))) END)"
         )
         entries.append(f"struct_pack(s := {score}, nr := {-i}, l := '{lang}')")
+    # 'und' rides as a SENTINEL entry (s=0, nr=1): it outranks every
+    # zero-score language (nr=1 > -i) and loses to any positive score —
+    # exactly the "argmax if any hit else 'und'" semantics, with the
+    # whole 100+-struct argmax evaluated ONCE per row instead of twice
+    # (once for the >0 guard, once for the result)
+    entries.append("struct_pack(s := 0, nr := 1, l := 'und')")
     best = f"list_aggregate([{', '.join(entries)}], 'max')"
     script_whens = " ".join(
         f"WHEN regexp_matches({col}, '{pattern}') THEN '{lang}'"
         for lang, pattern in SCRIPT_RULES
     )
-    return (
-        f"(CASE {script_whens} "
-        f"WHEN ({best}).s > 0 THEN ({best}).l ELSE 'und' END)"
-    )
+    return f"(CASE {script_whens} ELSE ({best}).l END)"
 
 
 def sql_winnow(norm: str = "__norm", k: int = 5, w: int = 4) -> str:

@@ -409,3 +409,23 @@ def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
         F.array().cast("array<bigint>")
     )
     return F.array_sort(F.array_distinct(wins))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a MATERIALIZED token-array column
+    (array<string>), as an array — empty when the document has fewer
+    than n tokens. The single shared window construction behind
+    operators/dedup.word_ngram_hashes and operators/quality.
+    ngram_repetition, so both provably see identical grams.
+
+    `toks` must be a plain (already-projected) column reference, never
+    the tokenization expression itself: HOF lambdas re-evaluate
+    captured outer EXPRESSIONS once per element (see the capture-trap
+    notes on char_ngrams)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -23,6 +23,7 @@ from advanced_data_profile_spark.functions.text import (
     md5_int60,
     norm_text,
     tokens,
+    word_ngrams,
 )
 
 
@@ -501,24 +502,17 @@ def word_ngram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int = 13
 ) -> DataFrame:
     """(id, ghash) — md5-int60 hashes of every word n-gram of the
-    normalized text, DISTINCT per document. The n-gram windows come
-    from F.slice over a materialized token array (one pass, no HOF
-    capture of the normalization chain); the hash is the cross-engine
-    md5 primitive every other fingerprint here uses, so the DuckDB
-    oracle replays it bit-identically."""
+    normalized text, DISTINCT per document. Windows come from the
+    SHARED functions.text.word_ngrams construction (same grams as
+    quality.ngram_repetition by construction); the hash is the
+    cross-engine md5 primitive every other fingerprint here uses, so
+    the DuckDB oracle replays it bit-identically."""
     base = (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
-        .withColumn("__nt", F.size("__t"))
-        .where(F.col("__nt") >= n)
+        .where(F.size("__t") >= n)
     )
     grams = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("__nt") - n + 1),
-                lambda i: F.array_join(F.slice(F.col("__t"), i, n), " "),
-            )
-        ).alias("gram"),
+        "id", F.explode(word_ngrams(F.col("__t"), n)).alias("gram")
     )
     return grams.select("id", md5_int60(F.col("gram")).alias("ghash")).distinct()
 
@@ -529,6 +523,7 @@ def decontaminate(
     id_col: str,
     text_col: str,
     bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
     n: int = 13,
 ) -> DataFrame:
     """Training-set decontamination (the GPT-3 appendix-C discipline,
@@ -546,8 +541,12 @@ def decontaminate(
     shorter than n tokens have no n-grams and are clean by
     definition."""
     bench_col = bench_text_col or text_col
+    # benchmark ids are discarded after hashing, but word_ngram_hashes
+    # needs SOME id column — default to the corpus's name, override
+    # with bench_id_col for eval sets with a different schema
+    bid = bench_id_col or id_col
     banned = (
-        word_ngram_hashes(benchmark, id_col, bench_col, n)
+        word_ngram_hashes(benchmark, bid, bench_col, n)
         .select("ghash").distinct()
     )
     grams = word_ngram_hashes(corpus, id_col, text_col, n)

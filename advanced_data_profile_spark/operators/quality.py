@@ -28,6 +28,7 @@ from advanced_data_profile_spark.functions.text import (
     mean_word_length,
     punct_ratio,
     tokens,
+    word_ngrams,
 )
 
 
@@ -207,23 +208,16 @@ def ngram_repetition(
             ),
         )
     )
-    def _gram_struct(n: int):
+    def _tag_struct(n: int):
         # closure factory, NOT a defaulted lambda: pyspark dispatches
-        # HOF lambdas on arity, so `lambda i, _n=n:` would be treated
+        # HOF lambdas on arity, so `lambda g, _n=n:` would be treated
         # as an (element, index) lambda and the index would overwrite n
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.array_join(F.slice(F.col("__toks"), i, n), " ").alias("gram"),
-        )
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
+    # windows from the SHARED functions.text.word_ngrams construction
+    # (same grams as dedup.word_ngram_hashes by construction)
     gram_arrays = [
-        F.when(
-            F.col("__nt") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.col("__nt") - n + 1, F.lit(1))),
-                _gram_struct(n),
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        F.transform(word_ngrams(F.col("__toks"), n), _tag_struct(n))
         for n in all_ns
     ]
     # explode_OUTER: a document shorter than every requested n emits no
@@ -274,8 +268,8 @@ def repetition_filter(
     repetition_keep boolean (every signal within bound) alongside the
     fractions — composes with quality_filter's keep for the full
     Gopher rule set."""
-    top_max = top_max or GOPHER_TOP_NGRAM_MAX
-    dup_max = dup_max or GOPHER_DUP_NGRAM_MAX
+    top_max = GOPHER_TOP_NGRAM_MAX if top_max is None else top_max
+    dup_max = GOPHER_DUP_NGRAM_MAX if dup_max is None else dup_max
     rep = ngram_repetition(
         df, id_col, text_col,
         top_ns=tuple(sorted(top_max)), dup_ns=tuple(sorted(dup_max)),

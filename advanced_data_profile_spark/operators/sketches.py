@@ -290,7 +290,15 @@ def heavy_hitters_from_state(
     merged = {c: merge_cms(parts) for c, parts in by_col.items()}
     out = []
     seen = set()
-    for r in candidates.collect():
+    # stringify candidate values IN SPARK: the sketches hashed Spark's
+    # cast('string') rendering, which differs from Python's str() for
+    # booleans ('true' vs 'True'), doubles ('1.0E7'), timestamps... —
+    # a Python-side str() would estimate 0 for such values and silently
+    # drop true heavy hitters
+    cand = candidates.select(
+        "column", F.col("value").cast("string").alias("value")
+    )
+    for r in cand.collect():
         key = (r.column, r.value)
         if key in seen or r.column not in merged:
             continue

@@ -215,7 +215,11 @@ def index_compact(
     kept.write.mode("overwrite").parquet(staging_dir)
     staged = spark.read.parquet(staging_dir)
     n_rows = staged.count()
-    spark.sql(f"DROP TABLE {table_name}")
+    # overwrite IN PLACE (no explicit DROP): saveAsTable(Overwrite)
+    # drops and recreates within one command, so there is no window in
+    # which the catalog entry is gone while files remain — a crash
+    # mid-rewrite leaves either the old table or the new one, and the
+    # staging parquet survives for a manual re-run either way
     (
         staged.write.format("parquet")
         .bucketBy(buckets, "key")

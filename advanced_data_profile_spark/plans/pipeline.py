@@ -475,7 +475,24 @@ def run_pipeline(
         all_counts = (
             counts.unionByName(stored_base) if stored_base is not None else counts
         )
-        scores = categorical_psi_chi2(all_counts, cfg.baseline_part)
+        scores = categorical_psi_chi2(all_counts, cfg.baseline_part).persist()
+        # per-cell skipped accounting, same contract as the numeric leg:
+        # cells categorical_psi_chi2 dropped (empty baseline or empty
+        # current side) get explicit markers, never a silent omission
+        scored_cells = {
+            (str(r.grp), r.column)
+            for r in scores.select("grp", "column").collect()
+        }
+        expect_grps = sorted(
+            str(p) for p in pending_ids if str(p) != str(cfg.baseline_part)
+        )
+        cat_skipped = [
+            {"part_id": g, "column": c}
+            for g in expect_grps for c in cat_cols
+            if (g, c) not in scored_cells
+        ]
+        if cat_skipped:
+            drift_summary["categorical_skipped"] = cat_skipped
         dv = scores.select(
             F.col("grp").cast("string").alias("part_id"),
             F.concat(F.lit("drift_cat_"), F.col("column")).alias("constraint"),
@@ -486,6 +503,7 @@ def run_pipeline(
         dv.write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/drift_results_categorical"
         )
+        scores.unpersist()
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         fw = pool.submit(_write_main)

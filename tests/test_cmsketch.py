@@ -94,3 +94,26 @@ def test_heavy_hitters_from_state_end_to_end(spark):
     assert [(h["value"], h["est_count"]) for h in hh] == [
         ("big", 500), ("mid", 50)
     ]
+
+
+def test_heavy_hitters_nonstring_candidates_use_spark_rendering(spark):
+    """Sketches hash Spark's cast('string') rendering ('true', not
+    Python's 'True'); candidate values must be stringified IN SPARK or
+    boolean/double heavy hitters would estimate 0 and vanish."""
+    from advanced_data_profile_spark.operators.sketches import (
+        heavy_hitters_from_state,
+        partition_frequency_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 2, bool(i % 2 == 0)) for i in range(100)],
+        "part_id int, flag boolean",
+    )
+    sk = partition_frequency_sketches(df, ["flag"], "part_id")
+    cands = df.select(
+        F.lit("flag").alias("column"), F.col("flag").alias("value")
+    ).distinct()
+    hh = heavy_hitters_from_state(sk, cands)
+    assert sorted((h["value"], h["est_count"]) for h in hh) == [
+        ("false", 50), ("true", 50)
+    ]

@@ -312,3 +312,24 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_benchmark_with_different_schema(spark):
+    """Eval sets rarely share the corpus's column names: bench_id_col /
+    bench_text_col must make any (id, text)-shaped benchmark usable."""
+    from advanced_data_profile_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [("q1", "the quick brown fox jumps over the lazy dog tonight")],
+        "qid string, question string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "padding then the quick brown fox jumps over the lazy dog "
+             "tonight closes it")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(
+        corpus, bench, "doc_id", "text",
+        bench_text_col="question", bench_id_col="qid", n=8,
+    ).collect()
+    assert out[0].contaminated is True
