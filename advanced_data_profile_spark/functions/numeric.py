@@ -39,3 +39,57 @@ def is_integral(c: Column) -> Column:
     (reference Profiler.py:208-210). Aggregate expression."""
     ok = (c == F.floor(c)).cast("int")
     return F.coalesce(F.min(ok) == 1, F.lit(False))
+
+
+def chi2_sf(chi2: float, dof: int) -> float:
+    """Survival function (upper-tail p-value) of the chi-square
+    distribution: Q(dof/2, chi2/2) — the regularized upper incomplete
+    gamma via the standard series (x < a+1) / Lentz continued fraction
+    (x >= a+1) split (the public gammp/gammq algorithm). Pure Python,
+    double precision; used driver-side on tiny drift-score relations
+    (categorical drift's chi2 grows with sample size, so the p-value —
+    not the raw statistic — is the sample-size-aware verdict knob).
+    Validated in tests against published chi-square critical values."""
+    import math
+
+    if dof <= 0:
+        raise ValueError(f"dof must be positive, got {dof}")
+    if chi2 <= 0:
+        return 1.0
+    a, x = dof / 2.0, chi2 / 2.0
+    lg = math.lgamma(a)
+    if x < a + 1.0:
+        # P(a,x) by series; Q = 1 - P
+        term = 1.0 / a
+        total = term
+        n = a
+        for _ in range(500):
+            n += 1.0
+            term *= x / n
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        p = total * math.exp(-x + a * math.log(x) - lg)
+        return max(0.0, min(1.0, 1.0 - p))
+    # Q(a,x) by modified-Lentz continued fraction
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    q = math.exp(-x + a * math.log(x) - lg) * h
+    return max(0.0, min(1.0, q))

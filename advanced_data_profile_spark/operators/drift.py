@@ -413,3 +413,32 @@ def categorical_psi_chi2(
         (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
         F.count(F.lit(1)).cast("bigint").alias("n_categories"),
     )
+
+
+def with_chi2_pvalue(scores: DataFrame) -> DataFrame:
+    """Append `p_value` = chi-square upper-tail probability to a
+    categorical_psi_chi2 scores relation. The chi2 STATISTIC grows
+    linearly with sample size (at 10^12 rows any real difference is
+    astronomically 'significant'), so thresholding raw chi2 conflates
+    sample size with effect size — use PSI for effect size and the
+    p-value for is-this-noise; both ride on the same tiny relation.
+
+    Arrow-batched pandas UDF (no per-row Python) over the scores
+    relation, which is n_groups x n_cols rows — never raw data."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from advanced_data_profile_spark.functions.numeric import chi2_sf
+
+    # no type hints: pyspark resolves annotations at decoration time
+    # and the local `pd` alias isn't visible there
+    @pandas_udf("double")
+    def _sf(chi2, dof):
+        return pd.Series(
+            [
+                chi2_sf(float(c), int(d)) if d and d > 0 else None
+                for c, d in zip(chi2, dof)
+            ]
+        )
+
+    return scores.withColumn("p_value", F.round(_sf("chi2", "dof"), 8))

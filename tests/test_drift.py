@@ -283,3 +283,42 @@ def test_categorical_drift_null_sentinel(spark):
     assert "__null__" in cats
     r = categorical_psi_chi2(counts, "base").collect()[0]
     assert r.psi > 0.5  # the null-rate shift IS drift
+
+
+def test_chi2_pvalue_on_categorical_scores(spark):
+    from advanced_data_profile_spark.operators.drift import (
+        categorical_counts,
+        categorical_psi_chi2,
+        with_chi2_pvalue,
+    )
+
+    rows = (
+        [("base", "a")] * 500 + [("base", "b")] * 500
+        + [("new", "a")] * 300 + [("new", "b")] * 700   # strong shift
+        + [("same", "a")] * 495 + [("same", "b")] * 505  # noise-level
+    )
+    df = spark.createDataFrame(rows, "grp0 string, cat string")
+    scores = categorical_psi_chi2(categorical_counts(df, ["cat"], "grp0"), "base")
+    out = {r.grp: r for r in with_chi2_pvalue(scores).collect()}
+    assert out["new"].p_value < 1e-9       # real shift: decisively rejected
+    assert out["same"].p_value > 0.5       # noise: not significant
+    # dof=1 here; sanity vs the published critical value
+    from advanced_data_profile_spark.functions.numeric import chi2_sf
+
+    assert abs(chi2_sf(3.841, 1) - 0.05) < 2e-3
+
+
+def test_chi2_sf_reference_values():
+    from advanced_data_profile_spark.functions.numeric import chi2_sf
+
+    for crit, dof, alpha in [
+        (3.841, 1, 0.05), (5.991, 2, 0.05), (9.488, 4, 0.05),
+        (6.635, 1, 0.01), (15.086, 5, 0.01), (18.307, 10, 0.05),
+    ]:
+        assert abs(chi2_sf(crit, dof) - alpha) < 2e-3
+    assert chi2_sf(0.0, 3) == 1.0
+    assert chi2_sf(1e6, 2) == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        chi2_sf(1.0, 0)
