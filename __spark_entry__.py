@@ -2422,6 +2422,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "purchase_value")
 
 
+def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (round 5 closes the joins.py direction guard):
+    for every click, the EARLIEST purchase by the same user at-or-after
+    it — the mirrored union-tag-window, still one shuffle. Oracle:
+    correlated min-subquery (DuckDB's native ASOF JOIN is
+    backward-only)."""
+    from advanced_data_profile_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    direction="forward")
+    return out.select("event_id", "user_id", "purchase_value")
+
+
+def _oracle_asof_forward_join() -> str:
+    return """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts, round(value, 4) AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id,
+               (SELECT p.purchase_value FROM purchases p
+                WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                ORDER BY p.ts, p.purchase_value LIMIT 1) AS purchase_value
+        FROM clicks c
+    """
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join: event values against nation-derived value
     bands (inequality join turned equi-join + filter)."""
@@ -2511,6 +2548,8 @@ _EXTENDED_NAMES = [
     "dimension_stats_vectors",  # round-5 add; same family
     "cms_heavy_hitters_events",  # round-5 add; frequency-sketch family is
                               # contract-covered by topk/hll_rollup
+    "asof_forward_join",      # round-5 add; as-of family is contract-
+                              # covered by asof_join (backward)
 ]
 
 
@@ -2589,6 +2628,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_profile_vectors": q_embedding_profile_vectors,
         "dimension_stats_vectors": q_dimension_stats_vectors,
         "cms_heavy_hitters_events": q_cms_heavy_hitters_events,
+        "asof_forward_join": q_asof_forward_join,
     }
 
 
@@ -2796,6 +2836,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "embedding_profile_vectors": _oracle_embedding_profile_vectors(),
         "dimension_stats_vectors": _oracle_dimension_stats_vectors(),
         "cms_heavy_hitters_events": _oracle_cms_heavy_hitters_events(),
+        "asof_forward_join": _oracle_asof_forward_join(),
         "mixture_sample_documents": _oracle_mixture_sample_documents(),
         "json_key_profile_events": _oracle_json_key_profile(),
         "pack_documents": _oracle_pack_documents(),

@@ -37,39 +37,83 @@ def asof_join(
     value_cols: list[str] | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """left rows + latest right values as of left.on, per `by` key.
+    """left rows + matched right values as of left.on, per `by` key.
 
     value_cols: right columns to carry (default: all except on/by).
-    direction: 'backward' only (the merge_asof default).
+    direction (pd.merge_asof semantics, verified against it in tests):
+    - 'backward': latest right with right.on <= left.on (the default);
+    - 'forward':  earliest right with right.on >= left.on — the same
+      union-tag-window construction mirrored (order (on ASC, tag ASC),
+      frame [current, unbounded following], first_value): right rows at
+      the exact same on sort AFTER the left row but inside its frame,
+      so exact matches are visible, and cost stays ONE shuffle;
+    - 'nearest': closer of the two by |right.on - left.on|, ties to
+      backward — composed from both passes over the same union (two
+      window specs, still one shuffle: both windows partition by the
+      same key, Catalyst plans one Exchange).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
 
+    # right's own `on` rides along as a hidden value column: 'nearest'
+    # needs the matched timestamps to compare distances
+    carry = list(value_cols) + ([on] if direction == "nearest" else [])
     lhs = left.select(
         F.col(by), F.col(on), F.lit(0).alias("__tag"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in carry],
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
     )
     rhs = right.select(
         F.col(by), F.col(on), F.lit(1).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
         F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
     )
     unioned = lhs.unionByName(rhs)
-    w = (
+    w_back = (
         Window.partitionBy(by)
         .orderBy(F.col(on).asc(), F.col("__tag").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        "__tag", "__row",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+    w_fwd = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__tag").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+
+    def _pick(c: str, which: str):
+        if which == "backward":
+            return F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_back)
+        return F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w_fwd)
+
+    if direction in ("backward", "forward"):
+        filled = unioned.select(
+            "__tag", "__row",
+            *[_pick(c, direction).alias(f"__r_{c}") for c in value_cols],
+        )
+    else:
+        both = unioned.select(
+            "__tag", "__row", F.col(on).alias("__on"),
+            *[_pick(c, "backward").alias(f"__b_{c}") for c in carry],
+            *[_pick(c, "forward").alias(f"__f_{c}") for c in carry],
+        )
+        db = F.abs(F.col("__on") - F.col(f"__b_{on}"))
+        df_ = F.abs(F.col(f"__f_{on}") - F.col("__on"))
+        # forward wins only when strictly closer AND present; a missing
+        # backward match falls through to forward via coalesce order
+        use_fwd = F.col(f"__f_{on}").isNotNull() & (
+            F.col(f"__b_{on}").isNull() | (df_ < db)
+        )
+        filled = both.select(
+            "__tag", "__row",
+            *[
+                F.when(use_fwd, F.col(f"__f_{c}"))
+                .otherwise(F.col(f"__b_{c}"))
+                .alias(f"__r_{c}")
+                for c in value_cols
+            ],
+        )
     out = filled.where(F.col("__tag") == 0).select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c) for c in value_cols],

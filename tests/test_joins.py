@@ -116,3 +116,58 @@ def test_range_join_no_duplicate_pairs(spark):
         "x", "lo", "hi", bucket_width=2.0,
     ).select("pid", "iid").collect()
     assert sorted((r.pid, r.iid) for r in out) == [(1, 7), (2, 7)]
+
+
+def test_asof_forward_and_nearest_match_pandas(spark):
+    """All three directions verified against pandas.merge_asof itself
+    on randomized keyed series (incl. exact-timestamp ties)."""
+    import numpy as np
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(31)
+    lpd = pd.DataFrame({
+        "k": rng.integers(0, 3, 120),
+        "t": rng.integers(0, 200, 120).astype("int64"),
+        "lv": np.arange(120),
+    }).sort_values("t").reset_index(drop=True)
+    rpd = pd.DataFrame({
+        "k": rng.integers(0, 3, 80),
+        "t": rng.integers(0, 200, 80).astype("int64"),
+        "rv": np.arange(80) * 10,
+    }).sort_values("t").reset_index(drop=True)
+    # exact ties: copy a few left timestamps into the right side
+    rpd.loc[:5, "t"] = lpd.loc[:5, "t"].values
+    rpd = rpd.sort_values("t").reset_index(drop=True)
+
+    ldf = spark.createDataFrame(lpd)
+    rdf = spark.createDataFrame(rpd)
+    for direction in ("backward", "forward", "nearest"):
+        want = pd.merge_asof(
+            lpd, rpd, on="t", by="k", direction=direction
+        ).sort_values(["k", "t", "lv"]).reset_index(drop=True)
+        got = (
+            asof_join(ldf, rdf, on="t", by="k", direction=direction)
+            .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+        )
+        pd.testing.assert_series_equal(
+            got["rv"].astype("float64"), want["rv"].astype("float64"),
+            check_names=False, obj=direction,
+        )
+
+
+def test_asof_one_shuffle_all_directions(spark):
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [5], "lv": [0]}))
+    rdf = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [4], "rv": [1]}))
+    for direction in ("backward", "forward", "nearest"):
+        plan = (
+            asof_join(ldf, rdf, on="t", by="k", direction=direction)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 2, direction  # union sides only
+        assert "Join" not in plan, direction
