@@ -129,19 +129,34 @@ def range_join(
     end_col: str,
     bucket_width: float,
     how: str = "inner",
+    interval_id_col: str | None = None,
 ) -> DataFrame:
     """Join each point row to interval rows with start <= point < end,
     via bucketization: intervals are exploded into the buckets they
     overlap (sequence/explode — bounded by interval_len/bucket_width),
     points map to one bucket, equi-join on bucket, exact filter after.
-    """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
-        # right/full would need post-join dedupe of the bucket-replicated
-        # interval side (each unmatched replica null-extends separately)
-        # and must not pre-filter empty intervals off the preserved side
-        raise NotImplementedError(
-            "range_join supports how='inner' and 'left'; right/full outer "
-            "need interval-side replica dedupe — swap sides and use 'left'"
+
+    how='right'/'full' preserve the INTERVAL side and require
+    `interval_id_col` (a unique interval key): an unmatched interval
+    was replicated into several buckets, and deciding it matched
+    nothing needs an identity to aggregate the replicas under — an
+    anti-join of intervals against the matched id set, null-extended
+    and unioned in. Empty/inverted intervals (end <= start) match
+    nothing but ARE preserved on the interval side of right/full.
+    Cost: the inner bucketized join + one broadcast-sized anti-join on
+    the matched-id relation; never a cross product."""
+    if how not in (
+        "inner", "left", "left_outer", "leftouter",
+        "right", "right_outer", "rightouter", "full", "full_outer", "outer",
+    ):
+        raise ValueError(f"unsupported how={how!r}")
+    preserve_intervals = how in (
+        "right", "right_outer", "rightouter", "full", "full_outer", "outer",
+    )
+    if preserve_intervals and interval_id_col is None:
+        raise ValueError(
+            "how='right'/'full' need interval_id_col: unmatched detection "
+            "must aggregate the bucket replicas under a unique interval key"
         )
     p = points.withColumn(
         "__bkt_p", F.floor(F.col(point_col) / bucket_width).cast("long")
@@ -162,6 +177,27 @@ def range_join(
         & (p[point_col] >= iv[start_col])
         & (p[point_col] < iv[end_col])
     )
-    # no post-join dedupe needed: a point lives in exactly one bucket,
-    # so it can meet each interval at most once even after replication
-    return p.join(iv, cond, how).drop("__bkt_p", "__bkt_i")
+    # no post-join dedupe needed for the matched part: a point lives in
+    # exactly one bucket, so it can meet each interval at most once
+    # even after replication
+    if not preserve_intervals:
+        return p.join(iv, cond, how).drop("__bkt_p", "__bkt_i")
+
+    inner_how = "left" if how in ("full", "full_outer", "outer") else "inner"
+    matched = p.join(iv, cond, inner_how).drop("__bkt_p", "__bkt_i")
+    matched_ids = matched.where(
+        F.col(interval_id_col).isNotNull()
+    ).select(interval_id_col).distinct()
+    # matched-id relation is bounded by the interval count — broadcast
+    # anti-join; the preserved side uses the ORIGINAL intervals (no
+    # empty-interval pre-filter, no replication)
+    unmatched = intervals.join(
+        F.broadcast(matched_ids), interval_id_col, "left_anti"
+    ).select(
+        *[
+            F.lit(None).cast(dict(points.dtypes)[c]).alias(c)
+            for c in points.columns
+        ],
+        *intervals.columns,
+    )
+    return matched.unionByName(unmatched)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from advanced_data_profile_spark.operators.joins import asof_join, range_join
 
@@ -171,3 +172,45 @@ def test_asof_one_shuffle_all_directions(spark):
         )
         assert plan.count("Exchange") <= 2, direction  # union sides only
         assert "Join" not in plan, direction
+
+
+def test_range_join_right_and_full_outer(spark):
+    """right/full preserve the interval side (incl. empty intervals and
+    intervals no point hits), verified against a naive cross-join
+    reference; the guard demands interval_id_col."""
+    import pandas as pd
+    import pytest
+
+    from advanced_data_profile_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 5.0, 12.0, 40.0], "pid": [1, 2, 3, 4]})
+    )
+    ivs = spark.createDataFrame(pd.DataFrame({
+        "iid": [10, 11, 12, 13],
+        "lo": [0.0, 4.0, 20.0, 7.0],
+        "hi": [2.0, 6.0, 25.0, 7.0],   # 13 is empty (hi == lo)
+    }))
+    ref = (
+        pts.crossJoin(ivs)
+        .where((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+    )
+    matched_pairs = {(r.pid, r.iid) for r in ref.collect()}
+
+    right = range_join(pts, ivs, "x", "lo", "hi", 3.0, how="right",
+                       interval_id_col="iid").collect()
+    assert {(r.pid, r.iid) for r in right if r.pid is not None} == matched_pairs
+    # every interval appears; unmatched ones (12: no point in [20,25);
+    # 13: empty) exactly once, null-extended
+    unmatched = sorted(r.iid for r in right if r.pid is None)
+    assert unmatched == [12, 13]
+
+    full = range_join(pts, ivs, "x", "lo", "hi", 3.0, how="full",
+                      interval_id_col="iid").collect()
+    assert {(r.pid, r.iid) for r in full if r.pid and r.iid} == matched_pairs
+    assert sorted(r.iid for r in full if r.pid is None) == [12, 13]
+    # points 12.0 and 40.0 hit nothing -> preserved with null interval
+    assert sorted(r.pid for r in full if r.iid is None) == [3, 4]
+
+    with pytest.raises(ValueError, match="interval_id_col"):
+        range_join(pts, ivs, "x", "lo", "hi", 3.0, how="right")
