@@ -237,3 +237,47 @@ def dimension_stats(df: DataFrame, emb_col: str) -> DataFrame:
         F.round(F.coalesce(F.stddev_pop("x"), F.lit(0.0)), 6).alias("std"),
         F.round(F.avg((F.col("x") == 0.0).cast("double")), 6).alias("zero_frac"),
     )
+
+
+def embedding_drift(base_dims: DataFrame, cur_dims: DataFrame) -> DataFrame:
+    """Embedding drift from two STORED dimension_stats relations — no
+    raw vectors in scope at check time (the vector analogue of
+    drift_from_sketches): per snapshot pair,
+
+    - centroid_cosine: cosine of the two per-dimension mean vectors —
+      a direction change of the embedding centroid (retrained encoder,
+      normalization change) drops it below ~0.99 immediately;
+    - n_dims: dimensions compared (inner join on dim);
+    - n_dims_shifted: dims whose mean moved by more than
+      3 * pooled-std / sqrt(harmonic n) — the two-sample z-test at the
+      3-sigma level, per coordinate;
+    - max_abs_z: the largest such standardized shift.
+
+    Operates on two n_dims-row relations; returns one row."""
+    b = base_dims.select(
+        "dim", F.col("mean").alias("bm"), F.col("std").alias("bs"),
+        F.col("n").alias("bn"),
+    )
+    c = cur_dims.select(
+        "dim", F.col("mean").alias("cm"), F.col("std").alias("cs"),
+        F.col("n").alias("cn"),
+    )
+    j = b.join(c, "dim")
+    se = F.sqrt(
+        (F.col("bs") * F.col("bs")) / F.col("bn")
+        + (F.col("cs") * F.col("cs")) / F.col("cn")
+    )
+    z = F.when(se > 0, F.abs(F.col("cm") - F.col("bm")) / se)
+    dot = F.sum(F.col("bm") * F.col("cm"))
+    nb = F.sqrt(F.sum(F.col("bm") * F.col("bm")))
+    nc = F.sqrt(F.sum(F.col("cm") * F.col("cm")))
+    return j.agg(
+        F.round(
+            F.when((nb > 0) & (nc > 0), dot / (nb * nc)), 6
+        ).alias("centroid_cosine"),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum((F.coalesce(z, F.lit(0.0)) > 3.0).cast("long")).alias(
+            "n_dims_shifted"
+        ),
+        F.round(F.max(F.coalesce(z, F.lit(0.0))), 6).alias("max_abs_z"),
+    )

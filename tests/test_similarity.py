@@ -171,3 +171,35 @@ def test_dimension_stats_finds_dead_dimension(spark):
     assert by[1].zero_frac == 1.0 and by[1].std == 0.0  # dead dim
     assert by[2].mean == 7.0 and by[2].std == 0.0       # collapsed dim
     assert all(r.n == 200 for r in by.values())
+
+
+def test_embedding_drift_from_stored_dimension_stats(spark):
+    import numpy as np
+
+    from advanced_data_profile_spark.operators.similarity import (
+        dimension_stats,
+        embedding_drift,
+    )
+
+    rng = np.random.default_rng(33)
+
+    def emb_df(shift):
+        rows = [
+            (i, (rng.normal(0, 1, 8) + shift).astype(float).tolist())
+            for i in range(3000)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    base = dimension_stats(emb_df(np.zeros(8)), "embedding")
+    same = dimension_stats(emb_df(np.zeros(8)), "embedding")
+    shift = np.zeros(8); shift[3] = 0.5   # one coordinate drifts
+    moved = dimension_stats(emb_df(shift), "embedding")
+
+    ok = embedding_drift(base, same).collect()[0]
+    assert ok.n_dims == 8 and ok.n_dims_shifted == 0
+
+    bad = embedding_drift(base, moved).collect()[0]
+    assert bad.n_dims_shifted >= 1 and bad.max_abs_z > 10
+    # centroid direction changed (means are near zero, so the cosine is
+    # noisy in magnitude — the shifted case must read clearly lower)
+    assert bad.centroid_cosine < 0.9
