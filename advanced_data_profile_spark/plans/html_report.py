@@ -152,6 +152,18 @@ def render_html(report: dict) -> str:
                 for name, d in sorted(dr.items())
             ]
             parts.append(_table(["check", "ks", "psi", "verdict"], rows))
+        cd = p.get("drift_categorical", {})
+        if cd:
+            parts.append("<h3>Categorical drift vs baseline</h3>")
+            rows = [
+                [_esc(name), _fmt(d.get("psi")), _fmt(d.get("chi2")),
+                 _fmt(d.get("dof")), _fmt(d.get("n_categories")),
+                 _verdict(d.get("passed"))]
+                for name, d in sorted(cd.items())
+            ]
+            parts.append(_table(
+                ["check", "psi", "chi2", "dof", "categories", "verdict"], rows
+            ))
 
     top_values = report.get("top_values") or {}
     if top_values:

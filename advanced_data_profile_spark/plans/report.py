@@ -34,6 +34,7 @@ def assemble_report(
     profiles = _rows(spark, f"{output_dir}/column_profiles")
     constraints = _rows(spark, f"{output_dir}/constraint_results")
     drift = _rows(spark, f"{output_dir}/drift_results")
+    cat_drift = _rows(spark, f"{output_dir}/drift_results_categorical")
     hists = _rows(spark, f"{output_dir}/histograms")
     manifest = _rows(spark, f"{output_dir}/manifest")
     violations = _rows(spark, f"{output_dir}/violations")
@@ -46,6 +47,7 @@ def assemble_report(
         pc = [p for p in profiles if str(p["part_id"]) == pid]
         cr = [c for c in constraints if str(c["part_id"]) == pid]
         dr = [d for d in drift if str(d["part_id"]) == pid]
+        cd = [d for d in cat_drift if str(d["part_id"]) == pid]
         per_partition[pid] = {
             "columns": {p["column"]: {k: v for k, v in p.items()
                                       if k not in ("part_id", "column")}
@@ -64,8 +66,21 @@ def assemble_report(
                                   "passed": bool(d["passed"])}
                 for d in dr
             },
+            # categorical drift verdicts (PSI + chi-square over category
+            # frequencies) sit beside the numeric ones and count toward
+            # the partition's overall verdict the same way
+            "drift_categorical": {
+                d["constraint"]: {
+                    "psi": d.get("psi"), "chi2": d.get("chi2"),
+                    "dof": d.get("dof"),
+                    "n_categories": d.get("n_categories"),
+                    "passed": bool(d["passed"]),
+                }
+                for d in cd
+            },
             "passed": all(bool(c["passed"]) for c in cr) and
-                      all(bool(d["passed"]) for d in dr),
+                      all(bool(d["passed"]) for d in dr) and
+                      all(bool(d["passed"]) for d in cd),
         }
 
     # the manifest is append-only: a partition re-processed across runs

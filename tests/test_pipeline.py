@@ -316,3 +316,14 @@ def test_pipeline_categorical_drift_flags_fmt_shift(spark, tmp_path):
     # counts artifact persisted per partition (the resume baseline)
     cc = spark.read.parquet(f"{out}/category_counts")
     assert cc.where(F.col("column") == "fmt").count() > 0
+    # the assembled report surfaces the categorical verdicts and folds
+    # them into the partition's overall pass
+    from advanced_data_profile_spark.plans.report import assemble_report
+
+    rep = assemble_report(spark, out)
+    p2 = rep["partitions"]["2"]
+    assert p2["drift_categorical"]["drift_cat_fmt"]["passed"] is False
+    assert p2["passed"] is False
+    from advanced_data_profile_spark.plans.html_report import render_html
+
+    assert "Categorical drift" in render_html(rep)
