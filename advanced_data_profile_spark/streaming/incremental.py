@@ -338,3 +338,68 @@ def finalize_stream_sketches(spark: SparkSession, output_dir: str) -> DataFrame:
     ).partitionBy("part_id").parquet(f"{output_dir}/profile_sketches")
     out = spark.read.parquet(f"{output_dir}/profile_sketches")
     return out.withColumn("part_id", F.col("part_id").cast("string"))
+
+
+def streaming_category_writer(output_dir: str, columns: list[str]):
+    """foreachBatch writer emitting the batch pipeline's category-count
+    state ((part_id, column, category, cnt) — operators/drift.
+    categorical_counts) per micro-batch, replay-idempotent via
+    batch_id dynamic overwrite. Counts merge by SUMMATION, so any
+    batching finalizes to the same relation as one batch pass."""
+    from advanced_data_profile_spark.operators.drift import categorical_counts
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = categorical_counts(batch_df, columns, "part_id")
+        (
+            counts.withColumnRenamed("grp", "part_id")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/category_count_batches")
+        )
+
+    return write_batch
+
+
+def run_stream_categories(
+    spark: SparkSession,
+    images_path: str,
+    output_dir: str,
+    columns: list[str] = ("fmt",),
+    max_files: int = 2,
+) -> None:
+    stream = stream_images(spark, images_path, max_files)
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_category_writer(output_dir, list(columns))
+        )
+        .option("checkpointLocation", f"{output_dir}/_category_checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def finalize_stream_categories(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Sum the per-batch category counts into the batch pipeline's
+    category_counts layout ((grp, column, category, cnt), partitioned
+    by part_id) — after this, categorical_psi_chi2 scores stream-built
+    snapshots exactly like batch-built ones."""
+    b = spark.read.parquet(f"{output_dir}/category_count_batches")
+    merged = b.groupBy(
+        F.col("part_id").cast("string").alias("grp"), "column", "category"
+    ).agg(F.sum("cnt").alias("cnt"))
+    (
+        merged.withColumn("part_id", F.col("grp"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(f"{output_dir}/category_counts")
+    )
+    out = spark.read.parquet(f"{output_dir}/category_counts")
+    return out.select(
+        F.col("part_id").cast("string").alias("grp"), "column", "category", "cnt"
+    )

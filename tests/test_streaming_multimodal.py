@@ -535,3 +535,36 @@ def test_streaming_sketch_state_merges_with_batch_consumers(
     assert len(rows) >= 3  # w, h, phash at least
     for r in rows:
         assert r.ks <= 0.02 and abs(r.psi) <= 0.01, r
+
+
+def test_streaming_category_counts_equal_batch(spark, images_path, tmp_path):
+    """Stream-built category counts finalize to EXACTLY the batch
+    categorical_counts relation over the same files, and score with
+    categorical_psi_chi2 identically."""
+    from advanced_data_profile_spark.operators.drift import (
+        categorical_counts,
+        categorical_psi_chi2,
+    )
+    from advanced_data_profile_spark.streaming.incremental import (
+        finalize_stream_categories,
+        run_stream_categories,
+    )
+
+    out = str(tmp_path / "stream_cat")
+    run_stream_categories(spark, images_path, out, columns=["fmt"])
+    batches = spark.read.parquet(f"{out}/category_count_batches")
+    assert batches.select("batch_id").distinct().count() >= 2
+    merged = finalize_stream_categories(spark, out)
+
+    batch = categorical_counts(read_images(spark, images_path), ["fmt"], "part_id")
+    key = lambda rows: {  # noqa: E731
+        (str(r.grp), r.column, r.category, r.cnt) for r in rows
+    }
+    assert key(merged.collect()) == key(batch.collect())
+    s1 = {(r.grp, r.column): (r.psi, r.chi2)
+          for r in categorical_psi_chi2(merged, "0").collect()}
+    s2 = {(str(r.grp), r.column): (r.psi, r.chi2)
+          for r in categorical_psi_chi2(
+              batch.withColumn("grp", F.col("grp").cast("string")), "0"
+          ).collect()}
+    assert s1 == s2
