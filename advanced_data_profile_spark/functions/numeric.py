@@ -41,6 +41,19 @@ def is_integral(c: Column) -> Column:
     return F.coalesce(F.min(ok) == 1, F.lit(False))
 
 
+def _iter_caps(a_max: float) -> tuple[int, int]:
+    """Iteration caps scaled with a = dof/2. The series needs ~a + few
+    sqrt(a) terms when x is near a (term ratio x/n only drops below 1
+    once n > x); the continued fraction converges in O(sqrt(a)) there.
+    A fixed 500 silently truncated at dof in the tens of thousands —
+    now the caps grow with a and non-convergence returns NaN instead
+    of a plausible-looking number."""
+    import math
+
+    s = math.sqrt(max(a_max, 1.0))
+    return int(2.0 * a_max + 60.0 * s) + 500, int(60.0 * s) + 500
+
+
 def chi2_sf(chi2: float, dof: int) -> float:
     """Survival function (upper-tail p-value) of the chi-square
     distribution: Q(dof/2, chi2/2) — the regularized upper incomplete
@@ -49,7 +62,9 @@ def chi2_sf(chi2: float, dof: int) -> float:
     double precision; used driver-side on tiny drift-score relations
     (categorical drift's chi2 grows with sample size, so the p-value —
     not the raw statistic — is the sample-size-aware verdict knob).
-    Validated in tests against published chi-square critical values."""
+    Iteration caps scale with dof (see _iter_caps); returns NaN on
+    non-convergence rather than a silently truncated value. Validated
+    in tests against published chi-square critical values."""
     import math
 
     if dof <= 0:
@@ -57,18 +72,21 @@ def chi2_sf(chi2: float, dof: int) -> float:
     if chi2 <= 0:
         return 1.0
     a, x = dof / 2.0, chi2 / 2.0
+    series_cap, cf_cap = _iter_caps(a)
     lg = math.lgamma(a)
     if x < a + 1.0:
         # P(a,x) by series; Q = 1 - P
         term = 1.0 / a
         total = term
         n = a
-        for _ in range(500):
+        for _ in range(series_cap):
             n += 1.0
             term *= x / n
             total += term
             if abs(term) < abs(total) * 1e-15:
                 break
+        else:
+            return float("nan")
         p = total * math.exp(-x + a * math.log(x) - lg)
         return max(0.0, min(1.0, 1.0 - p))
     # Q(a,x) by modified-Lentz continued fraction
@@ -77,7 +95,7 @@ def chi2_sf(chi2: float, dof: int) -> float:
     c = 1.0 / tiny
     d = 1.0 / b
     h = d
-    for i in range(1, 500):
+    for i in range(1, cf_cap):
         an = -i * (i - a)
         b += 2.0
         d = an * d + b
@@ -91,5 +109,105 @@ def chi2_sf(chi2: float, dof: int) -> float:
         h *= delta
         if abs(delta - 1.0) < 1e-15:
             break
+    else:
+        return float("nan")
     q = math.exp(-x + a * math.log(x) - lg) * h
     return max(0.0, min(1.0, q))
+
+
+# Lanczos g=7 n=9 coefficients (the standard public approximation,
+# ~15 significant digits for Re(z) > 0) — numpy ships no lgamma and
+# scipy is not in the container, so the vectorized path needs its own
+_LANCZOS_G7 = (
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+)
+
+
+def _lgamma_np(z):
+    """Vectorized ln Gamma(z) for z >= 0.5 (a = dof/2 >= 0.5 always
+    here) via Lanczos; matches math.lgamma to ~1e-13 relative."""
+    import numpy as np
+
+    zm = np.asarray(z, dtype=np.float64) - 1.0
+    x = np.full_like(zm, _LANCZOS_G7[0])
+    for i in range(1, 9):
+        x = x + _LANCZOS_G7[i] / (zm + i)
+    t = zm + 7.5
+    return 0.5 * np.log(2.0 * np.pi) + (zm + 0.5) * np.log(t) - t + np.log(x)
+
+
+def chi2_sf_np(chi2, dof):
+    """Vectorized chi2_sf over numpy arrays — the same series/Lentz
+    split as the scalar, iterated over whole arrays with convergence
+    masks (extra iterations past an element's convergence only shrink
+    terms / hold delta at 1, so no per-element masking of the updates
+    is needed). Invalid dof (<= 0 or NaN) and non-convergence yield
+    NaN; chi2 <= 0 yields 1.0. Used by drift.with_chi2_pvalue so the
+    pandas-UDF batch stays loop-free."""
+    import numpy as np
+
+    chi2 = np.asarray(chi2, dtype=np.float64)
+    dof = np.asarray(dof, dtype=np.float64)
+    out = np.full(chi2.shape, np.nan)
+    valid = dof > 0  # False for NaN too
+    out[valid & (chi2 <= 0)] = 1.0
+    work = valid & (chi2 > 0)  # NaN chi2 falls out here -> stays NaN
+    if not work.any():
+        return out
+    a = dof[work] / 2.0
+    x = chi2[work] / 2.0
+    lg = _lgamma_np(a)
+    res = np.full(a.shape, np.nan)
+    series_cap, cf_cap = _iter_caps(float(np.nanmax(a)))
+
+    ser = x < a + 1.0
+    if ser.any():
+        as_, xs = a[ser], x[ser]
+        with np.errstate(invalid="ignore", over="ignore", under="ignore"):
+            term = 1.0 / as_
+            total = term.copy()
+            n = as_.copy()
+            conv = np.zeros(as_.shape, dtype=bool)
+            for _ in range(series_cap):
+                n += 1.0
+                term = term * (xs / n)
+                total = total + term
+                conv |= np.abs(term) < np.abs(total) * 1e-15
+                if conv.all():
+                    break
+            p = total * np.exp(-xs + as_ * np.log(xs) - lg[ser])
+            r = np.clip(1.0 - p, 0.0, 1.0)
+        r[~conv] = np.nan
+        res[ser] = r
+
+    cf = ~ser
+    if cf.any():
+        ac, xc = a[cf], x[cf]
+        tiny = 1e-300
+        with np.errstate(invalid="ignore", over="ignore", under="ignore"):
+            b = xc + 1.0 - ac
+            c = np.full(ac.shape, 1.0 / tiny)
+            d = 1.0 / b
+            h = d.copy()
+            conv = np.zeros(ac.shape, dtype=bool)
+            for i in range(1, cf_cap):
+                an = -i * (i - ac)
+                b = b + 2.0
+                d = an * d + b
+                d = np.where(np.abs(d) < tiny, tiny, d)
+                c = b + an / c
+                c = np.where(np.abs(c) < tiny, tiny, c)
+                d = 1.0 / d
+                delta = d * c
+                h = h * delta
+                conv |= np.abs(delta - 1.0) < 1e-15
+                if conv.all():
+                    break
+            q = np.clip(np.exp(-xc + ac * np.log(xc) - lg[cf]) * h, 0.0, 1.0)
+        q[~conv] = np.nan
+        res[cf] = q
+
+    out[work] = res
+    return out

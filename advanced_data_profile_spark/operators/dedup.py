@@ -535,11 +535,14 @@ def decontaminate(
 
     Scale shape: the benchmark side is the SMALL side by construction
     (eval sets are thousands of docs; the corpus is the 100 TB side) —
-    its distinct gram hashes are broadcast, the corpus grams
-    semi-joined without shuffling corpus data, and only the tiny hit
-    relation is broadcast back onto the corpus row set. Documents
-    shorter than n tokens have no n-grams and are clean by
-    definition."""
+    its distinct gram hashes are broadcast and the corpus grams
+    semi-joined without shuffling corpus data. The hit relation is one
+    row per CONTAMINATED CORPUS DOCUMENT — bounded by the corpus, not
+    the benchmark (common boilerplate n-grams in the benchmark can flag
+    a huge fraction of the corpus), so it is deliberately NOT
+    broadcast-hinted: AQE picks broadcast when the runtime size allows
+    and a shuffle join otherwise. Documents shorter than n tokens have
+    no n-grams and are clean by definition."""
     bench_col = bench_text_col or text_col
     # benchmark ids are discarded after hashing, but word_ngram_hashes
     # needs SOME id column — default to the corpus's name, override
@@ -555,9 +558,7 @@ def decontaminate(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
     )
-    out = corpus.select(F.col(id_col).alias("id")).join(
-        F.broadcast(hits), "id", "left"
-    )
+    out = corpus.select(F.col(id_col).alias("id")).join(hits, "id", "left")
     return out.select(
         "id",
         F.coalesce("n_overlaps", F.lit(0)).cast("bigint").alias("n_overlaps"),

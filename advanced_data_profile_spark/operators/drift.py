@@ -423,22 +423,23 @@ def with_chi2_pvalue(scores: DataFrame) -> DataFrame:
     sample size with effect size — use PSI for effect size and the
     p-value for is-this-noise; both ride on the same tiny relation.
 
-    Arrow-batched pandas UDF (no per-row Python) over the scores
-    relation, which is n_groups x n_cols rows — never raw data."""
+    Arrow-batched pandas UDF over the scores relation (n_groups x
+    n_cols rows — never raw data), computing via the fully vectorized
+    chi2_sf_np — no Python loop over the batch. Invalid dof and
+    non-convergence come back NaN, which Arrow maps to null p_value
+    (the surfaced don't-trust-this signal)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from advanced_data_profile_spark.functions.numeric import chi2_sf
+    from advanced_data_profile_spark.functions.numeric import chi2_sf_np
 
     # no type hints: pyspark resolves annotations at decoration time
     # and the local `pd` alias isn't visible there
     @pandas_udf("double")
     def _sf(chi2, dof):
-        return pd.Series(
-            [
-                chi2_sf(float(c), int(d)) if d and d > 0 else None
-                for c, d in zip(chi2, dof)
-            ]
-        )
+        c = np.asarray(pd.to_numeric(chi2, errors="coerce"), dtype=np.float64)
+        d = np.asarray(pd.to_numeric(dof, errors="coerce"), dtype=np.float64)
+        return pd.Series(chi2_sf_np(c, d))
 
     return scores.withColumn("p_value", F.round(_sf("chi2", "dof"), 8))

@@ -51,24 +51,38 @@ def asof_join(
       backward — composed from both passes over the same union (two
       window specs, still one shuffle: both windows partition by the
       same key, Catalyst plans one Exchange).
+
+    NULL-value contract: each right row rides the window as ONE struct
+    (its `on` plus all value cols together), so every carried field
+    comes from the same matched row. A matched right row whose value
+    column is NULL therefore yields NULL — exactly pd.merge_asof,
+    which carries the matched row's NaN — instead of back-filling the
+    value from an older right row (the failure mode of per-column
+    last/first ignorenulls, where __b_<col> could come from a
+    different row than the matched timestamp).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
+    if "__on" in value_cols:
+        raise ValueError("value col name '__on' collides with the carry struct")
 
-    # right's own `on` rides along as a hidden value column: 'nearest'
-    # needs the matched timestamps to compare distances
-    carry = list(value_cols) + ([on] if direction == "nearest" else [])
+    # one struct per right row: matched `on` + the value cols from THAT
+    # row; left rows carry a NULL struct so ignorenulls skips them
+    rv = F.struct(
+        F.col(on).alias("__on"), *[F.col(c) for c in value_cols]
+    )
+    rv_type = right.select(rv.alias("__rv")).schema["__rv"].dataType
+    row = F.struct(*[F.col(c) for c in left.columns])
+    row_type = left.select(row.alias("__row")).schema["__row"].dataType
     lhs = left.select(
         F.col(by), F.col(on), F.lit(0).alias("__tag"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in carry],
-        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        F.lit(None).cast(rv_type).alias("__rv"), row.alias("__row"),
     )
     rhs = right.select(
         F.col(by), F.col(on), F.lit(1).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in carry],
-        F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
+        rv.alias("__rv"), F.lit(None).cast(row_type).alias("__row"),
     )
     unioned = lhs.unionByName(rhs)
     w_back = (
@@ -81,42 +95,30 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__tag").asc())
         .rowsBetween(0, Window.unboundedFollowing)
     )
+    back = F.last("__rv", ignorenulls=True).over(w_back)
+    fwd = F.first("__rv", ignorenulls=True).over(w_fwd)
 
-    def _pick(c: str, which: str):
-        if which == "backward":
-            return F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_back)
-        return F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w_fwd)
-
-    if direction in ("backward", "forward"):
-        filled = unioned.select(
-            "__tag", "__row",
-            *[_pick(c, direction).alias(f"__r_{c}") for c in value_cols],
-        )
+    if direction == "backward":
+        filled = unioned.select("__tag", "__row", back.alias("__m"))
+    elif direction == "forward":
+        filled = unioned.select("__tag", "__row", fwd.alias("__m"))
     else:
         both = unioned.select(
-            "__tag", "__row", F.col(on).alias("__on"),
-            *[_pick(c, "backward").alias(f"__b_{c}") for c in carry],
-            *[_pick(c, "forward").alias(f"__f_{c}") for c in carry],
+            "__tag", "__row", F.col(on).alias("__pt"),
+            back.alias("__b"), fwd.alias("__f"),
         )
-        db = F.abs(F.col("__on") - F.col(f"__b_{on}"))
-        df_ = F.abs(F.col(f"__f_{on}") - F.col("__on"))
+        db = F.abs(F.col("__pt") - F.col("__b.__on"))
+        df_ = F.abs(F.col("__f.__on") - F.col("__pt"))
         # forward wins only when strictly closer AND present; a missing
-        # backward match falls through to forward via coalesce order
-        use_fwd = F.col(f"__f_{on}").isNotNull() & (
-            F.col(f"__b_{on}").isNull() | (df_ < db)
-        )
+        # backward match falls through to forward
+        use_fwd = F.col("__f").isNotNull() & (F.col("__b").isNull() | (df_ < db))
         filled = both.select(
             "__tag", "__row",
-            *[
-                F.when(use_fwd, F.col(f"__f_{c}"))
-                .otherwise(F.col(f"__b_{c}"))
-                .alias(f"__r_{c}")
-                for c in value_cols
-            ],
+            F.when(use_fwd, F.col("__f")).otherwise(F.col("__b")).alias("__m"),
         )
     out = filled.where(F.col("__tag") == 0).select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__m.{c}").alias(c) for c in value_cols],
     )
     return out
 
@@ -130,6 +132,8 @@ def range_join(
     bucket_width: float,
     how: str = "inner",
     interval_id_col: str | None = None,
+    interval_count_hint: int | None = None,
+    broadcast_id_limit: int = 5_000_000,
 ) -> DataFrame:
     """Join each point row to interval rows with start <= point < end,
     via bucketization: intervals are exploded into the buckets they
@@ -137,14 +141,26 @@ def range_join(
     points map to one bucket, equi-join on bucket, exact filter after.
 
     how='right'/'full' preserve the INTERVAL side and require
-    `interval_id_col` (a unique interval key): an unmatched interval
-    was replicated into several buckets, and deciding it matched
-    nothing needs an identity to aggregate the replicas under — an
-    anti-join of intervals against the matched id set, null-extended
-    and unioned in. Empty/inverted intervals (end <= start) match
+    `interval_id_col` (a UNIQUE, NON-NULL interval key): an unmatched
+    interval was replicated into several buckets, and deciding it
+    matched nothing needs an identity to aggregate the replicas under —
+    an anti-join of intervals against the matched id set, null-extended
+    and unioned in. NULL ids are rejected AT RUNTIME (a null key never
+    matches in left_anti, so a matched null-id interval would be
+    emitted twice — once matched, once null-extended); the check rides
+    the anti-join's key expression, costing no extra scan. Duplicate
+    ids are the caller's hazard: replicas of distinct intervals sharing
+    an id collapse in unmatched detection, silently marking all of them
+    matched if any is. Empty/inverted intervals (end <= start) match
     nothing but ARE preserved on the interval side of right/full.
-    Cost: the inner bucketized join + one broadcast-sized anti-join on
-    the matched-id relation; never a cross product."""
+
+    Cost: the inner bucketized join + one anti-join on the matched-id
+    relation. The matched-id set is bounded by the interval count; it
+    is broadcast only when `interval_count_hint` (caller's estimate of
+    the interval-side row count) is unset or <= broadcast_id_limit —
+    with 10^8+ intervals a forced broadcast would fail outright, so a
+    large hint falls back to a shuffle anti-join. Never a cross
+    product."""
     if how not in (
         "inner", "left", "left_outer", "leftouter",
         "right", "right_outer", "rightouter", "full", "full_outer", "outer",
@@ -188,11 +204,26 @@ def range_join(
     matched_ids = matched.where(
         F.col(interval_id_col).isNotNull()
     ).select(interval_id_col).distinct()
-    # matched-id relation is bounded by the interval count — broadcast
-    # anti-join; the preserved side uses the ORIGINAL intervals (no
-    # empty-interval pre-filter, no replication)
-    unmatched = intervals.join(
-        F.broadcast(matched_ids), interval_id_col, "left_anti"
+    if interval_count_hint is None or interval_count_hint <= broadcast_id_limit:
+        matched_ids = F.broadcast(matched_ids)
+    # the preserved side uses the ORIGINAL intervals (no empty-interval
+    # pre-filter, no replication). The anti-join key goes through
+    # coalesce(id, raise_error(...)): evaluated for every preserved-side
+    # row during the join itself, so any NULL id fails the job instead
+    # of silently double-emitting — no extra validation scan
+    checked = intervals.withColumn(
+        interval_id_col,
+        F.coalesce(
+            F.col(interval_id_col),
+            F.raise_error(
+                f"range_join how={how!r}: NULL {interval_id_col!r} on the "
+                "interval side — unmatched detection requires unique "
+                "non-null interval ids"
+            ).cast(dict(intervals.dtypes)[interval_id_col]),
+        ),
+    )
+    unmatched = checked.join(
+        matched_ids, interval_id_col, "left_anti"
     ).select(
         *[
             F.lit(None).cast(dict(points.dtypes)[c]).alias(c)

@@ -295,9 +295,13 @@ def heavy_hitters_from_state(
     # booleans ('true' vs 'True'), doubles ('1.0E7'), timestamps... —
     # a Python-side str() would estimate 0 for such values and silently
     # drop true heavy hitters
+    # NULL candidates are dropped: count_min_sketch skipped NULL inputs
+    # when the state was built, and a None surviving to Python would be
+    # scored as the literal string 'None' — misattributing counts when
+    # that string genuinely occurs in the data
     cand = candidates.select(
         "column", F.col("value").cast("string").alias("value")
-    )
+    ).where(F.col("value").isNotNull())
     for r in cand.collect():
         key = (r.column, r.value)
         if key in seen or r.column not in merged:

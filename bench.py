@@ -190,18 +190,17 @@ def main() -> None:
     probe = kernel_probe()
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_plus_images_pipeline_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "images_per_sec": summary.get("images_per_sec"),
-        "images_rows": summary.get("rows"),
-        "images_per_sec_steady": big.get("images_per_sec"),
-        "images_rows_steady": big.get("rows"),
+    # Detail record: spreads / probe / second-sf / notes. Printed on its
+    # own EARLIER stdout line and mirrored to BENCH/DETAIL_latest.json;
+    # it must never ride the final line (round 5 lesson: the combined
+    # line outgrew the driver's tail-capture window and the artifact's
+    # `parsed` field came back null).
+    detail = {
+        "record": "bench_detail",
         "queries_spread": spreads,
         **probe,
+        "images_per_sec": summary.get("images_per_sec"),
+        "images_rows": summary.get("rows"),
         "notes": {
             # round-5 A/B (judge ask): exact-mode profile's distinct
             # pass — dedicated count_distinct scan (EXPAND rewrite) vs
@@ -219,9 +218,34 @@ def main() -> None:
     }
     if second:
         s2 = second_sf_dir.rstrip("/").split("sf")[-1]
-        out["second_sf"] = float(s2) if s2.replace(".", "").isdigit() else s2
-        out["queries_second_sf"] = second
-    print(json.dumps(out))
+        detail["second_sf"] = float(s2) if s2.replace(".", "").isdigit() else s2
+        detail["queries_second_sf"] = second
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "DETAIL_latest.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # side file is best-effort; stdout line below is canonical
+    print(json.dumps(detail))
+
+    # COMPACT headline — the FINAL stdout line, sized well under the
+    # driver's tail budget: metric/value/sf plus per-query mins only.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_images_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "images_per_sec_steady": big.get("images_per_sec"),
+                "images_rows_steady": big.get("rows"),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

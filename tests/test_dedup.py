@@ -298,20 +298,24 @@ def test_decontaminate_flags_planted_overlap(spark):
 
 
 def test_decontaminate_plan_broadcasts_benchmark(spark):
-    """Scale contract: the benchmark hash set and the hit relation are
-    broadcast — the corpus side must not shuffle for the join (its only
-    Exchange is the per-doc distinct/groupBy on the gram side)."""
+    """Scale contract: the benchmark hash set (small by construction)
+    is broadcast-hinted so the corpus grams semi-join without a corpus
+    shuffle. The HIT relation is one row per contaminated corpus doc —
+    unbounded by the benchmark — so it must NOT carry a forced
+    broadcast hint: AQE picks its strategy from runtime size."""
     from advanced_data_profile_spark.operators.dedup import decontaminate
 
     bench = spark.createDataFrame([(0, "a b c d e f g h")],
                                   "doc_id long, text string")
     corpus = spark.createDataFrame([(1, "a b c d e f g h i j")],
                                    "doc_id long, text string")
-    plan = decontaminate(
-        corpus, bench, "doc_id", "text", n=8
-    )._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    out = decontaminate(corpus, bench, "doc_id", "text", n=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1  # banned-gram semi-join
+    # the forced hint on hits is gone: the optimized logical plan keeps
+    # exactly ONE explicit broadcast hint (the banned side)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("strategy=broadcast") == 1
 
 
 def test_decontaminate_benchmark_with_different_schema(spark):

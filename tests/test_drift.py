@@ -322,3 +322,34 @@ def test_chi2_sf_reference_values():
 
     with pytest.raises(ValueError):
         chi2_sf(1.0, 0)
+
+
+def test_chi2_sf_np_matches_scalar_and_large_dof():
+    """Vectorized path == scalar path on a grid spanning both the
+    series and continued-fraction branches, including dof in the tens
+    of thousands (where the old fixed 500-iteration cap silently
+    truncated — the scaled caps must converge to a real value)."""
+    import math
+
+    import numpy as np
+
+    from advanced_data_profile_spark.functions.numeric import chi2_sf, chi2_sf_np
+
+    dofs = [1, 2, 5, 10, 100, 1000, 20000, 50000]
+    chis = []
+    ds = []
+    for d in dofs:
+        for mult in (0.1, 0.5, 0.9, 1.0, 1.1, 2.0, 5.0):
+            chis.append(d * mult)
+            ds.append(d)
+    got = chi2_sf_np(np.array(chis), np.array(ds))
+    for g, c, d in zip(got, chis, ds):
+        s = chi2_sf(c, d)
+        assert math.isfinite(s), (c, d)  # scaled caps: no NaN truncation
+        assert abs(g - s) < 1e-10, (c, d, g, s)
+    # dof=50000, chi2=dof sits just above the median: p slightly < 0.5
+    p = chi2_sf(50000.0, 50000)
+    assert 0.45 < p < 0.51
+    # invalid dof -> NaN (not a raise) in the vectorized batch path
+    bad = chi2_sf_np(np.array([1.0, 5.0, -1.0]), np.array([0.0, np.nan, 3.0]))
+    assert np.isnan(bad[0]) and np.isnan(bad[1]) and bad[2] == 1.0

@@ -214,3 +214,75 @@ def test_range_join_right_and_full_outer(spark):
 
     with pytest.raises(ValueError, match="interval_id_col"):
         range_join(pts, ivs, "x", "lo", "hi", 3.0, how="right")
+
+
+def test_asof_null_right_values_carry_matched_row(spark):
+    """A matched right row whose value col is NULL must yield NULL
+    (pd.merge_asof carries the matched row's NaN), NOT a value
+    back-filled from an older/newer right row — the struct-carry
+    contract, all three directions."""
+    lpd = pd.DataFrame({"k": ["A"] * 3, "t": [5, 10, 15], "lv": [1, 2, 3]})
+    # right: t=4 has px=7.0, t=9 has px=NULL, t=14 has px=NULL, t=20 px=9.0
+    rpd = pd.DataFrame({
+        "k": ["A"] * 4,
+        "t": [4, 9, 14, 20],
+        "px": [7.0, np.nan, np.nan, 9.0],
+    })
+    ldf, rdf = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+    for direction in ("backward", "forward", "nearest"):
+        want = pd.merge_asof(
+            lpd, rpd, on="t", by="k", direction=direction
+        ).sort_values("t").reset_index(drop=True)
+        got = (
+            asof_join(ldf, rdf, on="t", by="k", direction=direction)
+            .toPandas().sort_values("t").reset_index(drop=True)
+        )
+        pd.testing.assert_series_equal(
+            got["px"].astype("float64"), want["px"].astype("float64"),
+            check_names=False, obj=direction,
+        )
+
+
+def test_range_join_outer_null_interval_id_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    pts = spark.createDataFrame(pd.DataFrame({"x": [1.0], "pid": [1]}))
+    ivs = spark.createDataFrame(
+        pd.DataFrame({"iid": [10.0, None], "lo": [0.0, 4.0], "hi": [2.0, 6.0]})
+    )
+    out = range_join(pts, ivs, "x", "lo", "hi", 3.0, how="right",
+                     interval_id_col="iid")
+    with pytest.raises(SparkRuntimeException, match="non-null interval ids"):
+        out.collect()
+
+
+def test_range_join_outer_broadcast_guard(spark):
+    """interval_count_hint above the broadcast limit must switch the
+    matched-id anti-join off the forced broadcast (shuffle anti-join
+    instead) with identical results."""
+    pts = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 5.0, 12.0], "pid": [1, 2, 3]})
+    )
+    ivs = spark.createDataFrame(pd.DataFrame({
+        "iid": [10, 11, 12], "lo": [0.0, 4.0, 20.0], "hi": [2.0, 6.0, 25.0],
+    }))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = range_join(pts, ivs, "x", "lo", "hi", 3.0, how="right",
+                            interval_id_col="iid")
+        guarded = range_join(pts, ivs, "x", "lo", "hi", 3.0, how="right",
+                             interval_id_col="iid", interval_count_hint=10**9)
+        def anti_is_broadcast(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return any(
+                "Broadcast" in ln for ln in plan.splitlines() if "LeftAnti" in ln
+            )
+        assert anti_is_broadcast(hinted)
+        assert not anti_is_broadcast(guarded)
+        assert (
+            {(r.pid, r.iid) for r in hinted.collect()}
+            == {(r.pid, r.iid) for r in guarded.collect()}
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
