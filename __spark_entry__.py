@@ -361,14 +361,21 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks_exact = tot.g
 
     # exact PSI on the sketch-derived edges: rebuild the same edges
-    # (merged BASELINE sketch quantiles at k/10), then exact bin masses
-    n_bins, eps = 10, 1e-6
+    # drift_from_sketches reads off its baseline grid — qb[i] ==
+    # Q((i-0.5)/n_grid) at the grid index nearest k/n_bins — so the
+    # getter probs here reproduce those edges bit-identically
+    n_bins, n_grid, eps = 10, 128, 1e-6
+    edge_probs = [
+        (min(n_grid, max(1, round((k / n_bins) * n_grid - 0.5) + 1)) - 0.5)
+        / n_grid
+        for k in range(1, n_bins)
+    ]
     merged_b = base_sk.agg(F.kll_merge_agg_double("kll").alias("m"))
     edges = list(
         merged_b.select(
             *[
-                F.kll_sketch_get_quantile_double("m", F.lit(k / n_bins)).alias(f"e{k}")
-                for k in range(1, n_bins)
+                F.kll_sketch_get_quantile_double("m", F.lit(p)).alias(f"e{k}")
+                for k, p in enumerate(edge_probs)
             ]
         ).collect()[0]
     )

@@ -165,7 +165,7 @@ def drift_from_sketches(
     base_sketches: DataFrame,
     cur_sketches: DataFrame,
     sketch_col: str = "kll",
-    n_grid: int = 256,
+    n_grid: int = 128,
     n_bins: int = 10,
     eps: float = 1e-6,
 ) -> DataFrame:
@@ -186,9 +186,15 @@ def drift_from_sketches(
     quantiles, so the max over the union of grid values IS the sup);
     PSI uses n_bins equi-mass bins from the BASELINE sketch's quantiles
     with unbounded outer bins (out-of-range drift lands in the tails)
-    and the same eps smoothing convention as `ks_psi`. Total KS error
-    vs the exact two-sample statistic is bounded by the two sketches'
-    rank error (~1.65% each at k=200) + 2/n_grid — <= ~0.05 worst case
+    and the same eps smoothing convention as `ks_psi`. The bin edges
+    are READ OFF the already-built baseline grid (element_at on the
+    nearest grid prob to k/n_bins) rather than issued as extra getter
+    expressions: both sides are binned on identical edges, so PSI
+    stays a valid equi-mass-edged comparison and the plan carries
+    exactly 2*n_grid quantile getters — the whole fixed plan/codegen
+    overhead of this job, which is why n_grid defaults to 128: total
+    KS error vs the exact two-sample statistic is bounded by the two
+    sketches' rank error (~1.65% each at k=200) + 2/n_grid — <= ~0.05
     at the defaults, and the contract query verifies the bound against
     the exact KS on the fixture.
 
@@ -204,76 +210,76 @@ def drift_from_sketches(
     c = _merge_kll_side(cur_sketches, sketch_col, "__c")
     j = b.join(c, "column")
     probs = [(i + 0.5) / n_grid for i in range(n_grid)]
-    edge_probs = [k / n_bins for k in range(1, n_bins)]
-    # materialize the quantile grids as plain array columns BEFORE any
-    # HOF touches them: a lambda that captured the quantile-getter
-    # expressions directly would re-evaluate them per element
-    g = j.select(
-        "column",
-        F.array(
-            *[F.kll_sketch_get_quantile_double("__b", F.lit(p)) for p in probs]
-        ).alias("qb"),
-        F.array(
-            *[F.kll_sketch_get_quantile_double("__c", F.lit(p)) for p in probs]
-        ).alias("qc"),
-        F.array(
-            *[F.kll_sketch_get_quantile_double("__b", F.lit(p)) for p in edge_probs]
-        ).alias("edges"),
-        F.kll_sketch_get_n_double("__b").cast("bigint").alias("n_base"),
-        F.kll_sketch_get_n_double("__c").cast("bigint").alias("n_cur"),
-    )
-    m = float(n_grid)
+    # equi-mass PSI edge positions on the baseline grid: 1-based index
+    # of the grid prob nearest k/n_bins — qb[i] == Q((i-0.5)/n_grid)
+    edge_idx = [
+        min(n_grid, max(1, round((k / n_bins) * n_grid - 0.5) + 1))
+        for k in range(1, n_bins)
+    ]
+    m = repr(float(n_grid)) + "D"
 
-    def ecdf(grid_col: str, v):
-        return F.size(F.filter(F.col(grid_col), lambda x: x <= v)) / F.lit(m)
-
-    ks = F.array_max(
-        F.transform(
-            F.concat(F.col("qb"), F.col("qc")),
-            lambda v: F.abs(ecdf("qb", v) - ecdf("qc", v)),
+    # Fixed-overhead budget. Two costs dominated this job regardless of
+    # data size: (1) building ~2*n_grid getter Columns from Python is
+    # ~500 py4j round trips (~0.5s) — so the WHOLE scored expression is
+    # generated as ONE SQL string and parsed JVM-side in a single
+    # F.expr call; (2) CollapseProject duplicates any getter array that
+    # is referenced more than once — so the two grids are built exactly
+    # once inside a single-element array<struct> and all scoring runs
+    # in a transform lambda over it, where every grid use is a lambda
+    # VARIABLE (leaf) reference; inline() then expands the one scored
+    # struct to columns without a second reference to the tree. Net:
+    # plan build+exec ~0.1s where the naive construction took ~2.5s.
+    def grid_sql(col: str) -> str:
+        gs = ", ".join(
+            f"kll_sketch_get_quantile_double({col}, {p!r}D)" for p in probs
         )
+        return f"array({gs})"
+
+    def ecdf(grid: str, v: str) -> str:
+        return f"(size(filter({grid}, x -> x <= {v})) / {m})"
+
+    ks = (
+        f"array_max(transform(concat(s.qb, s.qc), "
+        f"v -> abs({ecdf('s.qb', 'v')} - {ecdf('s.qc', 'v')})))"
     )
-    # cumulative mass of each snapshot at the baseline's equi-mass
-    # edges, with implicit -inf/+inf outer edges -> n_bins masses that
-    # sum to exactly 1 on each side
-    cum_b = F.concat(
-        F.array(F.lit(0.0)),
-        F.transform(F.col("edges"), lambda v: ecdf("qb", v)),
-        F.array(F.lit(1.0)),
+    # equi-mass PSI edges read off the baseline grid; cumulative mass
+    # of each snapshot at those edges with implicit -inf/+inf outer
+    # edges -> n_bins masses summing to exactly 1 on each side
+    edges = (
+        f"transform(array({', '.join(str(i) for i in edge_idx)}), "
+        f"i -> element_at(s.qb, i))"
     )
-    cum_c = F.concat(
-        F.array(F.lit(0.0)),
-        F.transform(F.col("edges"), lambda v: ecdf("qc", v)),
-        F.array(F.lit(1.0)),
+
+    def cum(grid: str) -> str:
+        return (
+            f"concat(array(0.0D), transform({edges}, "
+            f"e -> {ecdf(grid, 'e')}), array(1.0D))"
+        )
+
+    def mass(c: str) -> str:
+        return (
+            f"zip_with(slice({c}, 2, {n_bins}), slice({c}, 1, {n_bins}), "
+            f"(hi, lo) -> hi - lo)"
+        )
+
+    e = repr(float(eps)) + "D"
+    psi_terms = (
+        f"zip_with({mass(cum('s.qc'))}, {mass(cum('s.qb'))}, "
+        f"(p, q) -> ((p + {e}) - (q + {e})) * ln((p + {e}) / (q + {e})))"
     )
-    h = g.select(
-        "column", "n_base", "n_cur", ks.alias("__ks"),
-        cum_b.alias("__cb"), cum_c.alias("__cc"),
+    psi = f"aggregate({psi_terms}, 0.0D, (acc, t) -> acc + t)"
+    scored = (
+        f"inline(transform("
+        f"array(named_struct('qb', {grid_sql('__b')}, 'qc', {grid_sql('__c')})), "
+        f"s -> named_struct('ks', round({ks}, 6), 'psi', round({psi}, 6))))"
     )
-    idx = F.sequence(F.lit(1), F.lit(n_bins))
-    mass = lambda cumcol: F.transform(  # noqa: E731
-        idx,
-        lambda i: F.element_at(F.col(cumcol), (i + 1).cast("int"))
-        - F.element_at(F.col(cumcol), i.cast("int")),
+    g = j.select(
+        F.col("column"),
+        F.expr("cast(kll_sketch_get_n_double(__b) as bigint)").alias("n_base"),
+        F.expr("cast(kll_sketch_get_n_double(__c) as bigint)").alias("n_cur"),
+        F.expr(scored),
     )
-    h = h.select(
-        "column", "n_base", "n_cur", "__ks",
-        mass("__cb").alias("__mb"), mass("__cc").alias("__mc"),
-    )
-    psi_terms = F.zip_with(
-        F.col("__mc"),
-        F.col("__mb"),
-        lambda p, q: ((p + eps) - (q + eps)) * F.log((p + eps) / (q + eps)),
-    )
-    return h.select(
-        "column",
-        F.round(F.col("__ks"), 6).alias("ks"),
-        F.round(
-            F.aggregate(psi_terms, F.lit(0.0), lambda acc, x: acc + x), 6
-        ).alias("psi"),
-        "n_base",
-        "n_cur",
-    )
+    return g.select("column", "ks", "psi", "n_base", "n_cur")
 
 
 def drift_from_stored_state(
