@@ -31,12 +31,18 @@ APPEND-ONLY PRECONDITION: latest-append-wins assumes a partition's key
 set only gets re-APPENDED identically (crash replay), never
 regenerated with keys removed or moved. If a partition is ever
 backfilled/regenerated (e.g. rerun with --no-resume over changed
-payload), run ``index_compact(..., supersede_parts=True)`` afterwards:
-it drops every index row not written by each partition's LATEST run,
-so the regenerated partition fully supersedes its stale state. Routine
-compaction (supersede_parts=False) keeps only the latest row per
-(key, partition), bounding the check's cost at O(distinct keys) no
-matter how many runs have appended.
+payload), ``index_compact(..., supersede_parts=True)`` must run
+afterwards: it drops every index row not written by each partition's
+LATEST run, so the regenerated partition fully supersedes its stale
+state. plans.pipeline WIRES THIS AUTOMATICALLY — it detects
+re-validation (pending partitions that already have 'done' manifest
+rows, an O(partitions) driver-side manifest read) and runs the
+supersede compaction right after its index append, so a backfill needs
+no manual compact call (tests/test_id_index.py::
+test_pipeline_auto_supersedes_on_revalidation). Routine compaction
+(supersede_parts=False) keeps only the latest row per (key,
+partition), bounding the check's cost at O(distinct keys) no matter
+how many runs have appended.
 
 Lifecycle guards: every append asserts the bucket count matches the
 existing table's spec — a silent mismatch would break the per-bucket

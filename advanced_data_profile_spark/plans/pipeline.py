@@ -527,9 +527,25 @@ def run_pipeline(
     # rule) — one narrow agg over the pending partitions' id column,
     # no payload bytes
     if cfg.id_index_table:
-        from advanced_data_profile_spark.plans.id_index import index_append
+        from advanced_data_profile_spark.plans.id_index import (
+            index_append,
+            index_compact,
+        )
 
         t = time.time()
+        # re-validation detection for the append-only precondition: a
+        # PENDING partition that already has a 'done' manifest row was
+        # indexed by an earlier run (resume skips done partitions, so
+        # this only fires on non-resume reruns / explicit backfills).
+        # Read from the manifest — O(partitions), driver-side — never
+        # by scanning the index itself.
+        prior_done = {
+            r.part_id
+            for r in manifest.read()
+            .where((F.col("status") == "done") & (F.col("part_id") != "__global__"))
+            .select("part_id").distinct().collect()
+        }
+        revalidated = sorted({str(p) for p in pending_ids} & prior_done)
         index_append(
             df.select("image_id", "part_id"),
             cfg.id_index_table,
@@ -538,6 +554,22 @@ def run_pipeline(
             buckets=cfg.id_index_buckets,
         )
         timings["id_index_append"] = time.time() - t
+        if revalidated:
+            # the regenerated partitions' new appends must fully
+            # supersede their old index rows (keys REMOVED by the
+            # backfill would otherwise linger as stale false
+            # duplicates: latest-append-wins is per (key, partition)
+            # and nothing newer overwrites a removed key). O(index)
+            # rewrite — backfills are rare; routine resume runs never
+            # enter this branch.
+            t = time.time()
+            index_compact(
+                spark,
+                cfg.id_index_table,
+                staging_dir=f"{output_dir}/id_index_compact_staging",
+                supersede_parts=True,
+            )
+            timings["id_index_supersede"] = time.time() - t
 
     # per-partition lineage + metrics rows — commit point. Row counts
     # come from the already-persisted profiles (no extra scan).

@@ -201,3 +201,60 @@ def test_compaction_supersede_regenerated_partition(spark, tmp_path_factory):
     rows = {(r.key, r.part_id) for r in spark.table(table).collect()}
     assert rows == {("b", "0"), ("e", "0"), ("a", "1")}
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pipeline_auto_supersedes_on_revalidation(spark, tmp_path_factory):
+    """Backfill scenario end-to-end (the append-only precondition,
+    wired): partition 0 is regenerated with 3 of its ids MOVED to
+    partition 1, then the pipeline reruns with resume=False. The rerun
+    must detect the re-validation (pending partitions with prior 'done'
+    manifest rows) and auto-compact with supersede_parts=True, so
+    duplicate_keys reports no stale false duplicates without any
+    manual compact call."""
+    from advanced_data_profile_spark.sources.images import (
+        generate_images,
+        write_images,
+    )
+
+    base = tmp_path_factory.mktemp("idxauto")
+    imgs = str(base / "imgs")
+    out = str(base / "out")
+    table = "idx_test_autosupersede"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_images(generate_images(spark, n_parts=3, rows_per_part=40), imgs)
+    cfg = PipelineConfig(id_index_table=table)
+    s1 = run_pipeline(spark, imgs, out, cfg=cfg)
+    assert s1["partitions"] == 3
+    # the generator plants duplicate ids by design — they are REAL
+    # duplicates and must keep being reported; the backfill must not
+    # ADD stale false ones on top
+    baseline_dups = {r.key for r in duplicate_keys(spark, table).collect()}
+
+    # backfill: move 3 non-duplicate ids from partition 0 to partition 1
+    src = spark.read.parquet(imgs)
+    moved = {
+        r.image_id
+        for r in src.where(
+            (F.col("part_id") == 0)
+            & ~F.col("image_id").isin(list(baseline_dups))
+        ).limit(3).collect()
+    }
+    regen = src.withColumn(
+        "part_id",
+        F.when(F.col("image_id").isin(list(moved)), F.lit(1)).otherwise(
+            F.col("part_id")
+        ),
+    )
+    imgs2 = str(base / "imgs2")
+    regen.write.partitionBy("part_id").parquet(imgs2)
+
+    s2 = run_pipeline(spark, imgs2, out, cfg=cfg, resume=False)
+    assert s2["partitions"] == 3
+    assert "id_index_supersede" in s2["timings"]
+    # without the auto-supersede, the moved ids would each show cnt=2
+    # (stale part-0 row + new part-1 row); the planted real duplicates
+    # must still be reported
+    after = {r.key for r in duplicate_keys(spark, table).collect()}
+    assert after == baseline_dups
+    assert not (after & moved)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
