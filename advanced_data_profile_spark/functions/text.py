@@ -99,6 +99,55 @@ LANG_MARKERS: dict[str, list[str]] = {
     "br": "hag eo ar en ur gant evit ket bet".split(),
     "sn": "uye zvakare asi iyi kana uku vanhu".split(),
     "ny": "ndi komanso ngati chifukwa kwambiri zimene".split(),
+    # round-6 breadth toward lid.176 (same rules: unaccented ASCII
+    # function words only — norm_text strips everything else; overlaps
+    # across close relatives are fine, argmax decides, each set keeps
+    # enough distinctive members to win on its own text: nn 'ikkje/
+    # noko' vs no/da, sco 'didna/frae' vs en, nds/bar/als/pfl each by
+    # their own particles vs de, the Romance micro-languages by their
+    # negators/demonstratives — minga/micca/nun/betg/mach — vs it/es)
+    "nn": "ikkje eit kva noko vere fleire mellom korleis".split(),
+    "oc": "tanben aquela atal dins lor segon".split(),
+    "ast": "ye nun tamien esti nesti yera cola".split(),
+    "an": "ta istos muitas chen bi adintro".split(),
+    "co": "micca ancu quessa induve issu stu".split(),
+    "sc": "sos sas custu meda unu accanta".split(),
+    "scn": "nun chiu comu idda nenti lu".split(),
+    "nap": "pecche cchiu cumme chillo nuje aggio".split(),
+    "vec": "xe anca dela schei cussi sta".split(),
+    "pms": "mach nen dco sossi chiel andoa".split(),
+    "lmo": "minga insci quel vun semper chi".split(),
+    "rm": "quai betg ina ins era tgi".split(),
+    "wa": "dji avou nosse foirt todi ki".split(),
+    "ia": "iste anque esser nos illo alicun".split(),
+    "ie": "ti esset vell anc quel quo".split(),
+    "io": "esas anke quale kande irga ulu".split(),
+    "vo": "binos das obs ko ed jival".split(),
+    "jbo": "coi tavla klama zarci kei cusku".split(),
+    "kw": "yma gans dhe ny yw hwi".split(),
+    "gv": "ayns myr agh shoh va cha".split(),
+    "sco": "didna frae wis aboot tae gey".split(),
+    "nds": "nich mol wat dor sik hett".split(),
+    "bar": "ned aa vui hod wos obba".split(),
+    "als": "isch au nit dr scho wia".split(),
+    "frr": "det foon ham uk deet leet".split(),
+    "vls": "da nie ip oltied geweune ol".split(),
+    "li": "neet ouch waat veur mich zoeget".split(),
+    "hsb": "njeje potom hdy sym wot zo".split(),
+    "dsb": "njejo ako togo ga won pon".split(),
+    "gn": "umi avei upe ndaje ko ha".split(),
+    "qu": "chaymanta paykuna kunan manam kay runa".split(),
+    "nah": "huan tlen ipan amo inin nican".split(),
+    "ilo": "dagiti kadagiti ngem saan idiay kadagitoy".split(),
+    "war": "waray ngan hin ini han nga".split(),
+    "pam": "deng ning keng ati metung karing".split(),
+    "min": "indak dek iko bana sadonyo awak".split(),
+    "cbk": "maga ele kita ansina kame".split(),
+    "hif": "logan rahaa uske karta bhi".split(),
+    "mwl": "cumo anton ye nun dua lhengua".split(),
+    "vep": "nece om ka kut ani sines".split(),
+    "pfl": "awwer unn gewwe halt devun".split(),
+    "diq": "zaf esto yeno wina qande".split(),
 }
 
 # Script-detection rules, FIRST MATCH WINS (normalization strips these
@@ -135,15 +184,52 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("tt", "[җҖ]"),              # tatar-specific, BEFORE kk/ru
     ("ba", "[ҙҘ]"),              # bashkir-specific, BEFORE kk/ru
     ("cv", "[ӑӗӳӐӖӲ]"),          # chuvash-specific, BEFORE kk/ru
+    # round-6 Cyrillic additions. All patterns stay RE2-compatible
+    # (mirrored into DuckDB regexp_matches): no lookaround anywhere —
+    # the two "combo" rules below use anchored negated-class full
+    # matches instead.
+    ("sah", "[ҕҔ]"),             # yakut-specific, BEFORE kk/ru
+    ("mhr", "[ҥҤ]"),             # meadow mari-specific (yakut ҥ texts
+                                 # carry ҕ and matched above), BEFORE kk
+    # Kyrgyz = Russian alphabet + ң ө ү and NOTHING else, so the rule
+    # is "ң AND ө/ү present, zero Kazakh-only letters anywhere" —
+    # placed BEFORE kk (kk's class claims ң) and BEFORE mn (which
+    # claims ө/ү). Kazakh text keeps қ/ғ/ә/ұ and falls through to kk;
+    # Mongolian has no ң and falls through to mn.
+    (
+        "ky",
+        "^[^әғқұӘҒҚҰ]*(?:[ңҢ][^әғқұӘҒҚҰ]*[өүӨҮ]"
+        "|[өүӨҮ][^әғқұӘҒҚҰ]*[ңҢ])[^әғқұӘҒҚҰ]*$",
+    ),
     ("kk", "[әғқңұӘҒҚҢҰ]"),      # kazakh-specific, BEFORE uk/mn/ru
     ("be", "[ўЎ]"),              # belarusian-specific, BEFORE ru
     ("sr", "[ђћЂЋ]"),            # serbian cyrillic-specific, BEFORE ru
     ("mk", "[ѓќѕЃЌЅ]"),          # macedonian-specific, BEFORE ru
+    ("kv", "[ӧӦ]"),              # komi ӧ, BEFORE uk — komi orthography
+                                 # also uses і, which uk's class would
+                                 # claim (uk has no ӧ, so no reverse
+                                 # misfire); mari ҥ-texts matched
+                                 # above; udmurt shares ӧ — documented
+                                 # approximation
     ("uk", "[єїіґЄЇІҐ]"),        # ukrainian-specific cyrillic, BEFORE ru
     ("mn", "[өүӨҮ]"),            # mongolian cyrillic, BEFORE ru
+    ("ce", "[ӏӀ]"),              # chechen (palochka; shared by other
+                                 # Caucasian languages — documented
+                                 # approximation to the most common)
+    ("os", "[ӕӔ]"),              # ossetian-specific, BEFORE ru
+    # Bulgarian shares its alphabet with Russian minus ы/э/ё; the only
+    # positive signal is heavy use of ъ as a vowel. Rule: two ъ
+    # anywhere and zero Russian-only letters in the whole text (an
+    # anchored negated-class full match — RE2 has no negative
+    # lookahead). Runs AFTER every specific Cyrillic rule, just
+    # BEFORE ru.
+    ("bg", "^[^ыэёЫЭЁ]*[ъЪ][^ыэёЫЭЁ]*[ъЪ][^ыэёЫЭЁ]*$"),
     ("ru", "[А-яЁё]"),           # cyrillic
     ("ar", "[؀-ۿ]"),             # arabic
     ("el", "[Ͱ-Ͽ]"),             # greek
+    ("yi", "[װױײ]"),             # yiddish double-vav/vav-yud/double-yud
+                                 # ligatures (U+05F0-05F2, outside the
+                                 # א-ת block), BEFORE he
     ("he", "[א-ת]"),             # hebrew
     ("th", "[ก-๛]"),             # thai
     ("hi", "[ऀ-ॿ]"),            # devanagari

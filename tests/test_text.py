@@ -319,3 +319,115 @@ def test_lang_predict_round5_breadth(spark):
         for (t, want), got in zip(cases, preds) if want != got
     ]
     assert not mism, mism
+
+
+def test_lang_predict_round6_breadth(spark):
+    """Round-6 languages (total surface now >= 150, toward lid.176):
+    42 new Latin-script marker languages + 8 new script rules, incl.
+    the RE2-safe anchored combo rules (ky needs both its letters with
+    zero Kazakh-only ones; bg needs doubled vowel-jer with zero
+    Russian-only letters) and the family orderings (yi before he;
+    sah/mhr/ky before kk; ce/os/kv/bg before ru)."""
+    from advanced_data_profile_spark.functions.text import (
+        LANG_MARKERS,
+        SCRIPT_RULES,
+    )
+
+    assert len(LANG_MARKERS) + len(SCRIPT_RULES) >= 150
+    assert not set(LANG_MARKERS) & {lang for lang, _ in SCRIPT_RULES}
+
+    cases = [
+        ("dei ville ikkje ha eit anna ord for kva som er noko anna", "nn"),
+        ("aquela lenga se parla dins lo pais tanben atal per lor", "oc"),
+        ("esta ye una llingua que nun se fala tamien nesti llugar", "ast"),
+        ("ista luenga se charra ta toz istos lugars con muitas chen bi", "an"),
+        ("sta lingua si parla micca quessa ancu induve issu campa", "co"),
+        ("custa limba si faeddat in sos logos e in sas biddas unu meda", "sc"),
+        ("sta lingua nun si parra chiu comu idda nenti cca lu sapi", "scn"),
+        ("chella lengua nuje aggio visto pecche cchiu cumme chillo parla", "nap"),
+        ("sta lengua la xe anca parlada dela zente co schei cussi", "vec"),
+        ("sta lenga as parla mach nen dco sossi chiel andoa", "pms"),
+        ("questa lengua minga parlada insci de quel vun semper chi", "lmo"),
+        ("quai lingua betg ina ins era tgi discurra uschia", "rm"),
+        ("dji so ki walon avou nosse lingaedje todi foirt", "wa"),
+        ("iste es un lingua que nos pote anque esser parlate de illo alicun", "ia"),
+        ("ti lingue esset vell anc quel quo on parla", "ie"),
+        ("ica linguo esas anke parlata quale kande irga ulu volas", "io"),
+        ("atos binos das obs ko ed jival oba", "vo"),
+        ("coi do tavla klama le zarci kei cusku", "jbo"),
+        ("yma an yeth ow kewsel gans dhe ny yw hwi", "kw"),
+        ("ta yn chengey ayns myr agh shoh va cha nee", "gv"),
+        ("the fowk didna ken frae whit wis aboot tae gang gey", "sco"),
+        ("dat is nich mol wat dor op sik hett seggt", "nds"),
+        ("des is ned aa so vui wia hod wos gsagt obba", "bar"),
+        ("des isch au nit eso dr fall scho gsi wia men seit", "als"),
+        ("det jongen foon ham uk wat deet leet weesen", "frr"),
+        ("da was nie ip oltied geweune ol die dingen", "vls"),
+        ("det is neet ouch waat veur mich zoeget", "li"),
+        ("to njeje potom hdy sym wot was zo prajil", "hsb"),
+        ("to njejo ako togo ga won pon gronil", "dsb"),
+        ("umi tapicha avei upe ndaje ko arape oiko", "gn"),
+        ("chaymanta paykuna kunan manam kay runa simita rimanku", "qu"),
+        ("huan tlen ipan amo inin nican altepetl itech", "nah"),
+        ("dagiti tattao kadagiti ngem saan idiay kadagitoy a lugar", "ilo"),
+        ("an waray ngan hin ini nga mga tawo han lugar", "war"),
+        ("deng tao ning keng ati metung karing lugar", "pam"),
+        ("urang indak dek iko bana sadonyo awak pai", "min"),
+        ("maga gente ele kita ansina kame conversa el lengua", "cbk"),
+        ("hamar logan rahaa uske karta bhi hai waha se aaya", "hif"),
+        ("la lhengua cumo anton ye screbida nun dua forma", "mwl"),
+        ("nece kirj om ka kut ani sines kirjutadud", "vep"),
+        ("des is awwer unn aa ned gewwe halt devun", "pfl"),
+        ("na ziwan de zaf esto yeno wina qande vano", "diq"),
+        # script rules
+        ("דאָס איז אַ שפּראַך װאָס מען רעדט דאָ צװישן אַלע", "yi"),
+        ("саха тылынан кэпсэтэр дьон аҕыйах буолбатах", "sah"),
+        ("чыла еҥ марий йылмым пагала тунемеш", "mhr"),
+        ("бул кыргыз тили эң сонун көрүнөт бизге", "ky"),
+        ("хара нохчийн мотт бу ӏаламат хаза Ӏалашо", "ce"),
+        ("ацы ирон ӕвзаг у тынг рӕсугъд ӕмӕ аив", "os"),
+        ("тайӧ коми кыв зэв мича сійӧ миян", "kv"),
+        ("това е български език който е много хубав и първият въпрос е възможен", "bg"),
+    ]
+    pdf = pd.DataFrame({"t": [t for t, _ in cases]})
+    preds = [
+        r.p for r in spark.createDataFrame(pdf)
+        .select(X.lang_predict(F.col("t")).alias("p")).collect()
+    ]
+    mism = [
+        (t[:30], want, got)
+        for (t, want), got in zip(cases, preds) if want != got
+    ]
+    assert not mism, mism
+
+
+def test_lang_predict_round6_sibling_discrimination(spark):
+    """The new rules must not steal their siblings' text: kk/mn keep
+    winning over the new ky combo rule, ru keeps winning over bg when
+    Russian-only letters appear, he over yi without ligatures, and the
+    crowded Germanic/Romance marker space still resolves de/nl/it/es
+    correctly."""
+    cases = [
+        # Kazakh: has ң AND ө but also қ/ғ — must stay kk, not ky
+        ("бұл қазақ тілі өте әдемі ғой дейміз ңыз", "kk"),
+        # Mongolian: ө/ү but no ң — must stay mn
+        ("энэ монгол хэл өөрийн үндэсний хэл юм", "mn"),
+        # Russian with ъ twice BUT ы present — must stay ru, not bg
+        ("объект и субъект были очень разными", "ru"),
+        # Hebrew without Yiddish ligatures — must stay he
+        ("זוהי שפה עברית יפה מאוד בעולם", "he"),
+        ("das ist nicht der fall und ich bin ein mensch mit den", "de"),
+        ("de mensen hebben het niet gezien maar ze zijn er ook", "nl"),
+        ("il ragazzo non sono della citta che per una nel alla", "it"),
+        ("el hombre es que en un una por con para del los", "es"),
+    ]
+    pdf = pd.DataFrame({"t": [t for t, _ in cases]})
+    preds = [
+        r.p for r in spark.createDataFrame(pdf)
+        .select(X.lang_predict(F.col("t")).alias("p")).collect()
+    ]
+    mism = [
+        (t[:30], want, got)
+        for (t, want), got in zip(cases, preds) if want != got
+    ]
+    assert not mism, mism
