@@ -157,6 +157,78 @@ def flesch_reading_ease(df: DataFrame, text_col: str) -> DataFrame:
     return df.agg(F.round(F.avg(guarded), 4).alias("mean_flesch"))
 
 
+_TS_PUNCT = r"\p{Punct}"  # Java \p{Punct} == Python string.punctuation
+
+
+def _ts_words(c) -> "F.Column":
+    """textstat lexicon: lowercase, strip ASCII punctuation, split on
+    whitespace, drop empties (str.split() semantics — the pinned
+    interpretation)."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(c), _TS_PUNCT, ""), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def _ts_syllables_word(w) -> "F.Column":
+    """The classic public textstat/Lingua::EN syllable heuristic for
+    one lowercased punctuation-free word: count vowel-group starts
+    (vowels = aeiouy), minus one for a trailing 'e', plus one for a
+    trailing consonant+'le', floor at one. split() on vowel runs
+    counts exactly the group starts (leading/trailing empties cancel
+    in size-1)."""
+    base = F.size(F.split(w, "[aeiouy]+")) - 1
+    minus_e = F.when(w.endswith("e"), F.lit(1)).otherwise(F.lit(0))
+    plus_le = F.when(w.rlike("[^aeiouy]le$"), F.lit(1)).otherwise(F.lit(0))
+    return F.greatest(base - minus_e + plus_le, F.lit(1))
+
+
+def _ts_sentence_count(c) -> "F.Column":
+    """textstat sentence_count: regex-find sentence chunks
+    (\\b[^.!?]+[.!?]*), ignore chunks of <= 2 words, floor at one.
+    ASCII \\b interpretation pinned (Java and Python agree on the
+    ASCII fixtures the parity test uses)."""
+    sents = F.regexp_extract_all(c, F.lit(r"\b[^.!?]+[.!?]*"), F.lit(0))
+    valid = F.filter(sents, lambda s: F.size(_ts_words(s)) > 2)
+    return F.greatest(F.size(valid), F.lit(1))
+
+
+def textstat_flesch_column(c) -> "F.Column":
+    """Per-row Flesch reading ease under the textstat-legacy-exact
+    discipline (reference Profiler.py:855-860 calls
+    textstat.flesch_reading_ease; the pyphen-based modern textstat
+    needs hyphenation dictionaries this container lacks, so the
+    EXACT mode pins the classic public algorithm the library's legacy
+    versions shipped): ASL and ASW each rounded to 1 decimal BEFORE
+    the formula and the result to 2, exactly as the library does —
+    with banker's rounding (Python round()) mirrored via F.bround.
+    NULL when the row has no words."""
+    words = _ts_words(c)
+    n_words = F.size(words)
+    syl = F.aggregate(
+        F.transform(words, _ts_syllables_word),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    asl = F.bround(n_words.cast("double") / _ts_sentence_count(c), 1)
+    asw = F.bround(syl.cast("double") / n_words, 1)
+    score = F.bround(F.lit(206.835) - 1.015 * asl - 84.6 * asw, 2)
+    return F.when(n_words > 0, score)
+
+
+def flesch_reading_ease_textstat(df: DataFrame, text_col: str) -> DataFrame:
+    """Exact-mode sibling of flesch_reading_ease: same >= 5 word guard
+    and mean aggregation, textstat-legacy-exact per-row scores.
+    Parity-pinned in tests against an independent pure-Python
+    transcription of the public algorithm (differential test — the
+    library itself is not installed here)."""
+    c = F.col(text_col)
+    guarded = F.when(
+        F.size(_ts_words(c)) >= 5, textstat_flesch_column(c)
+    ).otherwise(0.0)
+    return df.agg(F.round(F.avg(guarded), 4).alias("mean_flesch_textstat"))
+
+
 def char_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Aggregate character / letter / monosyllable-ish counts (N4) —
     sum of per-row counts (equivalent to the reference's concat-then-

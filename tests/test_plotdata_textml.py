@@ -149,3 +149,81 @@ def test_tfidf_top_ngrams(spark):
     # mean over docs favors frequent-but-distinctive; just sanity-check shape
     assert all(s > 0 for s in scores.values())
     assert rows[0].mean_tfidf >= rows[-1].mean_tfidf
+
+
+def _py_textstat_flesch(text: str):
+    """Independent pure-Python transcription of the classic public
+    textstat algorithm (legacy syllable heuristic + sentence regex +
+    1-decimal intermediate rounding) — the differential reference the
+    Spark expressions must match exactly."""
+    import re
+    import string
+
+    def words_of(t):
+        t = t.lower()
+        t = "".join(ch for ch in t if ch not in string.punctuation)
+        return [w for w in t.split() if w]
+
+    def syllables(word):
+        vowels = "aeiouy"
+        count = 0
+        if word and word[0] in vowels:
+            count += 1
+        for i in range(1, len(word)):
+            if word[i] in vowels and word[i - 1] not in vowels:
+                count += 1
+        if word.endswith("e"):
+            count -= 1
+        if word.endswith("le") and len(word) > 2 and word[-3] not in vowels:
+            count += 1
+        return max(count, 1)
+
+    words = words_of(text)
+    if not words:
+        return None
+    sents = re.findall(r"\b[^.!?]+[.!?]*", text)
+    n_sent = max(1, sum(1 for s in sents if len(words_of(s)) > 2))
+    asl = round(len(words) / n_sent, 1)
+    asw = round(sum(syllables(w) for w in words) / len(words), 1)
+    return round(206.835 - 1.015 * asl - 84.6 * asw, 2)
+
+
+def test_textstat_flesch_exact_mode(spark):
+    """Spark textstat_flesch_column == the pure-Python transcription,
+    row for row, on fixtures covering every rule branch: trailing-e,
+    consonant+le, vowel-initial words, y-as-vowel, the <= 2-word
+    sentence ignore, multi-sentence texts, and the 1-decimal
+    intermediate rounding."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.text_ml import (
+        flesch_reading_ease_textstat,
+        textstat_flesch_column,
+    )
+
+    texts = [
+        "The cat sat on the mat. It was a simple able apple day.",
+        "Queue rhythm syllable people make the little table work today.",
+        "Yes! Go. This sentence has more than two words in it, truly.",
+        "Extraordinary circumstances necessitate unprecedented considerations "
+        "regarding implementation methodology frameworks.",
+        "one two three four five six seven eight nine ten",
+        "A y e o u i strange vowel parade arrives early here.",
+        "Wait... what? The ellipsis and question belong to one analysis.",
+    ]
+    pdf = pd.DataFrame({"t": texts})
+    got = [
+        r.s
+        for r in spark.createDataFrame(pdf)
+        .select(textstat_flesch_column(F.col("t")).alias("s"))
+        .collect()
+    ]
+    want = [_py_textstat_flesch(t) for t in texts]
+    assert got == pytest.approx(want), list(zip(got, want, texts))
+
+    # the aggregate keeps the same >= 5-word guard as the approx mode
+    m = flesch_reading_ease_textstat(
+        spark.createDataFrame(pdf), "t"
+    ).first().mean_flesch_textstat
+    exp = sum(w for w in want) / len(want)  # all fixtures have >= 5 words
+    assert m == pytest.approx(round(exp, 4), abs=1e-9)
