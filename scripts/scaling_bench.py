@@ -350,7 +350,7 @@ Per-stage seconds:
         f.write(f"""
 Notes:
 - payloads are stored UNCOMPRESSED in parquet (sources/images.write_images):
-  image bytes are already-encoded media, so a table codec buys ~0%% size
+  image bytes are already-encoded media, so a table codec buys ~0% size
   (measured 1.002x) and costs a full decompress pass over every byte on
   every read — removing it cut the bandwidth-bound decode stage's memory
   traffic and lifted weak scaling above the bar (0.798 -> measured here).
@@ -362,14 +362,26 @@ Notes:
 - an earlier busy-loop probe (pure CPU, no memory traffic) measured
   7.0 effective cores at 8 procs and 23.5 at 32 (CPU steal); the
   decode-kernel probe above is the tighter, workload-matched ceiling.
-- run-to-run variance at local[32] is +/-20-30%% in this shared VM
+- run-to-run variance at local[32] is +/-20-30% in this shared VM
   (external CPU steal); each config reports the BEST of 3 timed passes
   after an untimed warm-up — noise only adds time, so the min is the
   machine's capability.
 - command: `python scripts/scaling_bench.py {n_parts} {rows_big}`
   (fixtures cached under /tmp).
 """)
+        # cross-round history lives in BENCH/HISTORY.md so a re-run
+        # never erases prior measurements (round-6 lesson: the rewrite
+        # dropped the history section); include it verbatim at the end
+        hist = os.path.join(REPO, "BENCH", "HISTORY.md")
+        if os.path.exists(hist):
+            with open(hist) as hf:
+                f.write("\n" + hf.read())
     print(f"wrote {REPO}/BENCH/BASELINE.md")
+    print(
+        "NOTE: append this run to the BENCH/HISTORY.md table "
+        f"(weak {round(eff_weak, 3)}, ceiling {calib['ceiling']}, "
+        f"metadata-only {eff_meta})"
+    )
 
 
 if __name__ == "__main__":
