@@ -331,10 +331,14 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = F.when(F.col("ts") < med, "a").otherwise("b")
     ev2 = ev.select(half.alias("half"), F.dayofweek("ts").alias("part"),
                     F.col("value").cast("double").alias("value"))
+    # the sketch relation (14 KB-sized rows) is persisted: the
+    # operator's two merges AND the verification harness's edge
+    # rebuild below would otherwise each replay the full raw scan +
+    # sketch agg lineage
     sk = ev2.groupBy("half", "part").agg(
         F.kll_sketch_agg_double("value", F.lit(200)).alias("kll")
     ).select("half", F.col("part").cast("string").alias("part_id"),
-             F.lit("value").alias("column"), "kll")
+             F.lit("value").alias("column"), "kll").persist()
     base_sk = sk.where(F.col("half") == "a").drop("half")
     cur_sk = sk.where(F.col("half") == "b").drop("half")
     est = drift_from_sketches(base_sk, cur_sk).collect()[0]
@@ -343,10 +347,12 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Totals come from unbounded windows over the SAME tiny counts
     # relation, so max-gap + totals are ONE job/collect (the totals
     # feed the PSI mass normalization below too)
+    # persisted: the exact-PSI bin masses below re-aggregate this SAME
+    # distinct-value relation instead of rescanning raw events
     counts = ev2.groupBy("value").agg(
         F.sum((F.col("half") == "a").cast("long")).alias("ca"),
         F.sum((F.col("half") == "b").cast("long")).alias("cb"),
-    )
+    ).persist()
     wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     na_c, nb_c = F.sum("ca").over(wall), F.sum("cb").over(wall)
@@ -383,10 +389,17 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("value") > F.lit(float(e))).cast("int") for e in edges),
         F.lit(0),
     )
-    bins = {(r.half, r.bin): r.cnt for r in ev2.groupBy(
-        "half", binc.alias("bin")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    pa = [bins.get(("a", k), 0) / tot.na for k in range(n_bins)]
-    pb = [bins.get(("b", k), 0) / tot.nb for k in range(n_bins)]
+    # exact bin masses from the persisted distinct-value counts — no
+    # raw events rescan; identical sums to binning the raw rows
+    binsum = counts.groupBy(binc.alias("bin")).agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    ).collect()
+    bins_a = {r.bin: r.ca for r in binsum}
+    bins_b = {r.bin: r.cb for r in binsum}
+    pa = [bins_a.get(k, 0) / tot.na for k in range(n_bins)]
+    pb = [bins_b.get(k, 0) / tot.nb for k in range(n_bins)]
+    sk.unpersist()
+    counts.unpersist()
     import math
 
     psi_exact = sum(
@@ -405,6 +418,76 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_drift_from_sketches() -> str:
     return "SELECT 'value' AS col_name, TRUE AS ks_ok, TRUE AS psi_ok"
+
+
+def q_drift_from_stored_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-shaped drift check (operators/drift.py:
+    drift_from_stored_state): score KS/PSI from two PERSISTED sketch
+    relations alone — read KB-sized state parquet, merge, grid-ECDF
+    scoring; the raw table is never touched in the scored path. This is
+    what a snapshot-over-snapshot check costs at 100 TB (metadata-sized
+    by construction); q_drift_from_sketches times the same operator
+    WITH its sketch build + exact-KS verification harness, which is a
+    test-scale-only cost. The state fixture (per-(half, weekday) KLL
+    sketches of events.value — the same split as q_drift_from_sketches)
+    is built once per sf and cached under /tmp.
+
+    Value oracle: n_base/n_cur come out of the sketches and must equal
+    DuckDB's exact per-half non-null counts over the raw parquet —
+    state corruption, a lost partition file, or a broken merge breaks
+    the equality. ks/psi carry invariant checks (ks in [0,1], psi >=
+    0 — PSI terms are individually non-negative); numeric tightness of
+    the same operator is pinned by drift_from_sketches' exact-KS
+    contract."""
+    import os
+
+    from advanced_data_profile_spark.operators.drift import (
+        drift_from_stored_state,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/adp_drift_state_{tag}"
+    if not os.path.exists(f"{root}/_built"):
+        ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+        half = F.when(F.col("ts") < "2024-01-08", "a").otherwise("b")
+        ev2 = ev.select(
+            half.alias("half"), F.dayofweek("ts").alias("part"),
+            F.col("value").cast("double").alias("value"),
+        )
+        sk = ev2.groupBy("half", "part").agg(
+            F.kll_sketch_agg_double("value", F.lit(200)).alias("kll")
+        ).select(
+            "half", F.col("part").cast("string").alias("part_id"),
+            F.lit("value").alias("column"), "kll",
+        )
+        for h in ("a", "b"):
+            sk.where(F.col("half") == h).drop("half").write.mode(
+                "overwrite"
+            ).parquet(f"{root}/{h}")
+        with open(f"{root}/_built", "w") as fh:
+            fh.write("ok")
+    est = drift_from_stored_state(spark, f"{root}/a", f"{root}/b").collect()[0]
+    rows = [(
+        "value", int(est.n_base), int(est.n_cur),
+        bool(0.0 <= est.ks <= 1.0), bool(est.psi >= 0.0),
+    )]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_base bigint, n_cur bigint, "
+        "ks_in_bounds boolean, psi_in_bounds boolean",
+    )
+
+
+def _oracle_drift_from_stored_state() -> str:
+    return """
+        SELECT 'value' AS col_name,
+               count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+                   AS n_base,
+               count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-08 00:00:00')
+                   AS n_cur,
+               TRUE AS ks_in_bounds, TRUE AS psi_in_bounds
+        FROM events WHERE value IS NOT NULL
+    """
 
 
 def q_chunk_slice_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2557,6 +2640,9 @@ _EXTENDED_NAMES = [
                               # contract-covered by topk/hll_rollup
     "asof_forward_join",      # round-5 add; as-of family is contract-
                               # covered by asof_join (backward)
+    "drift_from_stored_state_events",  # round-6 add; the production-
+                              # shaped stored-state scoring path of the
+                              # contract-covered drift_from_sketches
 ]
 
 
@@ -2566,6 +2652,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver's budget again.
     return {
         "drift_from_sketches": q_drift_from_sketches,
+        "drift_from_stored_state_events": q_drift_from_stored_state,
         "chunk_slice_documents": q_chunk_slice_documents,
         "knn_ivf_learned": q_knn_ivf_learned,
         "split_pack_documents": q_split_pack_documents,
@@ -2655,6 +2742,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _all_oracle_sql() -> dict[str, str]:
     out = {
         "drift_from_sketches": _oracle_drift_from_sketches(),
+        "drift_from_stored_state_events": _oracle_drift_from_stored_state(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),
         "knn_ivf_learned": _oracle_knn_ivf_learned(),
         "split_pack_documents": _oracle_split_pack_documents(),

@@ -35,6 +35,11 @@ HEADLINE = [
     # BENCH_r04 — compare per-query)
     "drift_from_sketches",
     "chunk_slice_documents",
+    # round-6 add: the production-shaped stored-state drift check —
+    # read persisted KB-sized sketch state, merge, score; no raw scan,
+    # no verification harness in the timed path (drift_from_sketches
+    # above keeps timing the harnessed variant)
+    "drift_from_stored_state_events",
 ]
 
 BENCH_IMAGES = "/tmp/adp_bench_images"
