@@ -368,13 +368,18 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact PSI on the sketch-derived edges: rebuild the same edges
     # drift_from_sketches reads off its baseline grid — qb[i] ==
-    # Q((i-0.5)/n_grid) at the grid index nearest k/n_bins — so the
-    # getter probs here reproduce those edges bit-identically
-    n_bins, n_grid, eps = 10, 128, 1e-6
+    # Q((i-0.5)/n_grid) at the SHARED edge_grid_indices mapping, so
+    # the getter probs here reproduce those edges bit-identically and
+    # cannot silently decouple if the operator's defaults change
+    from advanced_data_profile_spark.operators.drift import (
+        DEFAULT_N_BINS,
+        DEFAULT_N_GRID,
+        edge_grid_indices,
+    )
+
+    n_bins, n_grid, eps = DEFAULT_N_BINS, DEFAULT_N_GRID, 1e-6
     edge_probs = [
-        (min(n_grid, max(1, round((k / n_bins) * n_grid - 0.5) + 1)) - 0.5)
-        / n_grid
-        for k in range(1, n_bins)
+        (i - 0.5) / n_grid for i in edge_grid_indices(n_grid, n_bins)
     ]
     merged_b = base_sk.agg(F.kll_merge_agg_double("kll").alias("m"))
     edges = list(
@@ -445,7 +450,24 @@ def q_drift_from_stored_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift_from_stored_state,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    # cache key includes a fingerprint of the source parquet (size +
+    # mtime of every file): regenerated testdata must invalidate the
+    # cached sketch state, or the oracle's exact counts over the new
+    # raw data would mismatch sketches of the old data
+    import hashlib
+
+    src = f"{sf_dir}/events.parquet"
+    paths = (
+        [src] if os.path.isfile(src)
+        else sorted(
+            os.path.join(src, f) for f in os.listdir(src)
+            if not f.startswith(".")
+        )
+    )
+    st = [(os.path.basename(p), os.stat(p).st_size, int(os.stat(p).st_mtime))
+          for p in paths]
+    fp = hashlib.md5(repr(st).encode()).hexdigest()[:10]
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
     root = f"/tmp/adp_drift_state_{tag}"
     if not os.path.exists(f"{root}/_built"):
         ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())

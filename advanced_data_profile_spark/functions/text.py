@@ -119,10 +119,10 @@ LANG_MARKERS: dict[str, list[str]] = {
     "lmo": "minga insci quel vun semper chi".split(),
     "rm": "quai betg ina ins era tgi".split(),
     "wa": "dji avou nosse foirt todi ki".split(),
-    "ia": "iste anque esser nos illo alicun".split(),
+    "ia": "iste anque esser illo alicun ipse".split(),
     "ie": "ti esset vell anc quel quo".split(),
-    "io": "esas anke quale kande irga ulu".split(),
-    "vo": "binos das obs ko ed jival".split(),
+    "io": "esas anke kande irga ulu omna".split(),
+    "vo": "binos obs ko ed jival labob".split(),
     "jbo": "coi tavla klama zarci kei cusku".split(),
     "kw": "yma gans dhe ny yw hwi".split(),
     "gv": "ayns myr agh shoh va cha".split(),
@@ -142,7 +142,7 @@ LANG_MARKERS: dict[str, list[str]] = {
     "war": "waray ngan hin ini han nga".split(),
     "pam": "deng ning keng ati metung karing".split(),
     "min": "indak dek iko bana sadonyo awak".split(),
-    "cbk": "maga ele kita ansina kame".split(),
+    "cbk": "maga kita ansina kame endenantes".split(),
     "hif": "logan rahaa uske karta bhi".split(),
     "mwl": "cumo anton ye nun dua lhengua".split(),
     "vep": "nece om ka kut ani sines".split(),

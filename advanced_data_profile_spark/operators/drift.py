@@ -161,12 +161,29 @@ def _merge_kll_side(sketches: DataFrame, sketch_col: str, out: str) -> DataFrame
     )
 
 
+DEFAULT_N_GRID = 128
+DEFAULT_N_BINS = 10
+
+
+def edge_grid_indices(n_grid: int = DEFAULT_N_GRID,
+                      n_bins: int = DEFAULT_N_BINS) -> list[int]:
+    """1-based baseline-grid indices of the equi-mass PSI edges: the
+    grid position whose prob (i-0.5)/n_grid is nearest k/n_bins, for
+    k = 1..n_bins-1. The SINGLE source of this mapping — the exact-PSI
+    verification in __spark_entry__ imports it so the harness can
+    never silently bin on different edges than the operator."""
+    return [
+        min(n_grid, max(1, round((k / n_bins) * n_grid - 0.5) + 1))
+        for k in range(1, n_bins)
+    ]
+
+
 def drift_from_sketches(
     base_sketches: DataFrame,
     cur_sketches: DataFrame,
     sketch_col: str = "kll",
-    n_grid: int = 128,
-    n_bins: int = 10,
+    n_grid: int = DEFAULT_N_GRID,
+    n_bins: int = DEFAULT_N_BINS,
     eps: float = 1e-6,
 ) -> DataFrame:
     """KS + PSI per column from STORED KLL sketch state alone — the
@@ -212,10 +229,7 @@ def drift_from_sketches(
     probs = [(i + 0.5) / n_grid for i in range(n_grid)]
     # equi-mass PSI edge positions on the baseline grid: 1-based index
     # of the grid prob nearest k/n_bins — qb[i] == Q((i-0.5)/n_grid)
-    edge_idx = [
-        min(n_grid, max(1, round((k / n_bins) * n_grid - 0.5) + 1))
-        for k in range(1, n_bins)
-    ]
+    edge_idx = edge_grid_indices(n_grid, n_bins)
     m = repr(float(n_grid)) + "D"
 
     # Fixed-overhead budget. Two costs dominated this job regardless of

@@ -193,6 +193,51 @@ def _ts_sentence_count(c) -> "F.Column":
     return F.greatest(F.size(valid), F.lit(1))
 
 
+def _py_round(x, digits: int) -> "F.Column":
+    """Python round(x, digits) for doubles, as a JVM expression.
+
+    Neither F.bround nor F.rint(x*scale) is a faithful mirror:
+    - bround goes through BigDecimal.valueOf (shortest DECIMAL repr),
+      so bround(23/20., 1) = 1.2 while CPython rounds the exact BINARY
+      value 1.14999999999999995... down to 1.1 — an 8.46-point Flesch
+      shift through the 84.6*ASW term;
+    - rint(x*10) fails on the same input because the *10 multiply
+      itself rounds 11.4999999999999995... up onto exactly 11.5.
+
+    Faithful scheme: y = x*scale; when y is not exactly on a .5
+    midpoint, rint(y) agrees with CPython (a disagreement would
+    require the multiply to cross the midpoint, which leaves y exactly
+    ON it). On the midpoint, recover the true side from an EXACT
+    decomposition of the product: scale*x written as a sum of
+    power-of-two multiples (8x+2x for 10, 64x+32x+4x for 100), each
+    term exact, with the leading subtraction (8x - y) exact by
+    Sterbenz. The sign of the compensated sum tells whether the exact
+    product sits above or below the midpoint; zero means a true tie ->
+    half-even (rint). For scale=100 the three-term sum rounds once
+    mid-sum, so a sub-ulp misclassification is possible there — that
+    path only decides the final 2-digit rounding of the score (max
+    0.01 shift); the impactful 1-digit ASL/ASW roundings are exact."""
+    if digits == 1:
+        parts = [8.0, 2.0]
+    elif digits == 2:
+        parts = [64.0, 32.0, 4.0]
+    else:
+        raise ValueError("only digits 1 and 2 are used here")
+    scale = float(10 ** digits)
+    y = x * F.lit(scale)
+    base = F.rint(y)
+    is_half = (y - F.floor(y)) == F.lit(0.5)
+    delta = x * F.lit(parts[0]) - y
+    for p in parts[1:]:
+        delta = delta + x * F.lit(p)
+    n = F.when(~is_half, base).otherwise(
+        F.when(delta > 0, F.floor(y) + F.lit(1.0))
+        .when(delta < 0, F.floor(y).cast("double"))
+        .otherwise(base)
+    )
+    return n / F.lit(scale)
+
+
 def textstat_flesch_column(c) -> "F.Column":
     """Per-row Flesch reading ease under the textstat-legacy-exact
     discipline (reference Profiler.py:855-860 calls
@@ -201,8 +246,9 @@ def textstat_flesch_column(c) -> "F.Column":
     EXACT mode pins the classic public algorithm the library's legacy
     versions shipped): ASL and ASW each rounded to 1 decimal BEFORE
     the formula and the result to 2, exactly as the library does —
-    with banker's rounding (Python round()) mirrored via F.bround.
-    NULL when the row has no words."""
+    with CPython's round() semantics mirrored via _py_round (see its
+    docstring for why bround would diverge on tie ratios like 23
+    syllables / 20 words). NULL when the row has no words."""
     words = _ts_words(c)
     n_words = F.size(words)
     syl = F.aggregate(
@@ -210,9 +256,9 @@ def textstat_flesch_column(c) -> "F.Column":
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    asl = F.bround(n_words.cast("double") / _ts_sentence_count(c), 1)
-    asw = F.bround(syl.cast("double") / n_words, 1)
-    score = F.bround(F.lit(206.835) - 1.015 * asl - 84.6 * asw, 2)
+    asl = _py_round(n_words.cast("double") / _ts_sentence_count(c), 1)
+    asw = _py_round(syl.cast("double") / n_words, 1)
+    score = _py_round(F.lit(206.835) - 1.015 * asl - 84.6 * asw, 2)
     return F.when(n_words > 0, score)
 
 

@@ -30,6 +30,7 @@ kind='unique_global' rows to constraint_results_global.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -51,7 +52,11 @@ from advanced_data_profile_spark.operators.stats import (
     sketch_state_struct,
 )
 from advanced_data_profile_spark.plans.manifest import Manifest, new_run_id
-from advanced_data_profile_spark.session import hadoop_path_exists
+from advanced_data_profile_spark.session import (
+    hadoop_path_exists,
+    hadoop_remove,
+    hadoop_touch,
+)
 from advanced_data_profile_spark.sources.images import phash_reference, read_images
 
 
@@ -134,6 +139,26 @@ def run_pipeline(
     images = read_images(spark, images_path, fmt=cfg.table_format)
     manifest = Manifest(spark, f"{output_dir}/manifest")
     run_id = new_run_id()
+
+    # heal a crashed supersede-compaction FIRST: if a prior backfill
+    # run crashed between its index append and its compaction, the
+    # marker survives while the old runs' 'done' manifest rows make
+    # every partition look finished — a resume retry would early-return
+    # below and the stale index rows would never be superseded.
+    if cfg.id_index_table and hadoop_path_exists(
+        spark, f"{output_dir}/id_index_compact_pending"
+    ):
+        from advanced_data_profile_spark.plans.id_index import index_compact
+
+        ts_ = time.time()
+        index_compact(
+            spark,
+            cfg.id_index_table,
+            staging_dir=f"{output_dir}/id_index_compact_staging",
+            supersede_parts=True,
+        )
+        hadoop_remove(spark, f"{output_dir}/id_index_compact_pending")
+        timings["id_index_supersede_heal"] = time.time() - ts_
 
     all_parts = images.select("part_id").distinct()
     pending = manifest.pending(all_parts) if resume else all_parts
@@ -546,6 +571,18 @@ def run_pipeline(
             .select("part_id").distinct().collect()
         }
         revalidated = sorted({str(p) for p in pending_ids} & prior_done)
+        # durable marker BEFORE the append: a crash after the append
+        # but before the compaction would otherwise leave stale rows
+        # that a plain resume=True retry never heals (the OLD runs'
+        # 'done' manifest rows make everything look finished, so the
+        # retry skips this whole block). The marker survives the crash
+        # and any later run compacts first.
+        supersede_marker = f"{output_dir}/id_index_compact_pending"
+        need_supersede = bool(revalidated) or hadoop_path_exists(
+            spark, supersede_marker
+        )
+        if revalidated:
+            hadoop_touch(spark, supersede_marker, "\n".join(revalidated))
         index_append(
             df.select("image_id", "part_id"),
             cfg.id_index_table,
@@ -554,7 +591,7 @@ def run_pipeline(
             buckets=cfg.id_index_buckets,
         )
         timings["id_index_append"] = time.time() - t
-        if revalidated:
+        if need_supersede:
             # the regenerated partitions' new appends must fully
             # supersede their old index rows (keys REMOVED by the
             # backfill would otherwise linger as stale false
@@ -569,6 +606,7 @@ def run_pipeline(
                 staging_dir=f"{output_dir}/id_index_compact_staging",
                 supersede_parts=True,
             )
+            hadoop_remove(spark, supersede_marker)
             timings["id_index_supersede"] = time.time() - t
 
     # per-partition lineage + metrics rows — commit point. Row counts

@@ -74,3 +74,26 @@ def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(jpath))
+
+
+def hadoop_touch(spark: SparkSession, path: str, content: str = "") -> None:
+    """Filesystem-agnostic marker-file write via the Hadoop FileSystem
+    API (file://, hdfs://, s3a:// — wherever the output lives); the
+    durable-intent companion of hadoop_path_exists."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_remove(spark: SparkSession, path: str) -> None:
+    """Filesystem-agnostic single-file delete (no-op if absent)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, False)

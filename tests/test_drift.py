@@ -392,3 +392,32 @@ def test_stored_state_scores_equal_built_state(spark, tmp_path):
     assert abs(mem.ks - stored.ks) <= 0.05
     assert abs(mem.psi - stored.psi) <= 0.05
     assert mem.ks > 0.1 and stored.ks > 0.1  # the planted shift is detected
+
+
+def test_chi2_sf_wilson_hilferty_continuity():
+    """The exact-iterative and Wilson-Hilferty regimes must agree where
+    they meet: values just under the dof threshold (exact branch) vs
+    the WH formula evaluated at the same points sit within the
+    documented ~1e-4 absolute accuracy, so crossing the threshold can
+    never flip a drift verdict."""
+    from advanced_data_profile_spark.functions.numeric import (
+        _WH_DOF_THRESHOLD,
+        _chi2_sf_wh,
+        chi2_sf,
+    )
+
+    d = _WH_DOF_THRESHOLD - 1  # exact branch
+    for mult in (0.95, 0.99, 1.0, 1.01, 1.05):
+        exact = chi2_sf(d * mult, d)
+        wh = _chi2_sf_wh(d * mult, d)
+        assert abs(exact - wh) < 5e-4, (mult, exact, wh)
+    # above the threshold the scalar takes the WH path outright and
+    # must be finite and sensible even at dof ~10^6 (the old cap-500
+    # silent truncation / O(dof) loop territory)
+    import math
+    import time
+
+    t0 = time.time()
+    p = chi2_sf(1_000_000.0, 1_000_000)
+    assert time.time() - t0 < 0.1  # no O(dof) loop
+    assert math.isfinite(p) and 0.45 < p < 0.52

@@ -258,3 +258,63 @@ def test_pipeline_auto_supersedes_on_revalidation(spark, tmp_path_factory):
     assert after == baseline_dups
     assert not (after & moved)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_crashed_supersede_healed_by_next_run(spark, tmp_path_factory):
+    """Crash window: a backfill run appends its regenerated partitions'
+    index rows and dies BEFORE its supersede compaction. The old runs'
+    'done' manifest rows make everything look finished, so a plain
+    resume=True retry has nothing pending — it must still heal via the
+    durable marker and compact before early-returning."""
+    from advanced_data_profile_spark.plans.id_index import index_append
+    from advanced_data_profile_spark.sources.images import (
+        generate_images,
+        write_images,
+    )
+
+    base = tmp_path_factory.mktemp("idxheal")
+    imgs = str(base / "imgs")
+    out = str(base / "out")
+    table = "idx_test_heal"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_images(generate_images(spark, n_parts=2, rows_per_part=30), imgs)
+    cfg = PipelineConfig(id_index_table=table)
+    run_pipeline(spark, imgs, out, cfg=cfg)
+    baseline_dups = {r.key for r in duplicate_keys(spark, table).collect()}
+
+    # simulate the crashed backfill: move 2 clean ids from part 0 to
+    # part 1, append the regenerated index rows and write the marker
+    # (exactly the state run_pipeline leaves if it dies after its
+    # append, before its compact) — no compaction
+    src = spark.read.parquet(imgs)
+    moved = [
+        r.image_id
+        for r in src.where(
+            (F.col("part_id") == 0)
+            & ~F.col("image_id").isin(list(baseline_dups))
+        ).limit(2).collect()
+    ]
+    regen = src.withColumn(
+        "part_id",
+        F.when(F.col("image_id").isin(moved), F.lit(1)).otherwise(
+            F.col("part_id")
+        ),
+    )
+    index_append(
+        regen.select("image_id", "part_id"), table, str(base / "loc"),
+        run_id="backfill-crashed",
+    )
+    with open(f"{out}/id_index_compact_pending", "w") as mf:
+        mf.write("\n".join(["0", "1"]))
+    # without healing, the moved ids are now false duplicates
+    assert {r.key for r in duplicate_keys(spark, table).collect()} >= set(moved)
+
+    # plain retry: nothing pending, but the marker must trigger the
+    # supersede compaction before the early return
+    s = run_pipeline(spark, imgs, out, cfg=cfg, resume=True)
+    assert s["partitions"] == 0
+    import os
+
+    assert not os.path.exists(f"{out}/id_index_compact_pending")
+    assert {r.key for r in duplicate_keys(spark, table).collect()} == baseline_dups
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -210,6 +210,11 @@ def test_textstat_flesch_exact_mode(spark):
         "one two three four five six seven eight nine ten",
         "A y e o u i strange vowel parade arrives early here.",
         "Wait... what? The ellipsis and question belong to one analysis.",
+        # tie ratio: 20 words, 23 syllables -> ASW = 23/20 = "1.15",
+        # whose double is 1.1499...; CPython round gives 1.1 while
+        # BigDecimal-HALF_EVEN (F.bround) gives 1.2 — this row pins
+        # the _py_round (F.rint) mirror against that divergence
+        ("cat " * 17 + "window window window").strip() + ".",
     ]
     pdf = pd.DataFrame({"t": texts})
     got = [
@@ -227,3 +232,32 @@ def test_textstat_flesch_exact_mode(spark):
     ).first().mean_flesch_textstat
     exp = sum(w for w in want) / len(want)  # all fixtures have >= 5 words
     assert m == pytest.approx(round(exp, 4), abs=1e-9)
+
+
+def test_py_round_matches_cpython_on_rationals(spark):
+    """_py_round (the JVM mirror of CPython round()) vs Python round
+    over every ratio p/q with q <= 40, p <= 400 at 1 digit plus a
+    dense sweep at 2 digits — covers all reachable ASL/ASW tie ratios
+    (the 23/20-type inputs where both bround and plain rint diverge)."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.operators.text_ml import _py_round
+
+    vals = []
+    for q in range(1, 41):
+        for p in range(0, 401, 7):
+            vals.append(p / q)
+        vals.append(23 / 20)
+    pdf = pd.DataFrame({"x": vals})
+    rows = (
+        spark.createDataFrame(pdf)
+        .select("x", _py_round(F.col("x"), 1).alias("r1"),
+                _py_round(F.col("x"), 2).alias("r2"))
+        .collect()
+    )
+    bad = [
+        (r.x, r.r1, round(r.x, 1), r.r2, round(r.x, 2))
+        for r in rows
+        if r.r1 != round(r.x, 1) or r.r2 != round(r.x, 2)
+    ]
+    assert not bad, bad[:10]

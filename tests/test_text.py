@@ -420,6 +420,14 @@ def test_lang_predict_round6_sibling_discrimination(spark):
         ("de mensen hebben het niet gezien maar ze zijn er ook", "nl"),
         ("il ragazzo non sono della citta che per una nel alla", "it"),
         ("el hombre es que en un una por con para del los", "es"),
+        # micro-language marker sets must not claim short texts of the
+        # major languages through THEIR high-frequency words: 'ele'
+        # (pt pronoun), 'nos' (pt/es), 'quale' (it), 'das' (de) are
+        # excluded from cbk/ia/io/vo marker sets by design
+        ("ele disse que ele viu o carro com mais pessoas", "pt"),
+        ("nos vamos a la casa y el perro es de los dos", "es"),
+        ("quale di questi libri non sono della scuola che", "it"),
+        ("das haus und das auto sind nicht der grund", "de"),
     ]
     pdf = pd.DataFrame({"t": [t for t, _ in cases]})
     preds = [
