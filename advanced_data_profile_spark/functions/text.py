@@ -157,6 +157,10 @@ LANG_MARKERS: dict[str, list[str]] = {
 SCRIPT_RULES: list[tuple[str, str]] = [
     ("ja", "[ぁ-ゟ゠-ヿ]"),      # hiragana + katakana
     ("ko", "[가-힣]"),           # hangul syllables
+    ("yue", "[嘅喺咗嚟咁唔哋嗰]"),  # written-Cantonese particles (these
+                                 # characters are Cantonese-specific;
+                                 # Mandarin text never uses them),
+                                 # BEFORE the generic Han block
     ("zh", "[一-鿿]"),           # CJK unified ideographs
     # Arabic-script family: most-specific letters first. Urdu's retro-
     # flex/heh-goal/bari-ye letters are Urdu-only; Persian's pe/che/

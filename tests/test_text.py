@@ -388,6 +388,7 @@ def test_lang_predict_round6_breadth(spark):
         ("ацы ирон ӕвзаг у тынг рӕсугъд ӕмӕ аив", "os"),
         ("тайӧ коми кыв зэв мича сійӧ миян", "kv"),
         ("това е български език който е много хубав и първият въпрос е възможен", "bg"),
+        ("佢哋喺度講嘅嘢我唔知咁多", "yue"),
     ]
     pdf = pd.DataFrame({"t": [t for t, _ in cases]})
     preds = [
@@ -416,6 +417,8 @@ def test_lang_predict_round6_sibling_discrimination(spark):
         ("объект и субъект были очень разными", "ru"),
         # Hebrew without Yiddish ligatures — must stay he
         ("זוהי שפה עברית יפה מאוד בעולם", "he"),
+        # Mandarin without Cantonese particles — must stay zh
+        ("这是一种很好的语言我们都喜欢说", "zh"),
         ("das ist nicht der fall und ich bin ein mensch mit den", "de"),
         ("de mensen hebben het niet gezien maar ze zijn er ook", "nl"),
         ("il ragazzo non sono della citta che per una nel alla", "it"),
