@@ -21,6 +21,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fixture_cache_tag(sf_dir: str, table: str) -> str:
+    """Cache tag for /tmp fixture-derived state: sf-dir basename plus a
+    fingerprint (name, size, mtime) of the source parquet files, so
+    regenerated testdata invalidates any cached state built from the
+    old data (queries comparing cached state against fresh DuckDB
+    reads of the raw parquet would otherwise mismatch)."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir}/{table}.parquet"
+    paths = (
+        [src] if os.path.isfile(src)
+        else sorted(
+            os.path.join(src, f) for f in os.listdir(src)
+            if not f.startswith(".")
+        )
+    )
+    st = [(os.path.basename(p), os.stat(p).st_size, int(os.stat(p).st_mtime))
+          for p in paths]
+    fp = hashlib.md5(repr(st).encode()).hexdigest()[:10]
+    return f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the one-pass wide-aggregation column profile."""
     from advanced_data_profile_spark.operators.stats import profile
@@ -450,25 +473,7 @@ def q_drift_from_stored_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift_from_stored_state,
     )
 
-    # cache key includes a fingerprint of the source parquet (size +
-    # mtime of every file): regenerated testdata must invalidate the
-    # cached sketch state, or the oracle's exact counts over the new
-    # raw data would mismatch sketches of the old data
-    import hashlib
-
-    src = f"{sf_dir}/events.parquet"
-    paths = (
-        [src] if os.path.isfile(src)
-        else sorted(
-            os.path.join(src, f) for f in os.listdir(src)
-            if not f.startswith(".")
-        )
-    )
-    st = [(os.path.basename(p), os.stat(p).st_size, int(os.stat(p).st_mtime))
-          for p in paths]
-    fp = hashlib.md5(repr(st).encode()).hexdigest()[:10]
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
-    root = f"/tmp/adp_drift_state_{tag}"
+    root = f"/tmp/adp_drift_state_{_fixture_cache_tag(sf_dir, 'events')}"
     if not os.path.exists(f"{root}/_built"):
         ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
         half = F.when(F.col("ts") < "2024-01-08", "a").otherwise("b")
@@ -1633,6 +1638,84 @@ def _oracle_near_dup_minhash() -> str:
     """
 
 
+def q_neardup_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index (operators/dedup.py:
+    neardup_index_build/check): the corpus two-thirds of `documents`
+    (doc_id % 3 != 0) is indexed ONCE into persisted signature +
+    band-bucket state; the incoming one-third is then near-dup-checked
+    against that stored state with the batch keys broadcast — the
+    corpus text is never rescanned at check time (the streaming-ingest
+    dedup shape at 100 TB). Value oracle: DuckDB replays the identical
+    md5-minhash/banding/verify arithmetic over the same split."""
+    from advanced_data_profile_spark.operators.dedup import (
+        neardup_index_build,
+        neardup_index_check,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = f"/tmp/adp_lsh_index_{_fixture_cache_tag(sf_dir, 'documents')}"
+    import os
+
+    if not os.path.exists(f"{idx}/_built"):
+        neardup_index_build(
+            docs.where(F.col("doc_id") % 3 != 0), "doc_id", "text", idx
+        )
+        with open(f"{idx}/_built", "w") as fh:
+            fh.write("ok")
+    out = neardup_index_check(
+        docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text", idx,
+        threshold=0.8,
+    )
+    return out.select("id_new", "id_indexed", "est_jaccard")
+
+
+def _oracle_neardup_index() -> str:
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    k, bands, rpb = 16, 4, 4
+    mins = ", ".join(f"{O.sql_minhash_expr(j)} AS mh{j}" for j in range(k))
+
+    def band_cte(src: str) -> str:
+        selects = []
+        for b in range(bands):
+            concat = " || ',' || ".join(
+                f"mh{b * rpb + r}::VARCHAR" for r in range(rpb)
+            )
+            selects.append(
+                f"SELECT id, {b} AS band, "
+                f"{O.sql_md5_int60(f'({concat})')} AS bucket FROM {src}"
+            )
+        return " UNION ALL ".join(selects)
+
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    return f"""
+        WITH d AS ({_norm_cte()}),
+        tok AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(string_split(__norm, ' '))) AS tok
+          FROM d WHERE __norm <> ''
+        ),
+        sig AS (SELECT id, {mins} FROM tok GROUP BY id),
+        corpus_sig AS (SELECT * FROM sig WHERE id % 3 != 0),
+        batch_sig AS (SELECT * FROM sig WHERE id % 3 = 0),
+        corpus_band AS ({band_cte('corpus_sig')}),
+        batch_band AS ({band_cte('batch_sig')}),
+        pairs AS (
+          SELECT DISTINCT n.id AS id_new, c.id AS id_indexed
+          FROM corpus_band c JOIN batch_band n
+            ON c.band = n.band AND c.bucket = n.bucket
+        )
+        SELECT p.id_new, p.id_indexed,
+               round(({agree}) / {k}.0, 6) AS est_jaccard
+        FROM pairs p
+        JOIN corpus_sig a ON a.id = p.id_indexed
+        JOIN batch_sig b ON b.id = p.id_new
+        WHERE round(({agree}) / {k}.0, 6) >= 0.8
+    """
+
+
 def _oracle_correlation() -> str:
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
@@ -2665,6 +2748,9 @@ _EXTENDED_NAMES = [
     "drift_from_stored_state_events",  # round-6 add; the production-
                               # shaped stored-state scoring path of the
                               # contract-covered drift_from_sketches
+    "neardup_index_documents",  # round-6 add; incremental stored-state
+                              # variant of the contract-covered
+                              # near_dup_minhash (same md5 arithmetic)
 ]
 
 
@@ -2675,6 +2761,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "drift_from_sketches": q_drift_from_sketches,
         "drift_from_stored_state_events": q_drift_from_stored_state,
+        "neardup_index_documents": q_neardup_index_documents,
         "chunk_slice_documents": q_chunk_slice_documents,
         "knn_ivf_learned": q_knn_ivf_learned,
         "split_pack_documents": q_split_pack_documents,
@@ -2765,6 +2852,7 @@ def _all_oracle_sql() -> dict[str, str]:
     out = {
         "drift_from_sketches": _oracle_drift_from_sketches(),
         "drift_from_stored_state_events": _oracle_drift_from_stored_state(),
+        "neardup_index_documents": _oracle_neardup_index(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),
         "knn_ivf_learned": _oracle_knn_ivf_learned(),
         "split_pack_documents": _oracle_split_pack_documents(),

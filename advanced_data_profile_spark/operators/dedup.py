@@ -165,6 +165,125 @@ def minhash_dedup(
     return sims.where(F.col("est_jaccard") >= threshold)
 
 
+# --- Incremental MinHash-LSH index ----------------------------------------
+
+def neardup_index_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    k: int = 16,
+    bands: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's MinHash-LSH state — signatures and band
+    buckets — so later batches can be near-dup-checked WITHOUT ever
+    rescanning the corpus (the incremental counterpart of
+    minhash_dedup, the same stored-state discipline as the sketch
+    rollups and the id-index).
+
+    The raw corpus is scanned exactly once: signatures are written
+    first, and the bucket relation is derived from the WRITTEN
+    signatures (read-back of KB..GB state, not a second raw scan)."""
+    spark = df.sparkSession
+    minhash_signatures(df, id_col, text_col, k).write.mode(mode).parquet(
+        f"{index_path}/signatures"
+    )
+    stored = spark.read.parquet(f"{index_path}/signatures")
+    lsh_band_buckets(stored, bands, k // bands).write.mode(mode).parquet(
+        f"{index_path}/buckets"
+    )
+
+
+def neardup_index_check(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    append: bool = False,
+) -> DataFrame:
+    """Near-dup-check an incoming batch against the stored index:
+    (id_new, id_indexed, est_jaccard) for every batch document whose
+    estimated Jaccard against an indexed document reaches `threshold`.
+
+    Scale shape (batch << index, the streaming-ingest contract): the
+    batch's (band, bucket) keys are BROADCAST against the stored
+    bucket relation, so the index side is scanned but never shuffled;
+    only the candidate id set fetches stored signatures, and only
+    candidate pairs are verified — the corpus text is never touched.
+    Intra-batch duplicates are out of scope here (run minhash_dedup on
+    the batch for those).
+
+    append=True adds the batch's signatures and buckets to the index,
+    making later batches see this one — foreachBatch callers should
+    guard replays on the batch id, the same idempotency contract as
+    streaming/incremental. A batch can never match its own appended
+    state: the stored relations are read as an EXPLICIT file-list
+    snapshot taken before the append (a plain path read would not be
+    enough — Spark's write-path auto-refresh invalidates dependent
+    cached plans, and the recompute would see the appended files)."""
+    spark = batch.sparkSession
+    sigs_new = minhash_signatures(batch, id_col, text_col, k).persist()
+    b_new = lsh_band_buckets(sigs_new, bands, k // bands)
+
+    def _snapshot(path: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        files = [
+            st.getPath().toString()
+            for st in fs.listStatus(jpath)
+            if not st.getPath().getName().startswith(("_", "."))
+        ]
+        return spark.read.parquet(*files)
+
+    stored_b = _snapshot(f"{index_path}/buckets")
+    cand = (
+        stored_b.join(
+            F.broadcast(b_new.withColumnRenamed("id", "id_new")),
+            ["band", "bucket"],
+        )
+        .select(F.col("id").alias("id_indexed"), "id_new")
+        .distinct()
+    )
+    stored_sigs = _snapshot(f"{index_path}/signatures")
+    sa = stored_sigs.select(
+        F.col("id").alias("id_indexed"),
+        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_a"),
+    )
+    sb = sigs_new.select(
+        F.col("id").alias("id_new"),
+        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_b"),
+    )
+    j = cand.join(sa, "id_indexed").join(F.broadcast(sb), "id_new")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    out = (
+        j.select(
+            "id_new", "id_indexed",
+            F.round(agree / F.lit(k), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .persist()
+    )
+    # materialize before the append — correctness is already pinned by
+    # the file-list snapshot; this just avoids a wasteful recompute
+    # when Spark's write-path refresh drops the cache
+    out.count()
+    if append:
+        sigs_new.write.mode("append").parquet(f"{index_path}/signatures")
+        b_new.write.mode("append").parquet(f"{index_path}/buckets")
+    sigs_new.unpersist()
+    return out
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:

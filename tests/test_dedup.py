@@ -337,3 +337,81 @@ def test_decontaminate_benchmark_with_different_schema(spark):
         bench_text_col="question", bench_id_col="qid", n=8,
     ).collect()
     assert out[0].contaminated is True
+
+
+def test_neardup_index_build_check_append(spark, tmp_path):
+    """Incremental LSH index lifecycle: build from a corpus, check an
+    incoming batch (exact copy found at est 1.0, token-shuffled
+    near-dup found, novel doc clean), append, and a SECOND batch must
+    see the first batch's appended state — all without rescanning
+    corpus text at check time."""
+    from advanced_data_profile_spark.operators.dedup import (
+        neardup_index_build,
+        neardup_index_check,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "distributed query engines shuffle data between executors"),
+            (3, "completely unrelated text about cooking pasta with basil"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lsh_index")
+    neardup_index_build(corpus, "doc_id", "text", idx)
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight again"),
+            (11, "dog lazy the over jumps fox brown quick the tonight again"),
+            (12, "a totally novel document about quantum chemistry methods"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id_new: r
+        for r in neardup_index_check(
+            batch1, "doc_id", "text", idx, threshold=0.5, append=True
+        ).collect()
+    }
+    assert out[10].id_indexed == 1 and out[10].est_jaccard == 1.0
+    # token-set identical (minhash over DISTINCT tokens) -> also 1.0
+    assert out[11].id_indexed == 1 and out[11].est_jaccard == 1.0
+    assert 12 not in out
+
+    # second batch: duplicates a FIRST-BATCH doc (not in the original
+    # corpus) — only findable through the append
+    batch2 = spark.createDataFrame(
+        [(20, "a totally novel document about quantum chemistry methods")],
+        "doc_id long, text string",
+    )
+    out2 = neardup_index_check(
+        batch2, "doc_id", "text", idx, threshold=0.5
+    ).collect()
+    assert {(r.id_new, r.id_indexed) for r in out2} == {(20, 12)}
+
+
+def test_neardup_index_check_plan_broadcasts_batch(spark, tmp_path):
+    """Scale contract: the stored bucket relation joins against the
+    BROADCAST batch keys — the index side is scanned, never shuffled
+    for the candidate join."""
+    from advanced_data_profile_spark.operators.dedup import (
+        neardup_index_build,
+        neardup_index_check,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "lsh_plan_index")
+    neardup_index_build(corpus, "doc_id", "text", idx)
+    out = neardup_index_check(
+        spark.createDataFrame(
+            [(2, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", idx,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # bucket join + sig fetch
