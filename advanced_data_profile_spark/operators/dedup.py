@@ -195,6 +195,50 @@ def neardup_index_build(
     )
 
 
+def match_against_index(
+    stored_b: DataFrame,
+    stored_sigs: DataFrame,
+    b_new: DataFrame,
+    sigs_new: DataFrame,
+    k: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The core incremental-LSH join, shared by neardup_index_check
+    (flat file-snapshot state) and streaming.neardup_batch_writer
+    (batch_id-partitioned state): broadcast the new side's (band,
+    bucket) keys against the stored bucket relation (index side never
+    shuffles), fetch stored signatures for the candidate ids only, and
+    verify est_jaccard on candidate pairs. Returns (id_new,
+    id_indexed, est_jaccard) at >= threshold."""
+    cand = (
+        stored_b.join(
+            F.broadcast(b_new.withColumnRenamed("id", "id_new")),
+            ["band", "bucket"],
+        )
+        .select(F.col("id").alias("id_indexed"), "id_new")
+        .distinct()
+    )
+    sa = stored_sigs.select(
+        F.col("id").alias("id_indexed"),
+        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_a"),
+    )
+    sb = sigs_new.select(
+        F.col("id").alias("id_new"),
+        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_b"),
+    )
+    j = cand.join(sa, "id_indexed").join(F.broadcast(sb), "id_new")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return j.select(
+        "id_new", "id_indexed",
+        F.round(agree / F.lit(k), 6).alias("est_jaccard"),
+    ).where(F.col("est_jaccard") >= threshold)
+
+
 def neardup_index_check(
     batch: DataFrame,
     id_col: str,
@@ -240,39 +284,14 @@ def neardup_index_check(
         ]
         return spark.read.parquet(*files)
 
-    stored_b = _snapshot(f"{index_path}/buckets")
-    cand = (
-        stored_b.join(
-            F.broadcast(b_new.withColumnRenamed("id", "id_new")),
-            ["band", "bucket"],
-        )
-        .select(F.col("id").alias("id_indexed"), "id_new")
-        .distinct()
-    )
-    stored_sigs = _snapshot(f"{index_path}/signatures")
-    sa = stored_sigs.select(
-        F.col("id").alias("id_indexed"),
-        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_a"),
-    )
-    sb = sigs_new.select(
-        F.col("id").alias("id_new"),
-        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_b"),
-    )
-    j = cand.join(sa, "id_indexed").join(F.broadcast(sb), "id_new")
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
-            lambda x: x,
-        )
-    )
-    out = (
-        j.select(
-            "id_new", "id_indexed",
-            F.round(agree / F.lit(k), 6).alias("est_jaccard"),
-        )
-        .where(F.col("est_jaccard") >= threshold)
-        .persist()
-    )
+    out = match_against_index(
+        _snapshot(f"{index_path}/buckets"),
+        _snapshot(f"{index_path}/signatures"),
+        b_new,
+        sigs_new,
+        k,
+        threshold,
+    ).persist()
     # materialize before the append — correctness is already pinned by
     # the file-list snapshot; this just avoids a wasteful recompute
     # when Spark's write-path refresh drops the cache

@@ -403,3 +403,79 @@ def finalize_stream_categories(spark: SparkSession, output_dir: str) -> DataFram
     return out.select(
         F.col("part_id").cast("string").alias("grp"), "column", "category", "cnt"
     )
+
+
+def neardup_batch_writer(
+    index_path: str,
+    matches_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+):
+    """foreachBatch seam for STREAMING near-dup ingestion over the
+    incremental MinHash-LSH index (operators/dedup): each micro-batch
+    is checked against every PRIOR batch's stored signature/bucket
+    state, its matches written to {matches_dir}, and its own state
+    appended so later batches see it — the corpus text of prior
+    batches is never rescanned.
+
+    Replay idempotency (a crashed micro-batch is replayed with the
+    SAME batch_id): both the index state and the matches are
+    PARTITIONED BY batch_id with dynamic partition overwrite, so a
+    replay overwrites exactly its own partitions; and the check
+    filters the stored side to batch_id != current, so a replayed
+    batch never matches its first attempt's rows. This is a different
+    self-match defense than the batch API's file-list snapshot — here
+    the filter makes even a post-append recompute correct, which is
+    why this layout needs no snapshot.
+
+    To seed from an existing corpus, run the corpus through as the
+    first batch (its batch_id partitions the bootstrap state like any
+    other batch)."""
+    from advanced_data_profile_spark.operators.dedup import (
+        lsh_band_buckets,
+        match_against_index,
+        minhash_signatures,
+    )
+    from advanced_data_profile_spark.session import hadoop_path_exists
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(batch_df, id_col, text_col, k).persist()
+        b_new = lsh_band_buckets(sigs, bands, k // bands)
+        sig_dir = f"{index_path}/signatures"
+        bkt_dir = f"{index_path}/buckets"
+        if hadoop_path_exists(spark, bkt_dir):
+            stored_b = spark.read.parquet(bkt_dir).where(
+                F.col("batch_id") != int(batch_id)
+            )
+            stored_s = spark.read.parquet(sig_dir).where(
+                F.col("batch_id") != int(batch_id)
+            )
+        else:  # first batch: empty stored side with matching schemas
+            stored_b, stored_s = b_new.limit(0), sigs.limit(0)
+        matches = match_against_index(
+            stored_b, stored_s, b_new, sigs, k, threshold
+        ).persist()
+        matches.count()  # avoid recompute after the index writes below
+        (
+            matches.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(matches_dir)
+        )
+        for d, rel in ((sig_dir, sigs), (bkt_dir, b_new)):
+            (
+                rel.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(d)
+            )
+        matches.unpersist()
+        sigs.unpersist()
+
+    return write_batch

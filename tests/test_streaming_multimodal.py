@@ -568,3 +568,62 @@ def test_streaming_category_counts_equal_batch(spark, images_path, tmp_path):
               batch.withColumn("grp", F.col("grp").cast("string")), "0"
           ).collect()}
     assert s1 == s2
+
+
+def test_neardup_batch_writer_incremental_and_replay(spark, tmp_path):
+    """Streaming near-dup over the incremental LSH index: batch 1 must
+    match only against batch 0's stored state, a crash-REPLAY of batch
+    1 must produce identical matches (no self-matches from its first
+    attempt's appended rows) and leave the index without duplicated
+    batch-1 state — the batch_id-partitioned dynamic-overwrite
+    idempotency contract."""
+    from advanced_data_profile_spark.streaming.incremental import (
+        neardup_batch_writer,
+    )
+
+    idx = str(tmp_path / "stream_lsh")
+    matches_dir = str(tmp_path / "matches")
+    w = neardup_batch_writer(idx, matches_dir, threshold=0.5)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "distributed query engines shuffle data between executors"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight again"),
+            (11, "some wholly original text about gardening in winter"),
+        ],
+        "doc_id long, text string",
+    )
+    w(b0, 0)  # first batch: nothing prior -> empty matches partition
+    w(b1, 1)
+
+    def matches_of(bid):
+        return {
+            (r.id_new, r.id_indexed, r.est_jaccard)
+            for r in spark.read.parquet(matches_dir)
+            .where(F.col("batch_id") == bid).collect()
+        }
+
+    first = matches_of(1)
+    assert first == {(10, 1, 1.0)}
+
+    # crash replay of batch 1: identical output, no self-matches, no
+    # duplicated index state
+    w(b1, 1)
+    assert matches_of(1) == first
+    sig = spark.read.parquet(f"{idx}/signatures")
+    assert sig.where(F.col("batch_id") == 1).count() == 2  # not 4
+    assert sig.count() == 4
+
+    # batch 2 sees BOTH prior batches' state
+    b2 = spark.createDataFrame(
+        [(20, "some wholly original text about gardening in winter")],
+        "doc_id long, text string",
+    )
+    w(b2, 2)
+    assert matches_of(2) == {(20, 11, 1.0)}
