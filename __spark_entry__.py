@@ -21,12 +21,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _fixture_cache_tag(sf_dir: str, table: str) -> str:
+def _fixture_cache_tag(sf_dir: str, table: str, params: str = "") -> str:
     """Cache tag for /tmp fixture-derived state: sf-dir basename plus a
-    fingerprint (name, size, mtime) of the source parquet files, so
-    regenerated testdata invalidates any cached state built from the
-    old data (queries comparing cached state against fresh DuckDB
-    reads of the raw parquet would otherwise mismatch)."""
+    fingerprint of the source parquet files (name, size, mtime) AND of
+    the build parameters, so both regenerated testdata and a changed
+    build recipe (sketch k, minhash k/bands, ...) invalidate cached
+    state — a stale index read with new-recipe expectations would fail
+    confusingly (missing columns) or silently diverge from the
+    oracle."""
     import hashlib
     import os
 
@@ -40,7 +42,7 @@ def _fixture_cache_tag(sf_dir: str, table: str) -> str:
     )
     st = [(os.path.basename(p), os.stat(p).st_size, int(os.stat(p).st_mtime))
           for p in paths]
-    fp = hashlib.md5(repr(st).encode()).hexdigest()[:10]
+    fp = hashlib.md5((repr(st) + "|" + params).encode()).hexdigest()[:10]
     return f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
 
 
@@ -473,7 +475,10 @@ def q_drift_from_stored_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift_from_stored_state,
     )
 
-    root = f"/tmp/adp_drift_state_{_fixture_cache_tag(sf_dir, 'events')}"
+    root = (
+        "/tmp/adp_drift_state_"
+        + _fixture_cache_tag(sf_dir, "events", "kll200,halves-weekday")
+    )
     if not os.path.exists(f"{root}/_built"):
         ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
         half = F.when(F.col("ts") < "2024-01-08", "a").otherwise("b")
@@ -1653,7 +1658,10 @@ def q_neardup_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    idx = f"/tmp/adp_lsh_index_{_fixture_cache_tag(sf_dir, 'documents')}"
+    idx = (
+        "/tmp/adp_lsh_index_"
+        + _fixture_cache_tag(sf_dir, "documents", "k16,b4,mod3split")
+    )
     import os
 
     if not os.path.exists(f"{idx}/_built"):

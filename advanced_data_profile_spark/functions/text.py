@@ -157,10 +157,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 SCRIPT_RULES: list[tuple[str, str]] = [
     ("ja", "[ぁ-ゟ゠-ヿ]"),      # hiragana + katakana
     ("ko", "[가-힣]"),           # hangul syllables
-    ("yue", "[嘅喺咗嚟咁唔哋嗰]"),  # written-Cantonese particles (these
-                                 # characters are Cantonese-specific;
-                                 # Mandarin text never uses them),
-                                 # BEFORE the generic Han block
+    ("yue", "[嘅喺哋咗嚟]"),      # written-Cantonese particles, BEFORE
+                                 # the generic Han block. Only the
+                                 # strongly Cantonese-specific ones:
+                                 # 唔/咁/嗰 are deliberately excluded —
+                                 # Mandarin prose uses 唔 as an
+                                 # interjection and 咁 in dialect
+                                 # quoting, and one hit anywhere flips
+                                 # the whole document (documented
+                                 # approximation, single-char rule)
     ("zh", "[一-鿿]"),           # CJK unified ideographs
     # Arabic-script family: most-specific letters first. Urdu's retro-
     # flex/heh-goal/bari-ye letters are Urdu-only; Persian's pe/che/

@@ -25,6 +25,7 @@ from advanced_data_profile_spark.functions.text import (
     tokens,
     word_ngrams,
 )
+from advanced_data_profile_spark.session import hadoop_list_files
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -127,30 +128,37 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_similarity(
-    signatures: DataFrame, pairs: DataFrame, k: int = 16
-) -> DataFrame:
-    """Estimated Jaccard = fraction of agreeing minhash components,
-    for candidate pairs only (two broadcast-or-shuffle hash joins on
-    id — never quadratic)."""
-    sa = signatures.select(
-        F.col("id").alias("id_a"),
-        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_a"),
+def _sig_array(signatures: DataFrame, id_alias: str, sig_alias: str, k: int):
+    """(id as <id_alias>, [mh0..mhk-1] as <sig_alias>)."""
+    return signatures.select(
+        F.col("id").alias(id_alias),
+        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias(sig_alias),
     )
-    sb = signatures.select(
-        F.col("id").alias("id_b"),
-        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_b"),
-    )
-    j = pairs.join(sa, "id_a").join(sb, "id_b")
+
+
+def _est_jaccard(k: int) -> Column:
+    """Fraction of agreeing components between sig_a and sig_b — THE
+    minhash verify expression, shared by minhash_similarity and
+    match_against_index so the two paths can never diverge."""
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
             lambda x: x,
         )
     )
-    return j.select(
-        "id_a", "id_b", F.round(agree / F.lit(k), 6).alias("est_jaccard")
+    return F.round(agree / F.lit(k), 6)
+
+
+def minhash_similarity(
+    signatures: DataFrame, pairs: DataFrame, k: int = 16
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhash components,
+    for candidate pairs only (two broadcast-or-shuffle hash joins on
+    id — never quadratic)."""
+    j = pairs.join(_sig_array(signatures, "id_a", "sig_a", k), "id_a").join(
+        _sig_array(signatures, "id_b", "sig_b", k), "id_b"
     )
+    return j.select("id_a", "id_b", _est_jaccard(k).alias("est_jaccard"))
 
 
 def minhash_dedup(
@@ -202,40 +210,35 @@ def match_against_index(
     sigs_new: DataFrame,
     k: int = 16,
     threshold: float = 0.5,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """The core incremental-LSH join, shared by neardup_index_check
     (flat file-snapshot state) and streaming.neardup_batch_writer
-    (batch_id-partitioned state): broadcast the new side's (band,
-    bucket) keys against the stored bucket relation (index side never
-    shuffles), fetch stored signatures for the candidate ids only, and
-    verify est_jaccard on candidate pairs. Returns (id_new,
-    id_indexed, est_jaccard) at >= threshold."""
+    (batch_id-partitioned state): the new side's (band, bucket) keys
+    join the stored bucket relation, candidate ids fetch their stored
+    signatures, and only candidate pairs are verified (the shared
+    _est_jaccard expression — identical math to minhash_similarity).
+    Returns (id_new, id_indexed, est_jaccard) at >= threshold.
+
+    broadcast_batch=True (the streaming-ingest contract, batch <<
+    index) force-broadcasts the batch side so the index is scanned but
+    never shuffled. For a corpus-scale batch — e.g. seeding an index
+    by running the corpus through as the first batch — the forced
+    broadcast would exceed Spark's broadcast limits outright; pass
+    False there and AQE picks the join strategy from runtime sizes."""
+    b_keys = b_new.withColumnRenamed("id", "id_new")
+    sigs_b = _sig_array(sigs_new, "id_new", "sig_b", k)
+    if broadcast_batch:
+        b_keys, sigs_b = F.broadcast(b_keys), F.broadcast(sigs_b)
     cand = (
-        stored_b.join(
-            F.broadcast(b_new.withColumnRenamed("id", "id_new")),
-            ["band", "bucket"],
-        )
+        stored_b.join(b_keys, ["band", "bucket"])
         .select(F.col("id").alias("id_indexed"), "id_new")
         .distinct()
     )
-    sa = stored_sigs.select(
-        F.col("id").alias("id_indexed"),
-        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_a"),
-    )
-    sb = sigs_new.select(
-        F.col("id").alias("id_new"),
-        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig_b"),
-    )
-    j = cand.join(sa, "id_indexed").join(F.broadcast(sb), "id_new")
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
-            lambda x: x,
-        )
-    )
+    j = cand.join(_sig_array(stored_sigs, "id_indexed", "sig_a", k),
+                  "id_indexed").join(sigs_b, "id_new")
     return j.select(
-        "id_new", "id_indexed",
-        F.round(agree / F.lit(k), 6).alias("est_jaccard"),
+        "id_new", "id_indexed", _est_jaccard(k).alias("est_jaccard")
     ).where(F.col("est_jaccard") >= threshold)
 
 
@@ -248,6 +251,7 @@ def neardup_index_check(
     bands: int = 4,
     threshold: float = 0.5,
     append: bool = False,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Near-dup-check an incoming batch against the stored index:
     (id_new, id_indexed, est_jaccard) for every batch document whose
@@ -258,8 +262,9 @@ def neardup_index_check(
     bucket relation, so the index side is scanned but never shuffled;
     only the candidate id set fetches stored signatures, and only
     candidate pairs are verified — the corpus text is never touched.
-    Intra-batch duplicates are out of scope here (run minhash_dedup on
-    the batch for those).
+    For a corpus-scale batch, pass broadcast_batch=False (see
+    match_against_index). Intra-batch duplicates are out of scope here
+    (run minhash_dedup on the batch for those).
 
     append=True adds the batch's signatures and buckets to the index,
     making later batches see this one — foreachBatch callers should
@@ -268,21 +273,16 @@ def neardup_index_check(
     state: the stored relations are read as an EXPLICIT file-list
     snapshot taken before the append (a plain path read would not be
     enough — Spark's write-path auto-refresh invalidates dependent
-    cached plans, and the recompute would see the appended files)."""
+    cached plans, and the recompute would see the appended files).
+    The returned DataFrame is lazy and never left pinned in the cache;
+    a post-append evaluation recomputes the small batch's signatures
+    once but reads only the snapshot's files."""
     spark = batch.sparkSession
-    sigs_new = minhash_signatures(batch, id_col, text_col, k).persist()
+    sigs_new = minhash_signatures(batch, id_col, text_col, k)
     b_new = lsh_band_buckets(sigs_new, bands, k // bands)
 
     def _snapshot(path: str):
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        files = [
-            st.getPath().toString()
-            for st in fs.listStatus(jpath)
-            if not st.getPath().getName().startswith(("_", "."))
-        ]
-        return spark.read.parquet(*files)
+        return spark.read.parquet(*hadoop_list_files(spark, path))
 
     out = match_against_index(
         _snapshot(f"{index_path}/buckets"),
@@ -291,15 +291,15 @@ def neardup_index_check(
         sigs_new,
         k,
         threshold,
-    ).persist()
-    # materialize before the append — correctness is already pinned by
-    # the file-list snapshot; this just avoids a wasteful recompute
-    # when Spark's write-path refresh drops the cache
-    out.count()
+        broadcast_batch=broadcast_batch,
+    )
     if append:
+        # one batch scan serves both writes; unpersisted before return
+        # so nothing is left pinned in the block manager
+        sigs_new.persist()
         sigs_new.write.mode("append").parquet(f"{index_path}/signatures")
         b_new.write.mode("append").parquet(f"{index_path}/buckets")
-    sigs_new.unpersist()
+        sigs_new.unpersist()
     return out
 
 

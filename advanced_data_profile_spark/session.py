@@ -97,3 +97,18 @@ def hadoop_remove(spark: SparkSession, path: str) -> None:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jpath):
         fs.delete(jpath, False)
+
+
+def hadoop_list_files(spark: SparkSession, path: str) -> list[str]:
+    """Non-recursive listing of a directory's data files (hidden
+    _/.-prefixed entries dropped) via the Hadoop FileSystem API —
+    the snapshot primitive for readers that must pin a file list
+    against concurrent appends."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return [
+        st.getPath().toString()
+        for st in fs.listStatus(jpath)
+        if not st.getPath().getName().startswith(("_", "."))
+    ]

@@ -413,6 +413,7 @@ def neardup_batch_writer(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    broadcast_batch: bool = True,
 ):
     """foreachBatch seam for STREAMING near-dup ingestion over the
     incremental MinHash-LSH index (operators/dedup): each micro-batch
@@ -433,7 +434,11 @@ def neardup_batch_writer(
 
     To seed from an existing corpus, run the corpus through as the
     first batch (its batch_id partitions the bootstrap state like any
-    other batch)."""
+    other batch). The forced batch-side broadcast is automatically
+    DISABLED on the first batch (no index yet — a corpus-scale seed
+    would exceed Spark's broadcast limits; the stored side is empty so
+    there is nothing to protect from shuffling), and `broadcast_batch`
+    turns it off for later batches too if they are index-scale."""
     from advanced_data_profile_spark.operators.dedup import (
         lsh_band_buckets,
         match_against_index,
@@ -447,6 +452,7 @@ def neardup_batch_writer(
         b_new = lsh_band_buckets(sigs, bands, k // bands)
         sig_dir = f"{index_path}/signatures"
         bkt_dir = f"{index_path}/buckets"
+        bcast = broadcast_batch
         if hadoop_path_exists(spark, bkt_dir):
             stored_b = spark.read.parquet(bkt_dir).where(
                 F.col("batch_id") != int(batch_id)
@@ -454,10 +460,13 @@ def neardup_batch_writer(
             stored_s = spark.read.parquet(sig_dir).where(
                 F.col("batch_id") != int(batch_id)
             )
-        else:  # first batch: empty stored side with matching schemas
+        else:  # first batch: empty stored side with matching schemas;
+            # never force-broadcast a (possibly corpus-scale) seed
             stored_b, stored_s = b_new.limit(0), sigs.limit(0)
+            bcast = False
         matches = match_against_index(
-            stored_b, stored_s, b_new, sigs, k, threshold
+            stored_b, stored_s, b_new, sigs, k, threshold,
+            broadcast_batch=bcast,
         ).persist()
         matches.count()  # avoid recompute after the index writes below
         (

@@ -419,6 +419,9 @@ def test_lang_predict_round6_sibling_discrimination(spark):
         ("זוהי שפה עברית יפה מאוד בעולם", "he"),
         # Mandarin without Cantonese particles — must stay zh
         ("这是一种很好的语言我们都喜欢说", "zh"),
+        # Mandarin using 唔 as an interjection and 咁 in quoting — both
+        # are excluded from the yue class exactly for this reason
+        ("唔我知道了他咁说的这是普通话句子", "zh"),
         ("das ist nicht der fall und ich bin ein mensch mit den", "de"),
         ("de mensen hebben het niet gezien maar ze zijn er ook", "nl"),
         ("il ragazzo non sono della citta che per una nel alla", "it"),
