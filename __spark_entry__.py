@@ -1724,6 +1724,68 @@ def _oracle_neardup_index() -> str:
     """
 
 
+def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style char-trigram LM perplexity (operators/quality.py:
+    train_char_lm / char_lm_perplexity, Wenzek et al. 2020 — public
+    method): the corpus two-thirds of `documents` train the model (a
+    KB-sized broadcast relation regardless of corpus size), the
+    remaining third is scored per document. Value oracle: DuckDB
+    replays the identical padded-trigram extraction, add-alpha
+    smoothing (alpha computed as 0.1::DOUBLE * 37 so the IEEE double
+    matches Python's bit-for-bit) and avg-log aggregation."""
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity,
+        train_char_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_char_lm(docs.where(F.col("doc_id") % 3 != 0), "text")
+    out = char_lm_perplexity(
+        docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text", model
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_chars",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
+def _oracle_char_lm_perplexity() -> str:
+    return f"""
+        WITH d AS ({_norm_cte()}),
+        pad AS (
+          SELECT doc_id, '##' || __norm AS p FROM d WHERE length(__norm) >= 1
+        ),
+        pos AS (
+          SELECT doc_id, p, unnest(range(1, length(p) - 1)) AS i FROM pad
+        ),
+        grams AS (
+          SELECT doc_id, substr(p, i::INT, 2) AS ctx,
+                 substr(p, i::INT + 2, 1) AS ch
+          FROM pos
+        ),
+        model AS (
+          SELECT ctx, ch, count(*) AS cnt FROM grams
+          WHERE doc_id % 3 != 0 GROUP BY 1, 2
+        ),
+        ctxtot AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM model GROUP BY 1),
+        scored AS (
+          SELECT g.doc_id,
+                 ln((coalesce(m.cnt, 0) + 0.1::DOUBLE)
+                    / (coalesce(t.ctx_cnt, 0) + 0.1::DOUBLE * 37)) AS logp
+          FROM grams g
+          LEFT JOIN model m ON g.ctx = m.ctx AND g.ch = m.ch
+          LEFT JOIN ctxtot t ON g.ctx = t.ctx
+          WHERE g.doc_id % 3 = 0
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_chars,
+               round(avg(logp), 6) AS avg_logp,
+               round(exp(-avg(logp)), 4) AS ppl
+        FROM scored GROUP BY 1
+    """
+
+
 def _oracle_correlation() -> str:
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
@@ -2759,6 +2821,8 @@ _EXTENDED_NAMES = [
     "neardup_index_documents",  # round-6 add; incremental stored-state
                               # variant of the contract-covered
                               # near_dup_minhash (same md5 arithmetic)
+    "char_lm_perplexity_documents",  # round-6 add; quality family is
+                              # contract-covered by quality_filter
 ]
 
 
@@ -2770,6 +2834,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_from_sketches": q_drift_from_sketches,
         "drift_from_stored_state_events": q_drift_from_stored_state,
         "neardup_index_documents": q_neardup_index_documents,
+        "char_lm_perplexity_documents": q_char_lm_perplexity,
         "chunk_slice_documents": q_chunk_slice_documents,
         "knn_ivf_learned": q_knn_ivf_learned,
         "split_pack_documents": q_split_pack_documents,
@@ -2861,6 +2926,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "drift_from_sketches": _oracle_drift_from_sketches(),
         "drift_from_stored_state_events": _oracle_drift_from_stored_state(),
         "neardup_index_documents": _oracle_neardup_index(),
+        "char_lm_perplexity_documents": _oracle_char_lm_perplexity(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),
         "knn_ivf_learned": _oracle_knn_ivf_learned(),
         "split_pack_documents": _oracle_split_pack_documents(),

@@ -282,3 +282,100 @@ def repetition_filter(
         c = F.col(f"dup_{n}_char_frac") <= mx
         keep = keep & c
     return rep.withColumn("repetition_keep", keep)
+
+
+# ------------------------------------------------- char-LM perplexity
+
+LM_PAD = "#"
+# the norm_text alphabet: a-z, 0-9, space. The BOS pad '#' occurs only
+# inside contexts, never as a predicted character, so it is not part
+# of the smoothing vocabulary.
+LM_VOCAB = 37
+
+
+def _char_ngram_pairs(df: DataFrame, text_col: str, n: int,
+                      keep: list[str]) -> DataFrame:
+    """One row per character position of the BOS-padded normalized
+    text: (``keep``..., ctx = preceding n-1 chars, ch = the char).
+    Empty-normalized rows emit nothing. The padded string is
+    materialized as a COLUMN before the position transform — a lambda
+    capturing the normalize expression would re-evaluate it per
+    character (functions/text.char_ngrams documents the same trap)."""
+    from advanced_data_profile_spark.functions.text import norm_text
+
+    padded = df.select(
+        *keep,
+        F.concat(F.lit(LM_PAD * (n - 1)), norm_text(F.col(text_col))).alias(
+            "__pad"
+        ),
+    ).where(F.length("__pad") > n - 1)
+    grams = padded.select(
+        *keep,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__pad") - (n - 1)),
+                lambda i: F.struct(
+                    F.substr(F.col("__pad"), i, F.lit(n - 1)).alias("ctx"),
+                    F.substr(F.col("__pad"), i + (n - 1), F.lit(1)).alias("ch"),
+                ),
+            )
+        ).alias("g"),
+    )
+    return grams.select(*keep, "g.ctx", "g.ch")
+
+
+def train_char_lm(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Character-level n-gram counts (ctx, ch, cnt) over a REFERENCE
+    corpus — the model relation for char_lm_perplexity (the CCNet
+    discipline, Wenzek et al. 2020: score documents by LM perplexity
+    against a trusted reference; public method). The model is tiny by
+    construction (<= 37^(n-1) * 37 rows — ~50k at n=3) regardless of
+    corpus size: one scan, one count aggregation with map-side partial
+    combine on the gram fan-out."""
+    return (
+        _char_ngram_pairs(df, text_col, n, [])
+        .groupBy("ctx", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def char_lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    n: int = 3,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document perplexity under the add-alpha-smoothed char n-gram
+    model: P(ch|ctx) = (cnt + alpha) / (ctx_total + alpha * 37), ppl =
+    exp(-avg log P). Returns (id, n_chars, avg_logp, ppl) — low ppl =
+    reference-like text, high ppl = gibberish/ocr-noise/off-domain
+    (the CCNet head/middle/tail cut is a quantile over this column).
+
+    Scale shape: the MODEL is broadcast (KB-sized); the document side
+    explodes to one row per character, partially aggregated before the
+    single shuffle on the document id — linear in corpus characters,
+    corpus text scanned once, never joined by payload."""
+    ctx_tot = model.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    pairs = _char_ngram_pairs(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col, n, ["id"],
+    )
+    scored = (
+        pairs.join(F.broadcast(model), ["ctx", "ch"], "left")
+        .join(F.broadcast(ctx_tot), ["ctx"], "left")
+        .select(
+            "id",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("ctx_cnt"), F.lit(0))
+                   + F.lit(alpha * LM_VOCAB))
+            ).alias("__logp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chars"),
+        F.avg("__logp").alias("avg_logp"),
+        F.exp(-F.avg("__logp")).alias("ppl"),
+    )

@@ -222,3 +222,60 @@ def test_repetition_filter_thresholds(spark):
     out = {r.id: r for r in repetition_filter(df, "doc_id", "text").collect()}
     assert out[1].repetition_keep is False
     assert out[2].repetition_keep is True
+
+
+def test_char_lm_perplexity_hand_computed(spark):
+    """Add-alpha arithmetic pinned exactly: train on 'ab' alone ->
+    model {(##,a):1, (#a,b):1}; scoring 'ab' gives P = (1+0.1)/(1+3.7)
+    per position, so ppl = 4.7/1.1 exactly."""
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity,
+        train_char_lm,
+    )
+
+    ref = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    model = train_char_lm(ref, "text")
+    rows = {(r.ctx, r.ch): r.cnt for r in model.collect()}
+    assert rows == {("##", "a"): 1, ("#a", "b"): 1}
+    out = char_lm_perplexity(
+        spark.createDataFrame([(1, "ab")], "doc_id long, text string"),
+        "doc_id", "text", model,
+    ).collect()[0]
+    import math
+
+    expected_logp = math.log(1.1 / 4.7)
+    assert out.n_chars == 2
+    assert out.avg_logp == pytest.approx(expected_logp, rel=1e-12)
+    assert out.ppl == pytest.approx(4.7 / 1.1, rel=1e-12)
+
+
+def test_char_lm_perplexity_separates_gibberish(spark):
+    """The CCNet property: reference-like text scores LOW perplexity,
+    character-level gibberish scores HIGH — the quantile cut a
+    curation pipeline filters on. Unseen contexts back off to the
+    alpha/(alpha*V) floor instead of -inf."""
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity,
+        train_char_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog and runs "
+              "through the green fields today with many friends")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    model = train_char_lm(ref, "text")
+    test = spark.createDataFrame(
+        [
+            (1, "the brown dog runs through the fields with the fox"),
+            (2, "zxqj vwkp qqzx jjvv wxyz kqpz xxjq zzvk pqwz jxqv"),
+            (3, ""),  # empty after norm -> no output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in char_lm_perplexity(
+        test, "doc_id", "text", model).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].ppl < 8 < out[2].ppl
+    assert all(r.avg_logp == r.avg_logp for r in out.values())  # no NaN
