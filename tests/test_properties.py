@@ -148,3 +148,53 @@ def test_simhash_blocks_pigeonhole_property(seed, d):
         for off, wdt in blocks
     )
     assert shared
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 4000), st.integers(1, 40))
+def test_chi2_sf_np_equals_scalar_property(chi2_tenths, dof):
+    """Vectorized == scalar chi2_sf across the series/CF branch split
+    (x < a+1 vs >=) for arbitrary small-dof inputs."""
+    import numpy as np
+
+    from advanced_data_profile_spark.functions.numeric import chi2_sf, chi2_sf_np
+
+    x = chi2_tenths / 10.0
+    v = float(chi2_sf_np(np.array([x]), np.array([float(dof)]))[0])
+    s = chi2_sf(x, dof)
+    assert abs(v - s) < 1e-12
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 4001), st.integers(1, 97))
+def test_py_round_formula_matches_cpython_property(p, q):
+    """The _py_round midpoint-recovery scheme (pure-Python replay of
+    the same IEEE operations the Spark expression performs) must equal
+    CPython round() on arbitrary rationals at both digit widths —
+    including the exact-tie family (p/q*scale landing on .5)."""
+    import math
+
+    x = p / q
+    for digits, parts in ((1, (8.0, 2.0)), (2, (64.0, 32.0, 4.0))):
+        scale = float(10 ** digits)
+        y = x * scale
+        r = math.floor(y)
+        is_half = (y - r) == 0.5
+        if not is_half:
+            # Math.rint == round-half-even on the double itself
+            import numpy as np
+
+            n = float(np.rint(y))
+        else:
+            delta = x * parts[0] - y
+            for pm in parts[1:]:
+                delta = delta + x * pm
+            if delta > 0:
+                n = r + 1.0
+            elif delta < 0:
+                n = float(r)
+            else:
+                import numpy as np
+
+                n = float(np.rint(y))
+        assert n / scale == round(x, digits), (x, digits, n / scale, round(x, digits))
