@@ -724,16 +724,21 @@ def q_curate_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed END-TO-END curation funnel a training-data pipeline
     runs (operators/curation.py): Gopher/C4 quality rules + n-gram
     repetition thresholds + benchmark decontamination (doc_id % 50
-    'benchmark', 8-grams) + near-dup canonical-member dedup, one keep
-    verdict per stage per document plus the final AND. The oracle
-    replays all four stages from their already-oracled SQL fragments
-    and value-hashes every boolean."""
+    'benchmark', 8-grams) + near-dup canonical-member dedup + the
+    CCNet perplexity cut (char-trigram LM trained on the doc_id % 7
+    'reference' slice, ppl <= 30), one keep verdict per stage per
+    document plus the final AND. The oracle replays all five stages
+    from their already-oracled SQL fragments and value-hashes every
+    boolean."""
     from advanced_data_profile_spark.operators.curation import curate_corpus
+    from advanced_data_profile_spark.operators.quality import train_char_lm
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 50 == 0)
+    model = train_char_lm(docs.where(F.col("doc_id") % 7 == 0), "text")
     return curate_corpus(
-        docs, "doc_id", "text", benchmark=bench, decon_n=8
+        docs, "doc_id", "text", benchmark=bench, decon_n=8,
+        ppl_model=model, max_ppl=30.0,
     ).withColumnRenamed("id", "doc_id")
 
 
@@ -747,16 +752,21 @@ def _oracle_curate_corpus_documents() -> str:
         [f"top_{n}_char_frac <= {mx}" for n, mx in sorted(GOPHER_TOP_NGRAM_MAX.items())]
         + [f"dup_{n}_char_frac <= {mx}" for n, mx in sorted(GOPHER_DUP_NGRAM_MAX.items())]
     )
+    ppl_sql = _oracle_char_lm_perplexity(
+        train_where="doc_id % 7 = 0", score_where="TRUE"
+    )
     return f"""
         SELECT d.doc_id,
                coalesce(q.keep, FALSE) AS keep_quality,
                coalesce(r.keep_repetition, FALSE) AS keep_repetition,
                coalesce(NOT c.contaminated, FALSE) AS keep_decontamination,
                (k.doc_id IS NOT NULL) AS keep_dedup,
+               coalesce(p.ppl <= 30.0, FALSE) AS keep_perplexity,
                (coalesce(q.keep, FALSE)
                 AND coalesce(r.keep_repetition, FALSE)
                 AND coalesce(NOT c.contaminated, FALSE)
-                AND k.doc_id IS NOT NULL) AS keep_final
+                AND k.doc_id IS NOT NULL
+                AND coalesce(p.ppl <= 30.0, FALSE)) AS keep_final
         FROM documents d
         LEFT JOIN ({_oracle_quality_filter()}) q ON q.id = d.doc_id
         LEFT JOIN (
@@ -765,6 +775,7 @@ def _oracle_curate_corpus_documents() -> str:
         ) r ON r.doc_id = d.doc_id
         LEFT JOIN ({_oracle_decontaminate_documents()}) c ON c.doc_id = d.doc_id
         LEFT JOIN ({_oracle_dedup_corpus_keep()}) k ON k.doc_id = d.doc_id
+        LEFT JOIN ({ppl_sql}) p ON p.doc_id = d.doc_id
     """
 
 
@@ -1751,7 +1762,9 @@ def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_char_lm_perplexity() -> str:
+def _oracle_char_lm_perplexity(
+    train_where: str = "doc_id % 3 != 0", score_where: str = "doc_id % 3 = 0"
+) -> str:
     return f"""
         WITH d AS ({_norm_cte()}),
         pad AS (
@@ -1767,7 +1780,7 @@ def _oracle_char_lm_perplexity() -> str:
         ),
         model AS (
           SELECT ctx, ch, count(*) AS cnt FROM grams
-          WHERE doc_id % 3 != 0 GROUP BY 1, 2
+          WHERE {train_where} GROUP BY 1, 2
         ),
         ctxtot AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM model GROUP BY 1),
         scored AS (
@@ -1777,7 +1790,7 @@ def _oracle_char_lm_perplexity() -> str:
           FROM grams g
           LEFT JOIN model m ON g.ctx = m.ctx AND g.ch = m.ch
           LEFT JOIN ctxtot t ON g.ctx = t.ctx
-          WHERE g.doc_id % 3 = 0
+          WHERE {score_where}
         )
         SELECT doc_id, count(*)::BIGINT AS n_chars,
                round(avg(logp), 6) AS avg_logp,

@@ -3,11 +3,13 @@ signals + benchmark decontamination + near-dup removal as ONE per-doc
 verdict relation — the end-to-end funnel a training-data pipeline runs
 over a raw corpus before packing/sampling, assembled from the
 already-oracled stages (quality.quality_filter, quality.repetition_
-filter, dedup.decontaminate, dedup.minhash_dedup + keep-cluster-min).
+filter, dedup.decontaminate, dedup.minhash_dedup + keep-cluster-min,
+and optionally quality.char_lm_perplexity under a reference-trained
+model — the CCNet cut).
 
 Scale shape: each stage is its own scan/shuffle pattern (documented in
-its module); the composition joins four per-doc boolean relations on
-the id. At 10^12 docs those joins are id-keyed shuffles of NARROW
+its module); the composition joins up to five per-doc boolean
+relations on the id. At 10^12 docs those joins are id-keyed shuffles of NARROW
 relations (id + a few booleans — orders of magnitude smaller than the
 corpus payloads); co-partitioning/bucketing by id makes them
 exchange-free, same as every other id-keyed artifact here. The corpus
@@ -44,12 +46,14 @@ def curate_corpus(
     minhash_k: int = 16,
     minhash_bands: int = 4,
     minhash_threshold: float = 0.8,
+    ppl_model: DataFrame | None = None,
+    max_ppl: float = 30.0,
 ) -> DataFrame:
     """One row per document with each stage's keep verdict and the
     final AND:
 
       (id, keep_quality, keep_repetition, keep_decontamination,
-       keep_dedup, keep_final)
+       keep_dedup, keep_perplexity, keep_final)
 
     - keep_quality: every Gopher/C4 rule in quality_filter passes;
     - keep_repetition: every n-gram repetition signal within the
@@ -59,6 +63,11 @@ def curate_corpus(
     - keep_dedup: the document is its near-dup cluster's canonical
       (min-id) member — or unclustered (minhash_dedup -> connected
       components -> keep-cluster-min);
+    - keep_perplexity: char-LM perplexity under `ppl_model` (a
+      train_char_lm relation, e.g. trained on a trusted reference
+      corpus) is <= max_ppl — the CCNet cut; True everywhere when no
+      model is passed. Empty-normalized docs have no perplexity and
+      fail the stage (they fail quality's word floor anyway);
     - keep_final: all of the above. Filter the corpus with
       `docs.join(curated.where("keep_final"), id)` or inspect the
       funnel with `curation_funnel`.
@@ -89,8 +98,20 @@ def curate_corpus(
         out = out.join(dec, "id", "left")
     else:
         out = out.withColumn("keep_decontamination", F.lit(True))
+    if ppl_model is not None:
+        from advanced_data_profile_spark.operators.quality import (
+            char_lm_perplexity,
+        )
+
+        ppl = char_lm_perplexity(
+            docs, id_col, text_col, ppl_model
+        ).select("id", (F.col("ppl") <= F.lit(max_ppl)).alias("keep_perplexity"))
+        out = out.join(ppl, "id", "left")
+    else:
+        out = out.withColumn("keep_perplexity", F.lit(True))
     cols = [
-        "keep_quality", "keep_repetition", "keep_decontamination", "keep_dedup"
+        "keep_quality", "keep_repetition", "keep_decontamination",
+        "keep_dedup", "keep_perplexity",
     ]
     out = out.select(
         "id", *[F.coalesce(F.col(c), F.lit(False)).alias(c) for c in cols]
@@ -110,8 +131,8 @@ def curation_funnel(curated: DataFrame) -> DataFrame:
         *[
             F.sum(F.col(c).cast("long")).alias(f"n_{c}")
             for c in (
-                "keep_quality", "keep_repetition",
-                "keep_decontamination", "keep_dedup", "keep_final",
+                "keep_quality", "keep_repetition", "keep_decontamination",
+                "keep_dedup", "keep_perplexity", "keep_final",
             )
         ],
     )

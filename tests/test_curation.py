@@ -58,3 +58,36 @@ def test_curation_without_benchmark(spark):
     out = {r.id: r for r in curate_corpus(docs, "doc_id", "text").collect()}
     assert all(r.keep_decontamination for r in out.values())
     assert out[5].keep_final is True  # nothing to decontaminate against
+
+
+def test_curation_perplexity_stage(spark):
+    """With a reference-trained char-LM model, gibberish fails the
+    perplexity stage (and thus keep_final) while other stages stay
+    unaffected; without a model the column is uniformly True."""
+    from advanced_data_profile_spark.operators.curation import curate_corpus
+    from advanced_data_profile_spark.operators.quality import train_char_lm
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog and runs "
+              "through the green fields today with many friends here")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the brown dog runs through the green fields today with "
+                "the fox and many other friends over there"),
+            (2, "zxqj vwkp qqzx jjvv wxyz kqpz xxjq zzvk pqwz jxqv "
+                "qzpw xkjv zzqx wpkv jqxz"),
+        ],
+        "doc_id long, text string",
+    )
+    model = train_char_lm(ref, "text")
+    out = {r.id: r for r in curate_corpus(
+        docs, "doc_id", "text", ppl_model=model, max_ppl=15.0
+    ).collect()}
+    assert out[1].keep_perplexity is True
+    assert out[2].keep_perplexity is False and out[2].keep_final is False
+    # stage independence: the gibberish doc's OTHER verdicts are not
+    # forced False by the perplexity stage
+    assert out[2].keep_decontamination is True
