@@ -103,9 +103,18 @@ def curate_corpus(
             char_lm_perplexity,
         )
 
+        # threshold on the 4-decimal-rounded ppl: the cross-engine
+        # contract then compares IDENTICAL quantities (the DuckDB
+        # replay rounds to 4), closing the sub-1e-4 window where an
+        # unrounded comparison could disagree at the boundary
         ppl = char_lm_perplexity(
             docs, id_col, text_col, ppl_model
-        ).select("id", (F.col("ppl") <= F.lit(max_ppl)).alias("keep_perplexity"))
+        ).select(
+            "id",
+            (F.round(F.col("ppl"), 4) <= F.lit(max_ppl)).alias(
+                "keep_perplexity"
+            ),
+        )
         out = out.join(ppl, "id", "left")
     else:
         out = out.withColumn("keep_perplexity", F.lit(True))
