@@ -253,13 +253,17 @@ def global_uniqueness_from_index(
     latest = _latest_per_part(spark, table_name)
     per_key = latest.groupBy("key").agg(F.sum("n").alias("cnt"))
     dup = per_key.where(F.col("cnt") > 1)
-    # attribute duplicates to every partition holding the key: the dup
-    # set is tiny (it is the violation set), broadcast it back onto the
-    # bucket-clustered per-(key, part) counts — still no Exchange on
-    # the index side
+    # attribute duplicates to every partition holding the key. The dup
+    # set is NORMALLY tiny (it is the violation set) and AQE broadcasts
+    # it from its runtime size, keeping the index side Exchange-free —
+    # but it is NOT forced: a pathologically duplicated corpus makes
+    # the violation set O(keys), where a broadcast hint would OOM the
+    # driver outright instead of degrading to a shuffle join (the same
+    # adversarial-cardinality discipline as decontaminate's hit
+    # relation)
     dup_parts = (
         latest.join(
-            F.broadcast(dup.withColumnRenamed("key", "__dkey")),
+            dup.withColumnRenamed("key", "__dkey"),
             F.col("key").eqNullSafe(F.col("__dkey")),
         )
         .drop("__dkey")

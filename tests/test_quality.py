@@ -279,3 +279,26 @@ def test_char_lm_perplexity_separates_gibberish(spark):
     assert set(out) == {1, 2}
     assert out[1].ppl < 8 < out[2].ppl
     assert all(r.avg_logp == r.avg_logp for r in out.values())  # no NaN
+
+
+def test_char_lm_perplexity_plan_broadcasts_model(spark):
+    """Scale contract: the model relations join as broadcasts (the
+    document side never shuffles for the lookup); the only shuffle is
+    the final per-document aggregation."""
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity,
+        train_char_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    model = train_char_lm(ref, "text")
+    out = char_lm_perplexity(
+        spark.createDataFrame([(1, "the lazy dog")], "doc_id long, text string"),
+        "doc_id", "text", model,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # model + ctx totals
+    assert "SortMergeJoin" not in plan
