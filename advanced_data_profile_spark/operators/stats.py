@@ -324,6 +324,11 @@ def outlier_pct(
     (mu, sigma) for every column at once; pass 2 computes all ratios at
     once. At scale this is 2 scans total for ANY number of columns —
     versus the reference's 2 scans *per column*.
+
+    The broadcast moment relation is groups x 2*columns doubles —
+    fine for partition-grained group_by (the profiling contract here);
+    a group_by in the many-millions would need the hint dropped in
+    favor of an AQE-chosen join.
     """
     keys = [group_by] if group_by else []
     m1 = (df.groupBy(*keys) if keys else df).agg(
