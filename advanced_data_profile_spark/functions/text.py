@@ -148,6 +148,7 @@ LANG_MARKERS: dict[str, list[str]] = {
     "vep": "nece om ka kut ani sines".split(),
     "pfl": "awwer unn gewwe halt devun".split(),
     "diq": "zaf esto yeno wina qande".split(),
+    "bcl": "kan sinda nin kaya arog dakul".split(),
 }
 
 # Script-detection rules, FIRST MATCH WINS (normalization strips these
@@ -180,6 +181,11 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("ug", "[ۇۈ]"),              # uyghur-specific vowels, BEFORE fa/ar
     ("ku", "[ڕڵێ]"),             # sorani kurdish-specific, BEFORE fa/ar
     ("fa", "[پچژگ]"),            # persian-specific, BEFORE ar
+    # Egyptian Arabic by its own function words (مش/عشان/دلوقتي/ازاي
+    # — standard Arabic never uses these), word-sequence rule BEFORE
+    # the generic block; placed after the letter-class rules above
+    # (Pashto/Sindhi/Urdu/Uyghur/Kurdish/Persian letters win first)
+    ("arz", "مش |عشان|دلوقتي|ازاي"),
     # Cyrillic family: Kazakh's straight-stroke vowels/consonants are
     # Kazakh-only (and Kazakh text also uses і, which Ukrainian's rule
     # would claim — so kk first); Mongolian's ө/ү are shared with
@@ -241,6 +247,16 @@ SCRIPT_RULES: list[tuple[str, str]] = [
                                  # א-ת block), BEFORE he
     ("he", "[א-ת]"),             # hebrew
     ("th", "[ก-๛]"),             # thai
+    # Devanagari family: the block is shared by hi/mr/ne/sa, so the
+    # siblings are split by WORD-sequence rules (plain alternations —
+    # still RE2-safe) on forms Hindi never uses, before the block
+    # fallback: Marathi's copula आहे (Hindi: है), Nepali's verb
+    # endings छन्/भएको/गर्दछ, Sanskrit's अस्ति/भवति. A Hindi text
+    # quoting such a form misfires — documented approximation, same
+    # first-match contract as every family rule here.
+    ("mr", "आहे|आणि|म्हणून|केले"),   # marathi, BEFORE hi
+    ("ne", "छन्|भएको|गर्दछ|हुन्छ"),  # nepali, BEFORE hi
+    ("sa", "अस्ति|भवति|तस्य|इति च"),  # sanskrit, BEFORE hi
     ("hi", "[ऀ-ॿ]"),            # devanagari
     ("as", "[ৰৱ]"),              # assamese ra/wa, BEFORE the bengali block
     ("bn", "[ঀ-৿]"),            # bengali

@@ -445,3 +445,35 @@ def test_lang_predict_round6_sibling_discrimination(spark):
         for (t, want), got in zip(cases, preds) if want != got
     ]
     assert not mism, mism
+
+
+def test_lang_predict_round6b_shared_block_splitting(spark):
+    """Word-sequence script rules split languages sharing a block:
+    Devanagari mr/ne/sa before the hi fallback, Egyptian Arabic before
+    ar — with sibling cases pinning that plain Hindi / Modern Standard
+    Arabic text is untouched. Total surface now >= 160."""
+    from advanced_data_profile_spark.functions.text import (
+        LANG_MARKERS,
+        SCRIPT_RULES,
+    )
+
+    assert len(LANG_MARKERS) + len(SCRIPT_RULES) >= 160
+    cases = [
+        ("ही मराठी भाषा आहे आणि ती खूप सुंदर आहे", "mr"),
+        ("यी नेपाली वाक्यहरू हुन् र राम्रा छन्", "ne"),
+        ("संस्कृतम् उत्तमा भाषा अस्ति इति वदन्ति", "sa"),
+        ("यह हिंदी भाषा है और बहुत सुंदर है", "hi"),
+        ("انا مش عارف ازاي اروح هناك دلوقتي", "arz"),
+        ("هذه اللغة العربية الفصحى جميلة جدا", "ar"),
+        ("an mga tawo kan banwa nin kaya arog kaini dakul", "bcl"),
+    ]
+    pdf = pd.DataFrame({"t": [t for t, _ in cases]})
+    preds = [
+        r.p for r in spark.createDataFrame(pdf)
+        .select(X.lang_predict(F.col("t")).alias("p")).collect()
+    ]
+    mism = [
+        (t[:30], want, got)
+        for (t, want), got in zip(cases, preds) if want != got
+    ]
+    assert not mism, mism
