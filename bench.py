@@ -1,5 +1,8 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+on local[$SPARK_GRAFT_CPUS]; prints a bench_detail JSON line
+(spreads/probe/notes, mirrored to BENCH/DETAIL_latest.json) followed
+by a COMPACT headline JSON as the FINAL line — the driver tail-parses
+the last line, so the headline stays well under the tail budget.
 
 Also times the end-to-end images validation pipeline (the north_rule
 headline metric, images validated/sec) over a deterministic synthetic
