@@ -48,6 +48,7 @@ def curate_corpus(
     minhash_threshold: float = 0.8,
     ppl_model: DataFrame | None = None,
     max_ppl: float = 30.0,
+    ppl_alpha: float = 0.1,
 ) -> DataFrame:
     """One row per document with each stage's keep verdict and the
     final AND:
@@ -65,8 +66,9 @@ def curate_corpus(
       components -> keep-cluster-min);
     - keep_perplexity: char-LM perplexity under `ppl_model` (a
       train_char_lm relation, e.g. trained on a trusted reference
-      corpus) is <= max_ppl — the CCNet cut; True everywhere when no
-      model is passed. Empty-normalized docs have no perplexity and
+      corpus; the n-gram order is derived from the model's ctx width,
+      smoothing set by `ppl_alpha`) is <= max_ppl — the CCNet cut;
+      True everywhere when no model is passed. Empty-normalized docs have no perplexity and
       fail the stage (they fail quality's word floor anyway);
     - keep_final: all of the above. Filter the corpus with
       `docs.join(curated.where("keep_final"), id)` or inspect the
@@ -100,15 +102,22 @@ def curate_corpus(
         out = out.withColumn("keep_decontamination", F.lit(True))
     if ppl_model is not None:
         from advanced_data_profile_spark.operators.quality import (
+            char_lm_model_n,
             char_lm_perplexity,
         )
 
+        # the n-gram order is DERIVED from the model's ctx width (and
+        # the relation validated), so a model trained at any n scores
+        # with matching contexts — a hardcoded n would make every
+        # (ctx, ch) lookup miss for n != 3 and silently fail the whole
+        # corpus at the threshold
+        ppl_n = char_lm_model_n(ppl_model)
         # threshold on the 4-decimal-rounded ppl: the cross-engine
         # contract then compares IDENTICAL quantities (the DuckDB
         # replay rounds to 4), closing the sub-1e-4 window where an
         # unrounded comparison could disagree at the boundary
         ppl = char_lm_perplexity(
-            docs, id_col, text_col, ppl_model
+            docs, id_col, text_col, ppl_model, n=ppl_n, alpha=ppl_alpha
         ).select(
             "id",
             (F.round(F.col("ppl"), 4) <= F.lit(max_ppl)).alias(

@@ -25,7 +25,10 @@ from advanced_data_profile_spark.functions.text import (
     tokens,
     word_ngrams,
 )
-from advanced_data_profile_spark.session import hadoop_list_files
+from advanced_data_profile_spark.session import (
+    hadoop_list_files,
+    hadoop_path_exists,
+)
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -192,12 +195,29 @@ def neardup_index_build(
 
     The raw corpus is scanned exactly once: signatures are written
     first, and the bucket relation is derived from the WRITTEN
-    signatures (read-back of KB..GB state, not a second raw scan)."""
+    signatures (read-back of KB..GB state, not a second raw scan).
+
+    mode='append' grows an existing index: the bucket relation is
+    derived ONLY from the signature files this call wrote (a file-list
+    snapshot taken before the append bounds the read-back), so bucket
+    state stays linear in total corpus size over repeated appends — a
+    full read-back would re-append every pre-existing bucket row,
+    growing buckets quadratically."""
     spark = df.sparkSession
+    sig_path = f"{index_path}/signatures"
+    before: set[str] = set()
+    if mode == "append" and hadoop_path_exists(spark, sig_path):
+        before = set(hadoop_list_files(spark, sig_path))
     minhash_signatures(df, id_col, text_col, k).write.mode(mode).parquet(
-        f"{index_path}/signatures"
+        sig_path
     )
-    stored = spark.read.parquet(f"{index_path}/signatures")
+    new_files = [
+        f for f in hadoop_list_files(spark, sig_path) if f not in before
+    ]
+    if not new_files:  # empty append: no signatures, no buckets to add
+        return
+    # first build (or overwrite): new_files is the whole directory
+    stored = spark.read.parquet(*new_files)
     lsh_band_buckets(stored, bands, k // bands).write.mode(mode).parquet(
         f"{index_path}/buckets"
     )
@@ -282,7 +302,18 @@ def neardup_index_check(
     b_new = lsh_band_buckets(sigs_new, bands, k // bands)
 
     def _snapshot(path: str):
-        return spark.read.parquet(*hadoop_list_files(spark, path))
+        files = (
+            hadoop_list_files(spark, path)
+            if hadoop_path_exists(spark, path)
+            else []
+        )
+        if not files:
+            raise ValueError(
+                f"near-dup index not built at {index_path!r} "
+                f"(no data files under {path!r}) — run neardup_index_build "
+                "first."
+            )
+        return spark.read.parquet(*files)
 
     out = match_against_index(
         _snapshot(f"{index_path}/buckets"),

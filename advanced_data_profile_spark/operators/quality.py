@@ -339,6 +339,30 @@ def train_char_lm(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     )
 
 
+def char_lm_model_n(model: DataFrame) -> int:
+    """Derive the n-gram order from a train_char_lm model relation (ctx
+    width + 1), validating the relation on the way: an empty model or
+    mixed ctx widths raises instead of letting every (ctx, ch) lookup
+    miss downstream — a model trained at n != the scorer's n would
+    otherwise score every char at the smoothed floor and silently fail
+    the whole corpus at a perplexity threshold. One tiny aggregation
+    over the KB-sized model."""
+    row = model.agg(
+        F.min(F.length("ctx")).alias("lo"), F.max(F.length("ctx")).alias("hi")
+    ).first()
+    if row is None or row["lo"] is None:
+        raise ValueError(
+            "char-LM model relation is empty — train_char_lm over a "
+            "non-empty reference corpus first."
+        )
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"char-LM model has mixed ctx widths {row['lo']}..{row['hi']} — "
+            "not a single train_char_lm relation."
+        )
+    return int(row["hi"]) + 1
+
+
 def char_lm_perplexity(
     df: DataFrame,
     id_col: str,

@@ -103,12 +103,28 @@ def hadoop_list_files(spark: SparkSession, path: str) -> list[str]:
     """Non-recursive listing of a directory's data files (hidden
     _/.-prefixed entries dropped) via the Hadoop FileSystem API —
     the snapshot primitive for readers that must pin a file list
-    against concurrent appends."""
+    against concurrent appends.
+
+    Raises if the directory contains subdirectories: a partitioned
+    layout under a flat-contract path means the caller would silently
+    snapshot zero data files (e.g. a streaming batch_id-partitioned
+    state written into a flat index path) — every batch would "match
+    nothing". Loud failure beats a silently empty index."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return [
-        st.getPath().toString()
+    visible = [
+        st
         for st in fs.listStatus(jpath)
         if not st.getPath().getName().startswith(("_", "."))
     ]
+    dirs = [st.getPath().toString() for st in visible if st.isDirectory()]
+    if dirs:
+        raise ValueError(
+            f"hadoop_list_files({path}): flat data-file layout expected, "
+            f"found subdirectories {dirs[:3]}{'...' if len(dirs) > 3 else ''} "
+            "— partitioned state does not belong under this path "
+            "(streaming batch_id-partitioned state has its own path "
+            "contract)."
+        )
+    return [st.getPath().toString() for st in visible]

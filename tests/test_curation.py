@@ -91,3 +91,53 @@ def test_curation_perplexity_stage(spark):
     # stage independence: the gibberish doc's OTHER verdicts are not
     # forced False by the perplexity stage
     assert out[2].keep_decontamination is True
+
+
+def test_curation_perplexity_n_derived_from_model(spark):
+    """The n-gram order is derived from the model's ctx width: a model
+    trained at n=2 scores with matching 1-char contexts instead of
+    missing every lookup and silently failing the whole corpus at the
+    threshold (the hardcoded-n bug put every doc at ppl == 37)."""
+    from advanced_data_profile_spark.operators.quality import train_char_lm
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog and runs "
+              "through the green fields today with many friends here")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the brown dog runs through the green fields today with "
+             "the fox and many other friends over there")],
+        "doc_id long, text string",
+    )
+    model2 = train_char_lm(ref, "text", n=2)
+    out = {r.id: r for r in curate_corpus(
+        docs, "doc_id", "text", ppl_model=model2, max_ppl=15.0
+    ).collect()}
+    assert out[1].keep_perplexity is True  # not the smoothed-floor 37
+
+
+def test_char_lm_model_n_validates(spark):
+    """char_lm_model_n derives n and rejects empty / mixed-width model
+    relations with clear errors."""
+    import pytest
+
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_model_n,
+        train_char_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "some reference text for the tiny model")],
+        "doc_id long, text string",
+    )
+    assert char_lm_model_n(train_char_lm(ref, "text", n=2)) == 2
+    assert char_lm_model_n(train_char_lm(ref, "text", n=4)) == 4
+    with pytest.raises(ValueError, match="empty"):
+        char_lm_model_n(train_char_lm(ref.limit(0), "text"))
+    mixed = train_char_lm(ref, "text", n=2).unionByName(
+        train_char_lm(ref, "text", n=3)
+    )
+    with pytest.raises(ValueError, match="mixed ctx widths"):
+        char_lm_model_n(mixed)

@@ -415,3 +415,86 @@ def test_neardup_index_check_plan_broadcasts_batch(spark, tmp_path):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2  # bucket join + sig fetch
+
+
+def test_neardup_index_build_append_buckets_linear(spark, tmp_path):
+    """mode='append' derives buckets ONLY from the newly written
+    signatures: bucket state grows linearly over repeated appends
+    (the full-read-back bug re-appended every pre-existing bucket row,
+    quadratic growth), and matches still see every generation."""
+    from advanced_data_profile_spark.operators.dedup import (
+        neardup_index_build,
+        neardup_index_check,
+    )
+
+    gen1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    gen2 = spark.createDataFrame(
+        [(3, "red orange yellow green blue indigo violet colors")],
+        "doc_id long, text string",
+    )
+    gen3 = spark.createDataFrame(
+        [(4, "north south east west compass directions map travel")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lsh_append_index")
+    neardup_index_build(gen1, "doc_id", "text", idx, bands=4)
+    neardup_index_build(gen2, "doc_id", "text", idx, bands=4, mode="append")
+    neardup_index_build(gen3, "doc_id", "text", idx, bands=4, mode="append")
+
+    # 4 docs x 4 bands = 16 bucket rows; the full-read-back bug gave
+    # 8 + 12 + 16 = 36 (every append re-wrote all prior buckets)
+    assert spark.read.parquet(f"{idx}/buckets").count() == 16
+    assert spark.read.parquet(f"{idx}/signatures").count() == 4
+
+    # every generation is matchable
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "red orange yellow green blue indigo violet colors"),
+         (12, "north south east west compass directions map travel")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_new, r.id_indexed)
+           for r in neardup_index_check(batch, "doc_id", "text", idx).collect()}
+    assert out == {(10, 1), (11, 3), (12, 4)}
+
+
+def test_neardup_index_check_missing_index_raises(spark, tmp_path):
+    """Checking against a never-built index raises a clear error (not
+    a raw Hadoop FileNotFoundException or an 'unable to infer schema'
+    from an empty path splat)."""
+    import pytest
+
+    from advanced_data_profile_spark.operators.dedup import neardup_index_check
+
+    batch = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="index not built"):
+        neardup_index_check(
+            batch, "doc_id", "text", str(tmp_path / "never_built")
+        )
+
+
+def test_hadoop_list_files_raises_on_subdirectories(spark, tmp_path):
+    """The snapshot primitive guards the flat-layout contract: a
+    partitioned (subdirectory) layout under the path raises instead of
+    silently snapshotting zero data files; flat paths list normally."""
+    import pytest
+
+    from advanced_data_profile_spark.session import hadoop_list_files
+
+    flat = str(tmp_path / "flat")
+    spark.range(5).write.parquet(flat)
+    files = hadoop_list_files(spark, flat)
+    assert files and all(f.endswith(".parquet") for f in files)
+
+    parted = str(tmp_path / "parted")
+    spark.range(5).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(parted)
+    with pytest.raises(ValueError, match="subdirector"):
+        hadoop_list_files(spark, parted)
