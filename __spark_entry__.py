@@ -2828,15 +2828,25 @@ _EXTENDED_NAMES = [
                               # contract-covered by topk/hll_rollup
     "asof_forward_join",      # round-5 add; as-of family is contract-
                               # covered by asof_join (backward)
-    "drift_from_stored_state_events",  # round-6 add; the production-
-                              # shaped stored-state scoring path of the
-                              # contract-covered drift_from_sketches
-    "neardup_index_documents",  # round-6 add; incremental stored-state
-                              # variant of the contract-covered
-                              # near_dup_minhash (same md5 arithmetic)
-    "char_lm_perplexity_documents",  # round-6 add; quality family is
-                              # contract-covered by quality_filter
+    "knn_ivf",                # rotated out r7: IVF family contract-
+                              # covered by knn_ivf_learned (same inverted-
+                              # list search over a learned quantizer)
+    "box_plot",               # rotated out r7: quantile family contract-
+                              # covered by quantile_grid (same percentile
+                              # arithmetic)
+    "ngram_jaccard",          # rotated out r7: pair-scoped dedup-verify
+                              # family contract-covered by
+                              # near_dup_minhash + dup_clusters (and
+                              # simhash_near_dups stays for the SimHash
+                              # block-LSH path)
 ]
+# Round-7 rotation IN (the r5 precedent): the round-6 operators
+# drift_from_stored_state_events, neardup_index_documents, and
+# char_lm_perplexity_documents — the newest, most complex surfaces —
+# moved from the extended set into the driver's 50-row contract so
+# CORRECTNESS_r07 carries hard rows for them; the three rotated-out
+# queries above keep their value oracles via check_oracles.py and
+# tests/test_oracles_extended.py.
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
