@@ -45,6 +45,20 @@ HEADLINE = [
     "drift_from_stored_state_events",
 ]
 
+# drift_from_sketches times the CONTRACT query, which is HARNESSED:
+# sketch build from a raw scan + the exact-KS/PSI verification harness
+# around the scored merge. The bench artifact labels it accordingly so
+# a regression in the operator is never masked by (or blamed on)
+# harness noise; the operator-only production leg — score from stored
+# KB-sized state, no raw scan, no harness — is benched separately as
+# drift_from_stored_state_events.
+BENCH_LABELS = {"drift_from_sketches": "drift_from_sketches_harnessed"}
+
+
+def _lbl(d: dict) -> dict:
+    return {BENCH_LABELS.get(k, k): v for k, v in d.items()}
+
+
 BENCH_IMAGES = "/tmp/adp_bench_images"
 BENCH_PARTS, BENCH_ROWS = 8, 2000
 # steady-state fixture: decode-dominant payloads at enough volume that
@@ -106,6 +120,42 @@ def kernel_probe(n_procs: int = 32, repeats: int = 3) -> dict:
         "probe_spread": {"min": s[0], "med": s[len(s) // 2], "max": s[-1]},
         "probe_procs": n_procs,
         "probe_images": n_images,
+    }
+
+
+def jvm_probe(spark, repeats: int = 3) -> dict:
+    """Fixed JVM-query health probe, the metadata-query counterpart of
+    kernel_probe: a constant 3-expression aggregation over 1B
+    generated longs — pure whole-stage codegen, no I/O, no Python, no
+    shuffle beyond the final single-partition agg, and independent of
+    every engine code path. kernel_probe vouches only for the decode
+    subsystem; this vouches for JVM query execution itself, so uniform
+    movements in the metadata queries (profile/topk/entropy/...) get
+    the same machine-vs-engine attribution the decode path has. If
+    this number moves between rounds on identical Spark configs, the
+    box/JVM moved, not the engine."""
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        spark.range(0, 1_000_000_000, 1, 32).select(
+            F.col("id"), (F.col("id") % 97).alias("m")
+        ).agg(
+            F.sum("id").alias("s"),
+            F.avg("m").alias("a"),
+            F.count(F.lit(1)).alias("c"),
+        ).collect()
+
+    run()  # untimed warm pass (codegen compile)
+    samples = []
+    for _ in range(repeats):
+        t0 = time.time()
+        run()
+        samples.append(round(time.time() - t0, 3))
+    s = sorted(samples)
+    return {
+        "probe_jvm_sec": s[0],
+        "probe_jvm_spread": {"min": s[0], "med": s[len(s) // 2], "max": s[-1]},
+        "probe_jvm_rows": 1_000_000_000,
     }
 
 
@@ -193,8 +243,10 @@ def main() -> None:
     timings["images_pipeline_steady"] = best
     spreads["images_pipeline_steady"] = spread(steady_samples)
 
-    # hardware-health probe AFTER the Spark passes (it saturates all
-    # cores; running it concurrently would poison both measurements)
+    # hardware-health probes AFTER the Spark passes (the kernel probe
+    # saturates all cores; running it concurrently would poison both
+    # measurements). JVM probe first — it reuses the warm session.
+    jvmp = jvm_probe(spark)
     probe = kernel_probe()
 
     total = round(sum(timings.values()), 3)
@@ -205,7 +257,8 @@ def main() -> None:
     # `parsed` field came back null).
     detail = {
         "record": "bench_detail",
-        "queries_spread": spreads,
+        "queries_spread": _lbl(spreads),
+        **jvmp,
         **probe,
         "images_per_sec": summary.get("images_per_sec"),
         "images_rows": summary.get("rows"),
@@ -227,7 +280,7 @@ def main() -> None:
     if second:
         s2 = second_sf_dir.rstrip("/").split("sf")[-1]
         detail["second_sf"] = float(s2) if s2.replace(".", "").isdigit() else s2
-        detail["queries_second_sf"] = second
+        detail["queries_second_sf"] = _lbl(second)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "DETAIL_latest.json"
     )
@@ -247,7 +300,7 @@ def main() -> None:
                 "metric": "headline_queries_plus_images_pipeline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": _lbl(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "images_per_sec_steady": big.get("images_per_sec"),
                 "images_rows_steady": big.get("rows"),
