@@ -149,6 +149,19 @@ LANG_MARKERS: dict[str, list[str]] = {
     "pfl": "awwer unn gewwe halt devun".split(),
     "diq": "zaf esto yeno wina qande".split(),
     "bcl": "kan sinda nin kaya arog dakul".split(),
+    # round-7: the last lid.176 Latin-script labels. Kurmanji (ku) is
+    # the LATIN Kurdish — the Arabic-letter rule that used to carry the
+    # 'ku' label is Sorani and now correctly labels 'ckb' (fasttext
+    # distinguishes the two). Kurmanji markers are the ASCII function
+    # words that survive norm_text (î/ê/û diacritics are stripped to
+    # spaces, so only diacritic-free forms qualify). bs/sh vs hr is the
+    # hardest split in lid.176 (fasttext itself confuses them); each
+    # set holds forms the SIBLING sets exclude (bs 'nakon/bez/svoje',
+    # sh the ekavian 'posle' + clitic clusters, hr keeps
+    # 'su/ali/kao/nije') — argmax decides, documented approximation.
+    "ku": "ku ji bi li gelek heye dike wan dibe hem".split(),
+    "bs": "da je se kako nakon bez svoje njih".split(),
+    "sh": "oni ih im uz kod posle".split(),
 }
 
 # Script-detection rules, FIRST MATCH WINS (normalization strips these
@@ -167,6 +180,11 @@ SCRIPT_RULES: list[tuple[str, str]] = [
                                  # quoting, and one hit anywhere flips
                                  # the whole document (documented
                                  # approximation, single-char rule)
+    # Wu Chinese by its own pronouns (侬 "you", 阿拉 "we") BEFORE the
+    # generic Han block. 侬 appears in classical Mandarin poetry and
+    # 阿拉 transliterates "Allah" — one hit flips the document, same
+    # documented single-sequence approximation as yue above.
+    ("wuu", "侬|阿拉"),
     ("zh", "[一-鿿]"),           # CJK unified ideographs
     # Arabic-script family: most-specific letters first. Urdu's retro-
     # flex/heh-goal/bari-ye letters are Urdu-only; Persian's pe/che/
@@ -177,9 +195,26 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     # (ٹ U+0679, ڈ U+0688, ڑ U+0691) — no overlap, order vs ur free
     ("ps", "[ټځڅډړږښ]"),         # pashto-specific, BEFORE ar
     ("sd", "[ڄڃڳڻ]"),            # sindhi-specific, BEFORE ar
+    # Western Punjabi (Shahmukhi) shares Urdu's letter set, so it is
+    # split by function words Urdu never uses (وچ "in", نوں dative)
+    # BEFORE the ur letter class claims the text. Space-delimited on
+    # BOTH sides: bare "وچ "/"نوں " are suffixes of the common Urdu
+    # words سوچ "thought" and جنوں "madness"
+    ("pnb", " وچ | نوں |پنجابی"),
     ("ur", "[ٹڈڑںےہ]"),          # urdu-specific, BEFORE fa and ar
     ("ug", "[ۇۈ]"),              # uyghur-specific vowels, BEFORE fa/ar
-    ("ku", "[ڕڵێ]"),             # sorani kurdish-specific, BEFORE fa/ar
+    ("ckb", "[ڕڵێ]"),            # sorani kurdish-specific, BEFORE fa/ar
+                                 # (the LATIN Kurdish 'ku' lives in
+                                 # LANG_MARKERS; fasttext splits them)
+    ("lrc", "[ۉ]"),              # northern luri waw-with-inverted-v,
+                                 # BEFORE fa/ar
+    # South Azerbaijani / Mazanderani write Turkic/Caspian words in
+    # Perso-Arabic script — no letters of their own, so word-sequence
+    # rules BEFORE fa (اولان/ایله/اولوب and اینتا/وونه are not Persian
+    # forms; NOT Mazanderani هسته "is" — that spelling is the common
+    # Persian noun "kernel", e.g. هسته‌ای "nuclear")
+    ("azb", "اولان|ایله|اولوب"),
+    ("mzn", "اینتا|وونه|مازرونی"),
     ("fa", "[پچژگ]"),            # persian-specific, BEFORE ar
     # Egyptian Arabic by its own function words (مش/عشان/دلوقتي/ازاي
     # — standard Arabic never uses these), word-sequence rule BEFORE
@@ -196,6 +231,11 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     # Kazakh ж), ҙ (Bashkir), ӑ/ӗ/ӳ (Chuvash; ҫ is shared ba/cv so NOT
     # used) appear in no Kazakh text. Kazakh keeps ұ as its own.
     ("tg", "[ҷӣӯҶӢӮ]"),          # tajik-specific, BEFORE kk/ru
+    # Kalmyk's extra-letter set (ә һ җ ң ө ү) is IDENTICAL to Tatar's
+    # — ordinary Tatar text carries both һ (һәм "and") and җ, so no
+    # letter rule can split them. Word-sequence rule instead (болн
+    # "and", келн "language", the self-name), BEFORE tt
+    ("xal", "болн |келн|хальмг"),
     ("tt", "[җҖ]"),              # tatar-specific, BEFORE kk/ru
     ("ba", "[ҙҘ]"),              # bashkir-specific, BEFORE kk/ru
     ("cv", "[ӑӗӳӐӖӲ]"),          # chuvash-specific, BEFORE kk/ru
@@ -204,8 +244,15 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     # the two "combo" rules below use anchored negated-class full
     # matches instead.
     ("sah", "[ҕҔ]"),             # yakut-specific, BEFORE kk/ru
+    ("mrj", "[ӓӹӒӸ]"),           # hill mari ä/ï̈, BEFORE mhr — Hill
+                                 # Mari also writes ҥ, which mhr's
+                                 # class would otherwise claim
     ("mhr", "[ҥҤ]"),             # meadow mari-specific (yakut ҥ texts
                                  # carry ҕ and matched above), BEFORE kk
+    # Tuvan's letter signature (Russian + ң ө ү) is identical to
+    # Kyrgyz's, so it is split by word sequences Kyrgyz never uses
+    # (болгаш "and", чүве "thing") BEFORE the ky combo rule
+    ("tyv", "болгаш|чүве|тыва "),
     # Kyrgyz = Russian alphabet + ң ө ү and NOTHING else, so the rule
     # is "ң AND ө/ү present, zero Kazakh-only letters anywhere" —
     # placed BEFORE kk (kk's class claims ң) and BEFORE mn (which
@@ -217,6 +264,12 @@ SCRIPT_RULES: list[tuple[str, str]] = [
         "|[өүӨҮ][^әғқұӘҒҚҰ]*[ңҢ])[^әғқұӘҒҚҰ]*$",
     ),
     ("kk", "[әғқңұӘҒҚҢҰ]"),      # kazakh-specific, BEFORE uk/mn/ru
+    # Buryat = Russian + ө ү һ. Yakut һ-texts matched above via ҕ,
+    # Kalmyk via һ+җ, and Kazakh (which also lists һ for loanwords)
+    # via its own letters — so AFTER kk, a bare һ means Buryat.
+    # A Kazakh text whose only non-Russian letter is һ would misfire;
+    # real Kazakh text always carries ә/ғ/қ/ң/ұ (documented)
+    ("bxr", "[һҺ]"),
     ("be", "[ўЎ]"),              # belarusian-specific, BEFORE ru
     ("sr", "[ђћЂЋ]"),            # serbian cyrillic-specific, BEFORE ru
     ("mk", "[ѓќѕЃЌЅ]"),          # macedonian-specific, BEFORE ru
@@ -226,12 +279,29 @@ SCRIPT_RULES: list[tuple[str, str]] = [
                                  # misfire); mari ҥ-texts matched
                                  # above; udmurt shares ӧ — documented
                                  # approximation
+    # Rusyn is the only East-Slavic orthography using BOTH ы (which
+    # Ukrainian dropped) and і (which Russian dropped) — their
+    # co-occurrence, BEFORE uk. Pre-1918 Russian and mixed ru/uk
+    # quotations misfire — documented approximation
+    ("rue", "[ыЫ][\\s\\S]*[іІ]|[іІ][\\s\\S]*[ыЫ]"),
     ("uk", "[єїіґЄЇІҐ]"),        # ukrainian-specific cyrillic, BEFORE ru
     ("mn", "[өүӨҮ]"),            # mongolian cyrillic, BEFORE ru
+    # Avar and Lezgian share the palochka with Chechen, so they are
+    # split by their own function words (буго/гьаб "is/this", гзаф/
+    # авай "many/having") BEFORE the ce class; palochka text matching
+    # neither set still falls to ce — documented approximation
+    ("av", "буго|гьаб |рагӏи"),
+    ("lez", "гзаф|авай|жезва"),
     ("ce", "[ӏӀ]"),              # chechen (palochka; shared by other
                                  # Caucasian languages — documented
                                  # approximation to the most common)
     ("os", "[ӕӔ]"),              # ossetian-specific, BEFORE ru
+    # Karachay-Balkar and Erzya write with the bare Russian alphabet —
+    # word-sequence rules. krc MUST precede bg: its гъ/къ digraphs put
+    # multiple ъ in nearly every sentence, which bg's doubled-jer rule
+    # would otherwise claim
+    ("krc", "болгъан|бла |эмда"),
+    ("myv", "эрзянь|улить|истямо"),
     # Bulgarian shares its alphabet with Russian minus ы/э/ё; the only
     # positive signal is heavy use of ъ as a vowel. Rule: two ъ
     # anywhere and zero Russian-only letters in the whole text (an
@@ -255,9 +325,23 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     # quoting such a form misfires — documented approximation, same
     # first-match contract as every family rule here.
     ("mr", "आहे|आणि|म्हणून|केले"),   # marathi, BEFORE hi
+    # Doteli is Nepali's closest sibling and may carry Nepali verb
+    # forms, so its own forms (हुन्या, थिया vs Nepali थियो/थिए) run
+    # BEFORE ne; the rest of the Devanagari word rules are mutually
+    # disjoint forms Hindi never uses: Maithili's अछि/छथि copulas,
+    # Bhojpuri's बाटे/हमनी/भईल, Newar's खः/थ्व, Konkani's आनी/म्हूण
+    # (vs Marathi आणि/म्हणून — different strings)
+    ("dty", "डोटेली|हुन्या|थिया "),
     ("ne", "छन्|भएको|गर्दछ|हुन्छ"),  # nepali, BEFORE hi
     ("sa", "अस्ति|भवति|तस्य|इति च"),  # sanskrit, BEFORE hi
+    ("mai", "अछि|छथि|सेहो"),
+    ("bh", "बाटे|हमनी|भईल"),
+    ("new", "खः|थ्व |जुया"),
+    ("gom", "आनी|म्हूण|आसा "),
     ("hi", "[ऀ-ॿ]"),            # devanagari
+    # Bishnupriya Manipuri writes Bengali script — split by its own
+    # demonstratives (এহান "this", হানর genitive) BEFORE as/bn
+    ("bpy", "এহান|হানর|মারি "),
     ("as", "[ৰৱ]"),              # assamese ra/wa, BEFORE the bengali block
     ("bn", "[ঀ-৿]"),            # bengali
     ("ta", "[஀-௿]"),            # tamil
@@ -268,6 +352,8 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("pa", "[਀-੿]"),            # gurmukhi (punjabi)
     ("or", "[଀-୿]"),            # odia
     ("si", "[඀-෿]"),            # sinhala
+    ("xmf", "[ჸ]"),              # mingrelian glottal-stop letter,
+                                 # BEFORE the georgian block
     ("ka", "[Ⴀ-ჿ]"),             # georgian
     ("hy", "[԰-֏]"),             # armenian
     ("my", "[က-႟]"),             # myanmar
@@ -403,6 +489,66 @@ def lang_predict(c: Column) -> Column:
     out = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
     for lang, pattern in reversed(SCRIPT_RULES):
         out = F.when(c.rlike(pattern), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_top_k(c: Column, k: int = 5) -> Column:
+    """Top-k languages WITH confidence — array<struct<lang, conf>>,
+    conf in percent rounded to 2, mirroring the reference's
+    `detect_language_with_confidence` output shape (Profiler.py:232-259:
+    fasttext probabilities * 100). Same decision order as lang_predict:
+    a script-rule match short-circuits to [(lang, 100.0)]; otherwise the
+    marker argmax generalizes to the top-k positive scores with
+    conf = 100 * score / total_hits (a normalized-margin proxy for the
+    model's calibrated probability — the label ordering is identical to
+    lang_predict's by construction); no hits at all → [('und', 0.0)].
+
+    The sorted struct array is referenced twice (slice + total); both
+    references are deterministic and identical, so whole-stage codegen's
+    subexpression elimination evaluates the 100+-struct build once — and
+    nothing marker-derived is captured inside a per-element lambda (the
+    HOF lambda-capture trap: a captured outer expression re-evaluates
+    per element)."""
+    scores = lang_scores(c)
+    langs = sorted(scores)
+    ranked = F.reverse(
+        F.array_sort(
+            F.array(*[
+                F.struct(
+                    scores[lang].alias("s"),
+                    F.lit(-i).alias("nr"),
+                    F.lit(lang).alias("l"),
+                )
+                for i, lang in enumerate(langs)
+            ])
+        )
+    )
+    total = F.aggregate(
+        ranked, F.lit(0).cast("bigint"), lambda a, x: a + x["s"].cast("bigint")
+    )
+    top = F.filter(F.slice(ranked, 1, k), lambda x: x["s"] > 0)
+    # division via zip_with against a repeated-total array: capturing
+    # `total` inside a transform() lambda would re-evaluate the whole
+    # marker-score build per element (the HOF capture trap again) —
+    # zip_with's inputs are each evaluated ONCE, outside the lambda
+    scored = F.zip_with(
+        top,
+        F.array_repeat(total, F.size(top)),
+        lambda x, t: F.struct(
+            x["l"].alias("lang"),
+            F.round(100.0 * x["s"] / t, 2).alias("conf"),
+        ),
+    )
+    out = F.when(F.size(top) > 0, scored).otherwise(
+        F.array(F.struct(F.lit("und").alias("lang"), F.lit(0.0).alias("conf")))
+    )
+    for lang, pattern in reversed(SCRIPT_RULES):
+        out = F.when(
+            c.rlike(pattern),
+            F.array(
+                F.struct(F.lit(lang).alias("lang"), F.lit(100.0).alias("conf"))
+            ),
+        ).otherwise(out)
     return out
 
 

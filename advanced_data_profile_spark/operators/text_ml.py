@@ -115,6 +115,30 @@ def lang_id_distinct(
     return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit("und")))
 
 
+def language_profile(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
+    """Per-COLUMN top-k (language, confidence) pairs — the reference's
+    "Languages Detected with Confidence" field (Profiler.py:663-673:
+    per-unique-text detection, dedup by language keeping the
+    highest-confidence entry, top 5 by confidence desc). Spark shape:
+    distinct texts → lang_top_k expression (JVM-side) → explode →
+    max(conf) per language → TakeOrderedAndProject. Distinct first for
+    the same reason as lang_id_distinct: web corpora are
+    duplicate-heavy, and per-column language mix is a property of the
+    distinct value set."""
+    from advanced_data_profile_spark.functions.text import lang_top_k
+
+    return (
+        df.select(F.col(text_col).alias("__text"))
+        .where(F.col("__text").isNotNull())
+        .distinct()
+        .select(F.explode(lang_top_k(F.col("__text"), k)).alias("e"))
+        .groupBy(F.col("e.lang").alias("lang"))
+        .agg(F.max("e.conf").alias("conf"))
+        .orderBy(F.desc("conf"), F.asc("lang"))
+        .limit(k)
+    )
+
+
 def word_frequencies(df: DataFrame, text_col: str, top: int = 50) -> DataFrame:
     """Global word counts, top-k (the word-cloud data, N2) — explode +
     partial-agg count + TakeOrderedAndProject."""

@@ -202,6 +202,18 @@ def render_html(report: dict) -> str:
             f"{_fmt(t.get('n_monosyllable_words'))} mono- / "
             f"{_fmt(t.get('n_polysyllable_words'))} polysyllable words</div>"
         )
+        langs = t.get("languages_detected") or []
+        if langs:
+            # reference "Languages Detected with Confidence"
+            # (Profiler.py:663-673): top-5 (language, confidence %)
+            parts.append(
+                '<div class="meta">languages detected: '
+                + ", ".join(
+                    f"{_esc(r.get('lang'))} ({_fmt(r.get('conf'))}%)"
+                    for r in langs
+                )
+                + "</div>"
+            )
         wf = t.get("word_frequencies") or []
         if wf:
             # rasterized word cloud (PNG data-URI, the reference's

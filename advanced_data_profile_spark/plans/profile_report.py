@@ -32,6 +32,7 @@ from advanced_data_profile_spark.operators.stats import (
 from advanced_data_profile_spark.operators.text_ml import (
     char_counts,
     flesch_reading_ease,
+    language_profile,
     word_frequencies,
 )
 from advanced_data_profile_spark.operators.topk import top_k_values
@@ -119,9 +120,13 @@ def profile_table_report(
         words = [w.asDict() for w in word_frequencies(df, name, top=25).collect()]
         flesch = flesch_reading_ease(df, name).first()[0]
         cc = char_counts(df, name).first().asDict()
+        # reference "Languages Detected with Confidence" (Profiler.py:
+        # 663-673): per-language best confidence, top 5 by conf desc
+        langs = [r.asDict() for r in language_profile(df, name, k=5).collect()]
         text_sections[name] = {
             "word_frequencies": words,
             "mean_flesch": flesch,
+            "languages_detected": langs,
             **cc,
         }
 

@@ -169,11 +169,18 @@ def test_profile_table_report_end_to_end(spark, tmp_path):
     note = rep["text_analysis"]["note"]
     assert any(w["word"] == "shipment" for w in note["word_frequencies"])
     assert note["mean_flesch"] is not None
+    # reference "Languages Detected with Confidence" (Profiler.py:
+    # 663-673): top-5 (lang, conf%) pairs, best-confidence-per-language
+    langs = note["languages_detected"]
+    assert langs and langs[0]["lang"] == "en"
+    assert all(0.0 < r["conf"] <= 100.0 for r in langs)
+    confs = [r["conf"] for r in langs]
+    assert confs == sorted(confs, reverse=True) and len(langs) <= 5
 
     doc = render_html(rep)
     for sec in ("Top values", "Correlation", "PCA feature importance",
                 "Text analysis", "Histograms", "Random row sample",
-                ">date<", ">integer<", "shipment"):
+                ">date<", ">integer<", "shipment", "languages detected"):
         assert sec in doc, sec
 
 

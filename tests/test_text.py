@@ -293,7 +293,9 @@ def test_lang_predict_round5_breadth(spark):
         ("دا پښتو ژبه ده ټول خلک ئې وايي ډېره ښه ده", "ps"),
         ("هيءَ سنڌي ٻولي آهي ڄاڻ ۽ ڳالهه ٻولهه جي ٻولي", "sd"),
         ("بۇ ئۇيغۇر تىلى بولۇپ ئۈچۈن ياخشى", "ug"),
-        ("ئەمە زمانی کوردیيە ڕاست و دڵسۆز و جوانە بێگومان", "ku"),
+        # round-7: the Sorani letter rule now labels ckb (fasttext
+        # splits Sorani ckb from Latin-script Kurmanji ku)
+        ("ئەمە زمانی کوردیيە ڕاست و دڵسۆز و جوانە بێگومان", "ckb"),
         ("ин забони тоҷикӣ аст ва хеле зебоӯст бе гумон", "tg"),
         ("бу татар теле һәм бик матур җыр яңгырый", "tt"),
         ("был башҡорт теле һәм бик матур ҙур ил", "ba"),
@@ -477,3 +479,158 @@ def test_lang_predict_round6b_shared_block_splitting(spark):
         for (t, want), got in zip(cases, preds) if want != got
     ]
     assert not mism, mism
+
+
+def test_lang_predict_round7_breadth(spark):
+    """Round-7: the last lid.176 tail (total surface now >= 176).
+    New splits of shared scripts: Sorani ckb keeps the Arabic-letter
+    rule while Latin Kurmanji ku moves to markers; Shahmukhi pnb /
+    azb / mzn / lrc before fa-ar; Caspian-Cyrillic xal / tyv / bxr /
+    mrj / rue / av / lez / krc / myv before their block fallbacks;
+    Devanagari dty / mai / bh / new / gom before hi; bpy before bn;
+    xmf before ka; wuu before zh; bs / sh beside hr.  Every case also
+    pins lang_top_k's top-1 to the lang_predict label (same decision
+    order by construction)."""
+    from advanced_data_profile_spark.functions.text import (
+        LANG_MARKERS,
+        SCRIPT_RULES,
+        lang_top_k,
+    )
+
+    assert len(LANG_MARKERS) + len(SCRIPT_RULES) >= 176
+    assert not set(LANG_MARKERS) & {lang for lang, _ in SCRIPT_RULES}
+
+    cases = [
+        # Latin-script markers
+        ("ev ziman ku gelek kes ji wan dike u dibe heye bi li hem", "ku"),
+        ("znam da je to bilo kako nakon rata bez svoje djece njih se", "bs"),
+        ("oni ih vidjeli im uz kod posle rata", "sh"),
+        # Arabic-script splits
+        ("ایہ پنجابی بولی اے تے بہت سوہنی اے", "pnb"),
+        ("هۉمە زوٙن لۊری", "lrc"),
+        ("بو دیل تورکجه سی اولان دیلدیر", "azb"),
+        ("اینتا زوون مازرونی نومش هسه", "mzn"),
+        # Cyrillic splits
+        ("эн хальмг келн болн сәәхн келн", "xal"),
+        ("бо тыва дыл болгаш чүве бижиир", "tyv"),
+        ("энэ буряад хэлэн һайн даа", "bxr"),
+        ("тидӹ кырык мары йӹлмӹ ылеш", "mrj"),
+        ("русиньскый язык має і свою бісіду", "rue"),
+        ("гьаб авар мацӏ буго жакъа", "av"),
+        ("лезги чӏал гзаф авай халкьдин", "lez"),
+        ("бу къарачай тил болгъан эмда ариу", "krc"),
+        ("те эрзянь кель улить валт", "myv"),
+        # Devanagari / Bengali / Georgian / Han splits
+        ("यो डोटेली भाषा हो हुन्या", "dty"),
+        ("ई मैथिली भाषा अछि आ नीक अछि", "mai"),
+        ("ई भोजपुरी भाषा बाटे हमनी के", "bh"),
+        ("थ्व नेपालभाषा खः जुया", "new"),
+        ("ही कोंकणी भास आसा आनी बरी", "gom"),
+        ("এহান বিষ্ণুপ্রিয়া মণিপুরী ঠার হানর", "bpy"),
+        ("თე მარგალური ნინა რე ჸოროფა", "xmf"),
+        ("侬好伐阿拉去买小菜", "wuu"),
+    ]
+    pdf = pd.DataFrame({"t": [t for t, _ in cases]})
+    rows = (
+        spark.createDataFrame(pdf)
+        .select(
+            X.lang_predict(F.col("t")).alias("p"),
+            lang_top_k(F.col("t")).alias("k"),
+        )
+        .collect()
+    )
+    mism = [
+        (t[:30], want, r.p)
+        for (t, want), r in zip(cases, rows)
+        if want != r.p or r.k[0].lang != r.p
+    ]
+    assert not mism, mism
+
+
+def test_lang_predict_round7_sibling_discrimination(spark):
+    """The round-7 rules must not steal sibling text: Persian keeps
+    هسته‌ای ("nuclear" — NOT a Mazanderani trigger), Urdu keeps سوچ
+    (the bare pnb وچ is space-delimited on both sides), hr survives
+    beside the new bs/sh marker sets, ru/uk are untouched by the rue
+    co-occurrence rule (each has only one of ы/і), Mandarin without Wu
+    pronouns stays zh, plain Bengali stays bn, plain Georgian ka."""
+    cases = [
+        ("انرژی هسته‌ای ژاپن مهم است", "fa"),
+        ("یہ اردو زبان ہے اور میری سوچ ہے", "ur"),
+        ("ovo su rijeci ali kao da nije bilo", "hr"),
+        ("это русский язык и он был красив", "ru"),
+        ("це українська мова і вона є гарна", "uk"),
+        ("这是普通话的句子我们说", "zh"),
+        ("এটা বাংলা ভাষা খুব সুন্দর", "bn"),
+        ("ეს ქართული ენა ძალიან ლამაზი", "ka"),
+        # Mongolian ө/ү with no һ must stay mn, not bxr
+        ("энэ монгол хэл өөрийн үндэсний хэл юм", "mn"),
+        # Chechen palochka without av/lez function words stays ce
+        ("хара нохчийн мотт бу хаза Ӏалашо", "ce"),
+    ]
+    pdf = pd.DataFrame({"t": [t for t, _ in cases]})
+    preds = [
+        r.p for r in spark.createDataFrame(pdf)
+        .select(X.lang_predict(F.col("t")).alias("p")).collect()
+    ]
+    mism = [
+        (t[:30], want, got)
+        for (t, want), got in zip(cases, preds) if want != got
+    ]
+    assert not mism, mism
+
+
+def test_lang_top_k_confidence(spark):
+    """lang_top_k mirrors the reference's detect_language_with_
+    confidence shape (Profiler.py:232-259): array of (lang, conf%)
+    structs. Script-rule hit short-circuits to [(lang, 100.0)];
+    marker texts get normalized-share confidences sorted descending
+    and summing to <= 100; signal-free text gets [('und', 0.0)]."""
+    from advanced_data_profile_spark.functions.text import lang_top_k
+
+    pdf = pd.DataFrame({"t": [
+        "это русский язык и он был красив",
+        "the of and to in is was it for on the and of",
+        "12345 9876 ... !!!",
+    ]})
+    rows = (
+        spark.createDataFrame(pdf)
+        .select(
+            lang_top_k(F.col("t")).alias("k"),
+            X.lang_predict(F.col("t")).alias("p"),
+        )
+        .collect()
+    )
+    assert [(e.lang, e.conf) for e in rows[0].k] == [("ru", 100.0)]
+    pairs = [(e.lang, e.conf) for e in rows[1].k]
+    assert pairs[0][0] == rows[1].p == "en"
+    confs = [c for _, c in pairs]
+    assert all(0.0 < c <= 100.0 for c in confs)
+    assert confs == sorted(confs, reverse=True)
+    assert sum(confs) <= 100.0 + 1e-6
+    assert 1 <= len(pairs) <= 5
+    assert [(e.lang, e.conf) for e in rows[2].k] == [("und", 0.0)]
+
+
+def test_language_profile_operator(spark):
+    """Per-column top-k language mix (reference Profiler.py:663-673):
+    distinct texts -> per-text top-k -> best confidence per language,
+    ordered by confidence. Duplicate texts collapse before detection."""
+    from advanced_data_profile_spark.operators.text_ml import language_profile
+
+    texts = (
+        ["the cat sat on the mat and it was of the good kind"] * 3
+        + [
+            "el hombre es que en un una por con para del los",
+            "das ist nicht der fall und ich bin ein mensch mit den",
+            None,
+        ]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    rows = language_profile(df, "t", k=5).collect()
+    by_lang = {r.lang: r.conf for r in rows}
+    assert {"en", "es", "de"} <= set(by_lang)
+    assert all(0.0 < c <= 100.0 for c in by_lang.values())
+    assert len(rows) == len(by_lang) <= 5
+    confs = [r.conf for r in rows]
+    assert confs == sorted(confs, reverse=True)
