@@ -175,6 +175,165 @@ def knn_ivf(
     )
 
 
+# --- Persisted IVF index ---------------------------------------------------
+
+def ivf_index_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    k: int = 8,
+    seed: int = 1,
+    max_iter: int = 10,
+    init_mode: str = "random",
+) -> None:
+    """Persist the IVF state — coarse-quantizer centroids + cluster
+    assignments — so searches and appends never refit the quantizer or
+    rescan the corpus (the ANN member of the stored-state family:
+    same discipline as dedup.neardup_index_build and the sketch
+    rollups; derived state is computed from the WRITTEN state, the raw
+    corpus is scanned once).
+
+    Layout under index_path:
+      assignments/  (id, vec, label) parquet PARTITIONED BY label —
+                    the probe filter becomes FILE-LEVEL partition
+                    pruning at search time (plan-asserted in tests);
+      centroids/    (label, centroid, n) — KB-sized (k rows).
+
+    The quantizer is fit once here (pyspark.ml KMeans via
+    ivf_kmeans_labels); the classic IVF contract is that appends
+    assign to the nearest stored centroid and never move centroids, so
+    stored assignments stay valid forever. Centroids are the ACTUAL
+    per-cluster means of the written assignments (one pass over state,
+    not raw corpus) — tighter probe ranking than the model's own
+    centers after the final assignment step."""
+    spark = df.sparkSession
+    labeled = ivf_kmeans_labels(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        "vec", k=k, seed=seed, max_iter=max_iter, init_mode=init_mode,
+        label_col="label",
+    )
+    labeled.write.mode("overwrite").partitionBy("label").parquet(
+        f"{index_path}/assignments"
+    )
+    stored = spark.read.parquet(f"{index_path}/assignments")
+    ivf_centroids(stored, "vec", "label").select(
+        "label", "centroid", "n"
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def _require_ivf_index(spark, index_path: str) -> list:
+    from advanced_data_profile_spark.session import hadoop_path_exists
+
+    cpath = f"{index_path}/centroids"
+    if not hadoop_path_exists(spark, cpath):
+        raise ValueError(
+            f"IVF index not built at {index_path!r} — run ivf_index_build "
+            "first."
+        )
+    cents = spark.read.parquet(cpath).collect()  # k rows, KB-sized
+    if not cents:
+        raise ValueError(
+            f"IVF index at {index_path!r} has an empty centroid relation."
+        )
+    return cents
+
+
+def ivf_index_append(
+    batch: DataFrame, id_col: str, vec_col: str, index_path: str
+) -> None:
+    """Append vectors to a built index WITHOUT refitting or rescanning:
+    each batch row is assigned to the nearest stored centroid by a
+    k-term literal argmin expression (the centroid relation is
+    collected driver-side — k rows — so assignment is a codegen'd
+    projection: no join, no shuffle), then appended to the
+    label-partitioned assignments. Distance is squared euclidean, the
+    quantizer's own metric. Centroid means stay FIXED (the IVF
+    contract); the informational n counts are refreshed from the
+    batch's per-label counts (one batch-sized agg + a rewrite of the
+    KB-sized centroid relation)."""
+    spark = batch.sparkSession
+    cents = _require_ivf_index(spark, index_path)
+    v = F.col(vec_col).cast("array<double>")
+
+    def d2(centroid) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in centroid])
+        # zip_with's inputs are evaluated ONCE outside the lambda (the
+        # HOF capture trap does not apply to lambda ARGUMENTS)
+        return F.aggregate(
+            F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    best = F.array_sort(
+        F.array(*[
+            F.struct(
+                d2(r.centroid).alias("d"), F.lit(int(r.label)).alias("l")
+            )
+            for r in cents
+        ])
+    )[0]["l"]
+    asg = batch.select(
+        F.col(id_col).alias("id"), v.alias("vec"), best.alias("label")
+    )
+    asg.write.mode("append").partitionBy("label").parquet(
+        f"{index_path}/assignments"
+    )
+    # refresh n from the batch side only (recomputing the batch-sized
+    # assignment once more — the batch is small by contract; the stored
+    # state is NOT rescanned)
+    delta = {r["label"]: r["n"] for r in
+             asg.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = [
+        (int(r.label), list(r.centroid), int(r.n) + delta.get(int(r.label), 0))
+        for r in cents
+    ]
+    spark.createDataFrame(
+        rows, "label bigint, centroid array<double>, n bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_index_search(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Search the stored index: rank the KB-sized centroid relation by
+    cosine to the query DRIVER-side (k rows — no Spark job), then read
+    ONLY the best n_probe label partitions of the assignments (label
+    is the partition column, so the isin filter is file-level
+    partition pruning — at 10^12 vectors the scan touches
+    n_probe/k of the files) and brute-force cosine within
+    (TakeOrderedAndProject)."""
+    import math
+
+    cents = _require_ivf_index(spark, index_path)
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def ccos(c) -> float:
+        cn = math.sqrt(sum(x * x for x in c))
+        if cn == 0 or qn == 0:
+            return float("-inf")
+        return sum(a * b for a, b in zip(c, query_vec)) / (cn * qn)
+
+    ranked = sorted(cents, key=lambda r: (-ccos(r.centroid), int(r.label)))
+    labels = [int(r.label) for r in ranked[:n_probe]]
+    asg = spark.read.parquet(f"{index_path}/assignments").where(
+        F.col("label").isin(labels)
+    )
+    cos = cosine_expr(F.col("vec"), _query_lit(query_vec))
+    return (
+        asg.select(F.col("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def embedding_profile(
     df: DataFrame, emb_col: str, group_by: str | None = None
 ) -> DataFrame:

@@ -203,3 +203,95 @@ def test_embedding_drift_from_stored_dimension_stats(spark):
     # centroid direction changed (means are near zero, so the cosine is
     # noisy in magnitude — the shifted case must read clearly lower)
     assert bad.centroid_cosine < 0.9
+
+
+# --- Persisted IVF index ---------------------------------------------------
+
+@pytest.fixture()
+def two_cluster_df(spark):
+    """40 vectors in two well-separated 4-d clusters: ids 0-19 around
+    (+10, i/10, 0, 0), ids 20-39 around (-10, 0, i/10, 0)."""
+    rows = [(i, [10.0, i / 10.0, 0.0, 1.0]) for i in range(20)] + [
+        (i, [-10.0, 0.0, (i - 20) / 10.0, 1.0]) for i in range(20, 40)
+    ]
+    return spark.createDataFrame(rows, "vid bigint, v array<double>")
+
+
+def test_ivf_index_build_search_roundtrip(spark, two_cluster_df, tmp_path):
+    idx = str(tmp_path / "ivf")
+    S.ivf_index_build(two_cluster_df, "vid", "v", idx, k=2, seed=1)
+    # stored state: 2 centroids summing to 40 members, label-partitioned
+    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    assert len(cents) == 2 and sum(r.n for r in cents) == 40
+    # a query in the +10 cluster with 1 probe returns only that cluster
+    got = S.ivf_index_search(spark, idx, [10.0, 0.5, 0.0, 1.0], k=5,
+                             n_probe=1).collect()
+    assert len(got) == 5 and all(r.id < 20 for r in got)
+    # probing ALL clusters == brute force over the original frame
+    full = S.ivf_index_search(spark, idx, [10.0, 0.5, 0.0, 1.0], k=5,
+                              n_probe=2).collect()
+    brute = S.knn_bruteforce(
+        two_cluster_df, "vid", "v", [10.0, 0.5, 0.0, 1.0], k=5
+    ).collect()
+    assert [(r.cosine, r.id) for r in full] == [
+        (r.cosine, r.id) for r in brute
+    ]
+
+
+def test_ivf_index_append_assigns_nearest_and_refreshes_counts(
+    spark, two_cluster_df, tmp_path
+):
+    idx = str(tmp_path / "ivf")
+    S.ivf_index_build(two_cluster_df, "vid", "v", idx, k=2, seed=1)
+    labels = {
+        r.label: r.n for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    batch = spark.createDataFrame(
+        [(100, [11.0, 0.0, 0.0, 1.0]), (101, [-11.0, 0.0, 0.0, 1.0])],
+        "vid bigint, v array<double>",
+    )
+    S.ivf_index_append(batch, "vid", "v", idx)
+    # counts refreshed: one appended row per cluster, means unchanged
+    after = {
+        r.label: r for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert {k: r.n for k, r in after.items()} == {
+        k: n + 1 for k, n in labels.items()
+    }
+    asg = spark.read.parquet(f"{idx}/assignments")
+    assert asg.count() == 42
+    # each appended vector landed in its nearest centroid's partition,
+    # and search now finds it without any rebuild
+    by_id = {r.id: r.label for r in asg.select(
+        "id", "label").where(F.col("id") >= 100).collect()}
+    plus = asg.where(F.col("id") == 0).first().label
+    assert by_id[100] == plus and by_id[101] != plus
+    got = {r.id for r in S.ivf_index_search(
+        spark, idx, [11.0, 0.0, 0.0, 1.0], k=3, n_probe=1).collect()}
+    assert 100 in got
+
+
+def test_ivf_index_search_plan_prunes_partitions(
+    spark, two_cluster_df, tmp_path
+):
+    """Scale contract: the probe filter must reach the scan as a
+    PARTITION filter (label is the partition column), so at 10^12
+    vectors a 1-of-k probe reads 1/k of the files."""
+    import re
+
+    idx = str(tmp_path / "ivf")
+    S.ivf_index_build(two_cluster_df, "vid", "v", idx, k=2, seed=1)
+    out = S.ivf_index_search(spark, idx, [10.0, 0.5, 0.0, 1.0], k=5,
+                             n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*label", plan), plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_index_requires_build(spark, two_cluster_df, tmp_path):
+    with pytest.raises(ValueError, match="not built"):
+        S.ivf_index_search(spark, str(tmp_path / "missing"), [1.0, 0.0], k=3)
+    with pytest.raises(ValueError, match="not built"):
+        S.ivf_index_append(
+            two_cluster_df, "vid", "v", str(tmp_path / "missing")
+        )
