@@ -49,6 +49,7 @@ def curate_corpus(
     ppl_model: DataFrame | None = None,
     max_ppl: float = 30.0,
     ppl_alpha: float = 0.1,
+    ppl_lang_col: str | None = None,
 ) -> DataFrame:
     """One row per document with each stage's keep verdict and the
     final AND:
@@ -68,7 +69,11 @@ def curate_corpus(
       train_char_lm relation, e.g. trained on a trusted reference
       corpus; the n-gram order is derived from the model's ctx width,
       smoothing set by `ppl_alpha`) is <= max_ppl — the CCNet cut;
-      True everywhere when no model is passed. Empty-normalized docs have no perplexity and
+      True everywhere when no model is passed. A model carrying a
+      `lang` column (train_char_lm_by_lang) switches the stage to
+      per-language scoring — each doc under its own language's model,
+      labels from `ppl_lang_col` or derived via lang_predict, and
+      unmodeled-language docs fail the stage explicitly. Empty-normalized docs have no perplexity and
       fail the stage (they fail quality's word floor anyway);
     - keep_final: all of the above. Filter the corpus with
       `docs.join(curated.where("keep_final"), id)` or inspect the
@@ -104,26 +109,46 @@ def curate_corpus(
         from advanced_data_profile_spark.operators.quality import (
             char_lm_model_n,
             char_lm_perplexity,
+            char_lm_perplexity_by_lang,
         )
 
-        # the n-gram order is DERIVED from the model's ctx width (and
-        # the relation validated), so a model trained at any n scores
-        # with matching contexts — a hardcoded n would make every
-        # (ctx, ch) lookup miss for n != 3 and silently fail the whole
-        # corpus at the threshold
-        ppl_n = char_lm_model_n(ppl_model)
         # threshold on the 4-decimal-rounded ppl: the cross-engine
         # contract then compares IDENTICAL quantities (the DuckDB
         # replay rounds to 4), closing the sub-1e-4 window where an
         # unrounded comparison could disagree at the boundary
-        ppl = char_lm_perplexity(
-            docs, id_col, text_col, ppl_model, n=ppl_n, alpha=ppl_alpha
-        ).select(
-            "id",
-            (F.round(F.col("ppl"), 4) <= F.lit(max_ppl)).alias(
-                "keep_perplexity"
-            ),
-        )
+        if "lang" in ppl_model.columns:
+            # per-language mode (the full CCNet discipline): a
+            # train_char_lm_by_lang model scores each doc under its
+            # OWN language's model; ppl_lang_col=None derives labels
+            # via lang_predict. A doc whose language has no model rows
+            # scores the smoothed floor (modeled=False) and fails the
+            # cut — route such languages explicitly rather than
+            # training on floor-scored text
+            ppl = char_lm_perplexity_by_lang(
+                docs, id_col, text_col, ppl_model,
+                lang_col=ppl_lang_col, alpha=ppl_alpha,
+            ).select(
+                "id",
+                (
+                    F.col("modeled")
+                    & (F.round(F.col("ppl"), 4) <= F.lit(max_ppl))
+                ).alias("keep_perplexity"),
+            )
+        else:
+            # the n-gram order is DERIVED from the model's ctx width
+            # (and the relation validated), so a model trained at any
+            # n scores with matching contexts — a hardcoded n would
+            # make every (ctx, ch) lookup miss for n != 3 and silently
+            # fail the whole corpus at the threshold
+            ppl_n = char_lm_model_n(ppl_model)
+            ppl = char_lm_perplexity(
+                docs, id_col, text_col, ppl_model, n=ppl_n, alpha=ppl_alpha
+            ).select(
+                "id",
+                (F.round(F.col("ppl"), 4) <= F.lit(max_ppl)).alias(
+                    "keep_perplexity"
+                ),
+            )
         out = out.join(ppl, "id", "left")
     else:
         out = out.withColumn("keep_perplexity", F.lit(True))

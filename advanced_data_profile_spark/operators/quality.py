@@ -403,3 +403,159 @@ def char_lm_perplexity(
         F.avg("__logp").alias("avg_logp"),
         F.exp(-F.avg("__logp")).alias("ppl"),
     )
+
+
+def train_char_lm_by_lang(
+    df: DataFrame, text_col: str, lang_col: str, n: int = 3
+) -> DataFrame:
+    """Per-language char n-gram models in ONE corpus scan — the full
+    CCNet discipline (Wenzek et al. 2020 §3.3: a SEPARATE LM per
+    language, documents scored under their own language's model).
+    Returns (lang, ctx, ch, cnt); size <= n_langs * 37^(n-1) * 37 rows
+    regardless of corpus size, still broadcastable. Same shape as
+    train_char_lm with the language riding the group key."""
+    pairs = _char_ngram_pairs(
+        df.select(F.col(lang_col).alias("lang"), F.col(text_col)),
+        text_col, n, ["lang"],
+    )
+    return pairs.groupBy("lang", "ctx", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def char_lm_perplexity_by_lang(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    lang_col: str | None = None,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document perplexity under the document's OWN language model
+    (train_char_lm_by_lang relation): lookup keys are (lang, ctx, ch).
+    Returns (id, lang, modeled, n_chars, avg_logp, ppl).
+
+    lang_col=None derives the label with functions.text.lang_predict
+    (the production shape — corpora rarely arrive pre-labeled); pass an
+    explicit column when labels are already materialized. The n-gram
+    order is DERIVED from the model's ctx width (char_lm_model_n —
+    empty/mixed models raise). A document whose language has no model
+    rows scores every char at the smoothed floor (ppl == LM_VOCAB at
+    any alpha); the `modeled` flag marks those so callers route
+    unmodeled languages instead of silently failing them at a
+    threshold (the ADVICE-r6 silent-failure discipline).
+
+    Scale shape identical to char_lm_perplexity: model + ctx totals
+    broadcast, one explode linear in corpus characters, partial agg
+    before the single shuffle on (id, lang)."""
+    from advanced_data_profile_spark.functions.text import lang_predict
+
+    n = char_lm_model_n(model.select("ctx", "ch", "cnt"))
+    lang_e = (
+        F.col(lang_col) if lang_col is not None
+        else lang_predict(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), lang_e.alias("lang"), F.col(text_col)
+    )
+    pairs = _char_ngram_pairs(base, text_col, n, ["id", "lang"])
+    ctx_tot = model.groupBy("lang", "ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    scored = (
+        pairs.join(F.broadcast(model), ["lang", "ctx", "ch"], "left")
+        .join(F.broadcast(ctx_tot), ["lang", "ctx"], "left")
+        .select(
+            "id",
+            "lang",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("ctx_cnt"), F.lit(0))
+                   + F.lit(alpha * LM_VOCAB))
+            ).alias("__logp"),
+        )
+    )
+    agg = scored.groupBy("id", "lang").agg(
+        F.count(F.lit(1)).alias("n_chars"),
+        F.avg("__logp").alias("avg_logp"),
+        F.exp(-F.avg("__logp")).alias("ppl"),
+    )
+    modeled = model.select("lang").distinct().withColumn(
+        "modeled", F.lit(True)
+    )
+    return agg.join(F.broadcast(modeled), ["lang"], "left").select(
+        "id", "lang", F.coalesce("modeled", F.lit(False)).alias("modeled"),
+        "n_chars", "avg_logp", "ppl",
+    )
+
+
+def ppl_sketch_state(scored: DataFrame, k: int = 200) -> DataFrame:
+    """Per-language KLL sketch of the ppl column — the persistable
+    stored state behind ppl_language_buckets' thresholds: (lang,
+    sketch), one tiny row per language. Mergeable across epochs and
+    batches (kll_merge_agg_double), the same discipline as the
+    profile's quantile-sketch state (operators/sketches.py)."""
+    return scored.groupBy("lang").agg(
+        F.kll_sketch_agg_double(F.col("ppl").cast("double"), F.lit(k)).alias(
+            "sketch"
+        )
+    )
+
+
+def ppl_thresholds_from_sketches(
+    sketches: DataFrame, lo: float = 1.0 / 3, hi: float = 2.0 / 3
+) -> DataFrame:
+    """(lang, ppl_lo, ppl_hi) read off stored per-language KLL state —
+    merge then two quantile getters (rank/quantile args must be
+    LITERALS; the getters reject non-foldable expressions). Feed the
+    result to ppl_language_buckets(thresholds=...): the 100 TB shape
+    scores this epoch's documents against LAST epoch's stored cuts
+    with no second pass over this epoch's scores (approximate at the
+    sketch's ~1.65% rank error vs the exact in-pass default)."""
+    merged = sketches.groupBy("lang").agg(
+        F.kll_merge_agg_double("sketch").alias("__m")
+    )
+    return merged.select(
+        "lang",
+        F.kll_sketch_get_quantile_double("__m", F.lit(float(lo))).alias(
+            "ppl_lo"
+        ),
+        F.kll_sketch_get_quantile_double("__m", F.lit(float(hi))).alias(
+            "ppl_hi"
+        ),
+    )
+
+
+def ppl_language_buckets(
+    scored: DataFrame,
+    lo: float = 1.0 / 3,
+    hi: float = 2.0 / 3,
+    thresholds: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail: cut each language's documents at that
+    LANGUAGE'S ppl quantiles (Wenzek et al. 2020 §4.4 — per-language
+    cuts, because absolute perplexity is not comparable across
+    languages). Input is a char_lm_perplexity_by_lang relation (or any
+    (lang, ppl, ...) relation); output appends ppl_lo/ppl_hi/bucket.
+
+    thresholds=None computes exact per-language percentiles from the
+    scored relation itself — one n_langs-row aggregate broadcast back
+    (the scored relation is metadata-sized: one narrow row per doc).
+    Pass a precomputed (lang, ppl_lo, ppl_hi) relation to cut against
+    STORED thresholds instead — e.g. quantiles read off persisted
+    per-language KLL sketch state (sketches.py) — the drift-family
+    discipline: at 100 TB the epoch's cuts come from stored state, not
+    a second pass over this epoch's scores. Languages missing from
+    `thresholds` get NULL cuts and bucket 'unmodeled'."""
+    if thresholds is None:
+        thresholds = scored.groupBy("lang").agg(
+            F.round(F.percentile("ppl", F.lit(lo)), 6).alias("ppl_lo"),
+            F.round(F.percentile("ppl", F.lit(hi)), 6).alias("ppl_hi"),
+        )
+    bucket = (
+        F.when(F.col("ppl_lo").isNull(), "unmodeled")
+        .when(F.col("ppl") <= F.col("ppl_lo"), "head")
+        .when(F.col("ppl") <= F.col("ppl_hi"), "middle")
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(thresholds), ["lang"], "left").withColumn(
+        "bucket", bucket
+    )

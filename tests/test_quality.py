@@ -302,3 +302,213 @@ def test_char_lm_perplexity_plan_broadcasts_model(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2  # model + ctx totals
     assert "SortMergeJoin" not in plan
+
+
+def test_train_char_lm_by_lang_partitions_counts(spark):
+    """One scan, per-language models: counts land under their own
+    language key and never mix."""
+    from advanced_data_profile_spark.operators.quality import (
+        train_char_lm_by_lang,
+    )
+
+    ref = spark.createDataFrame(
+        [("en", "ab"), ("fr", "cd")], "lang string, text string"
+    )
+    model = train_char_lm_by_lang(ref, "text", "lang")
+    rows = {(r.lang, r.ctx, r.ch): r.cnt for r in model.collect()}
+    assert rows == {
+        ("en", "##", "a"): 1, ("en", "#a", "b"): 1,
+        ("fr", "##", "c"): 1, ("fr", "#c", "d"): 1,
+    }
+
+
+def test_char_lm_perplexity_by_lang_hand_computed(spark):
+    """Same add-alpha arithmetic as the single-model scorer, with the
+    language riding the lookup key: a doc of a modeled language scores
+    exactly as under its own standalone model (ppl 4.7/1.1 for 'ab'
+    under the 'ab' model); a doc of an UNMODELED language misses every
+    (lang, ctx, ch) and (lang, ctx) lookup, scoring the smoothed floor
+    alpha/(alpha*37) per char — ppl exactly 37 — with modeled=False
+    flagging it (the silent-corpus-failure guard)."""
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity_by_lang,
+        train_char_lm_by_lang,
+    )
+
+    ref = spark.createDataFrame(
+        [("en", "ab"), ("fr", "cd")], "lang string, text string"
+    )
+    model = train_char_lm_by_lang(ref, "text", "lang")
+    docs = spark.createDataFrame(
+        [(1, "en", "ab"), (2, "de", "ab")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.id: r for r in char_lm_perplexity_by_lang(
+        docs, "doc_id", "text", model, lang_col="lang").collect()}
+    assert out[1].modeled and out[1].lang == "en"
+    assert out[1].ppl == pytest.approx(4.7 / 1.1, rel=1e-12)
+    assert not out[2].modeled and out[2].lang == "de"
+    assert out[2].ppl == pytest.approx(37.0, rel=1e-12)
+
+
+def test_char_lm_perplexity_by_lang_auto_lang_predict(spark):
+    """lang_col=None derives labels with lang_predict (the production
+    shape): English and Spanish reference corpora train side-by-side
+    in one scan, and each test doc is scored under ITS OWN language's
+    model — the en doc scores far lower under by-lang scoring than the
+    es model would give it, and vice versa."""
+    from advanced_data_profile_spark.functions.text import lang_predict
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity_by_lang,
+        train_char_lm_by_lang,
+    )
+
+    en = "the quick brown fox jumps over the lazy dog and runs today"
+    es = "el hombre que vive en la casa con los perros y para ellos"
+    ref = spark.createDataFrame(
+        [(i, en) for i in range(5)] + [(i + 5, es) for i in range(5)],
+        "doc_id long, text string",
+    ).withColumn("lang", lang_predict(F.col("text")))
+    model = train_char_lm_by_lang(ref, "text", "lang")
+    docs = spark.createDataFrame(
+        [(1, "the brown dog runs over the fox"),
+         (2, "el perro vive en la casa con el hombre")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in char_lm_perplexity_by_lang(
+        docs, "doc_id", "text", model).collect()}
+    assert out[1].lang == "en" and out[1].modeled
+    assert out[2].lang == "es" and out[2].modeled
+    assert out[1].ppl < 15 and out[2].ppl < 15
+
+
+def test_ppl_language_buckets_per_language_cuts(spark):
+    """Head/middle/tail are cut at each language's OWN terciles: two
+    languages whose ppl scales differ by 100x still split 3/3/3, and a
+    language absent from explicit thresholds buckets 'unmodeled'."""
+    from advanced_data_profile_spark.operators.quality import (
+        ppl_language_buckets,
+    )
+
+    rows = [(f"a{i}", "a", float(i)) for i in range(1, 10)] + [
+        (f"b{i}", "b", float(i * 100)) for i in range(1, 10)
+    ]
+    scored = spark.createDataFrame(rows, "id string, lang string, ppl double")
+    out = ppl_language_buckets(scored).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.bucket)
+    for lang in ("a", "b"):
+        from collections import Counter
+
+        assert Counter(by_lang[lang]) == {"head": 3, "middle": 3, "tail": 3}
+    # explicit stored thresholds: missing language -> 'unmodeled'
+    th = spark.createDataFrame(
+        [("a", 3.6667, 6.3334)], "lang string, ppl_lo double, ppl_hi double"
+    )
+    out2 = {r.id: r.bucket for r in ppl_language_buckets(
+        scored, thresholds=th).collect()}
+    assert out2["a1"] == "head" and out2["a9"] == "tail"
+    assert all(out2[f"b{i}"] == "unmodeled" for i in range(1, 10))
+
+
+def test_char_lm_by_lang_plan_broadcasts_model(spark):
+    """Scale contract unchanged from the single-model scorer: model,
+    ctx totals, and the modeled-language flag all join as broadcasts;
+    no SortMergeJoin anywhere."""
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity_by_lang,
+        train_char_lm_by_lang,
+    )
+
+    ref = spark.createDataFrame(
+        [("en", "the quick brown fox")], "lang string, text string"
+    )
+    model = train_char_lm_by_lang(ref, "text", "lang")
+    out = char_lm_perplexity_by_lang(
+        spark.createDataFrame(
+            [(1, "en", "the fox")], "doc_id long, lang string, text string"
+        ),
+        "doc_id", "text", model, lang_col="lang",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_curate_corpus_per_language_ppl_mode(spark):
+    """A ppl_model carrying a lang column flips the funnel's fifth
+    stage to per-language scoring: reference-like docs of modeled
+    languages keep, gibberish fails on ppl, and docs of unmodeled
+    languages fail EXPLICITLY (modeled=False) instead of silently
+    scoring the floor."""
+    from advanced_data_profile_spark.operators.curation import curate_corpus
+    from advanced_data_profile_spark.operators.quality import (
+        train_char_lm_by_lang,
+    )
+
+    en = ("the quick brown fox jumps over the lazy dog and runs through "
+          "the green fields today with many friends in the warm sun")
+    es = ("el hombre que vive en la casa grande con los perros y para "
+          "ellos trabaja cada dia en el campo verde con sus amigos")
+    ref = spark.createDataFrame(
+        [("en", en), ("es", es)], "lang string, text string"
+    )
+    model = train_char_lm_by_lang(ref, "text", "lang")
+    docs = spark.createDataFrame(
+        [
+            (1, "en", en + " " + en),
+            (2, "es", es + " " + es),
+            (3, "en", " ".join(
+                "zxqj vwkp qqzx jjvv wxyz kqpz xxjq zzvk".split() * 8
+            )),
+            (4, "de", ("das ist nicht der fall und ich bin ein mensch mit "
+                       "den anderen leuten hier im haus ") * 2),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.id: r for r in curate_corpus(
+        docs, "doc_id", "text", ppl_model=model, max_ppl=15.0,
+        ppl_lang_col="lang",
+    ).collect()}
+    assert out[1].keep_perplexity and out[2].keep_perplexity
+    assert not out[3].keep_perplexity   # gibberish: high ppl
+    assert not out[4].keep_perplexity   # unmodeled language: explicit fail
+
+
+def test_ppl_thresholds_from_stored_kll_state(spark, tmp_path):
+    """The stored-state threshold path: per-language ppl KLL sketches
+    persist to parquet (two batches, merged at read time), and the
+    cuts read off the merged state land within the sketch's rank error
+    of the exact terciles — so next epoch's buckets need no second
+    pass over this epoch's scores."""
+    from advanced_data_profile_spark.operators.quality import (
+        ppl_language_buckets,
+        ppl_sketch_state,
+        ppl_thresholds_from_sketches,
+    )
+
+    rows = [(f"a{i}", "a", float(i)) for i in range(1, 100)]
+    scored = spark.createDataFrame(rows, "id string, lang string, ppl double")
+    path = str(tmp_path / "ppl_state")
+    # two batches sketched independently -> merged at threshold time
+    ppl_sketch_state(scored.where("ppl <= 50")).write.mode(
+        "append").parquet(path)
+    ppl_sketch_state(scored.where("ppl > 50")).write.mode(
+        "append").parquet(path)
+    th = ppl_thresholds_from_sketches(spark.read.parquet(path)).collect()
+    assert len(th) == 1 and th[0].lang == "a"
+    # exact terciles of 1..99 are 33.67/66.33; KLL at k=200 with 99
+    # values stores everything, so the cuts are order statistics
+    assert abs(th[0].ppl_lo - 33.67) <= 3.0
+    assert abs(th[0].ppl_hi - 66.33) <= 3.0
+    out = ppl_language_buckets(
+        scored, thresholds=spark.read.parquet(path).transform(
+            lambda s: ppl_thresholds_from_sketches(s)
+        )
+    )
+    from collections import Counter
+
+    counts = Counter(r.bucket for r in out.collect())
+    assert set(counts) == {"head", "middle", "tail"}
+    assert all(28 <= c <= 38 for c in counts.values())
