@@ -1799,6 +1799,157 @@ def _oracle_char_lm_perplexity(
     """
 
 
+def q_char_lm_ppl_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-conditioned perplexity + CCNet head/middle/tail buckets
+    (operators/quality.py: train_char_lm_by_lang /
+    char_lm_perplexity_by_lang / ppl_language_buckets — Wenzek et al.
+    2020 §3.3/§4.4: a separate LM per language, documents cut at their
+    own language's ppl terciles). The fixture's two 'languages' are the
+    deterministic doc_id parity split (the conditioning machinery —
+    (lang, ctx, ch) lookups, per-language totals, per-language
+    quantile cuts — is exercised identically; real-label derivation
+    via lang_predict is pytest-covered). Two-thirds train per
+    language, one-third scores; buckets are cut over the
+    4-decimal-rounded ppl so both engines compare identical
+    quantities, with thresholds rounded to 6 (the funnel's
+    cross-engine float discipline)."""
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity_by_lang,
+        ppl_language_buckets,
+        train_char_lm_by_lang,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    model = train_char_lm_by_lang(
+        docs.where(F.col("doc_id") % 3 != 0), "text", "lang"
+    )
+    scored = char_lm_perplexity_by_lang(
+        docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text", model,
+        lang_col="lang",
+    ).select(
+        "id", "lang", "modeled", "n_chars",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+    return ppl_language_buckets(scored).select(
+        F.col("id").alias("doc_id"), "lang", "modeled", "n_chars",
+        "avg_logp", "ppl", "ppl_lo", "ppl_hi", "bucket",
+    )
+
+
+def _oracle_char_lm_ppl_by_lang() -> str:
+    lo, hi = repr(1.0 / 3), repr(2.0 / 3)
+    return f"""
+        WITH d AS ({_norm_cte()}),
+        pad AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS lang,
+                 '##' || __norm AS p
+          FROM d WHERE length(__norm) >= 1
+        ),
+        pos AS (
+          SELECT doc_id, lang, p, unnest(range(1, length(p) - 1)) AS i
+          FROM pad
+        ),
+        grams AS (
+          SELECT doc_id, lang, substr(p, i::INT, 2) AS ctx,
+                 substr(p, i::INT + 2, 1) AS ch
+          FROM pos
+        ),
+        model AS (
+          SELECT lang, ctx, ch, count(*) AS cnt FROM grams
+          WHERE doc_id % 3 != 0 GROUP BY 1, 2, 3
+        ),
+        ctxtot AS (
+          SELECT lang, ctx, sum(cnt) AS ctx_cnt FROM model GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT g.doc_id, g.lang,
+                 ln((coalesce(m.cnt, 0) + 0.1::DOUBLE)
+                    / (coalesce(t.ctx_cnt, 0) + 0.1::DOUBLE * 37)) AS logp
+          FROM grams g
+          LEFT JOIN model m
+            ON g.lang = m.lang AND g.ctx = m.ctx AND g.ch = m.ch
+          LEFT JOIN ctxtot t ON g.lang = t.lang AND g.ctx = t.ctx
+          WHERE g.doc_id % 3 = 0
+        ),
+        agg AS (
+          SELECT doc_id, lang, count(*)::BIGINT AS n_chars,
+                 round(avg(logp), 6) AS avg_logp,
+                 round(exp(-avg(logp)), 4) AS ppl
+          FROM scored GROUP BY 1, 2
+        ),
+        th AS (
+          SELECT lang, round(quantile_cont(ppl, {lo}), 6) AS ppl_lo,
+                 round(quantile_cont(ppl, {hi}), 6) AS ppl_hi
+          FROM agg GROUP BY 1
+        )
+        SELECT a.doc_id, a.lang, TRUE AS modeled, a.n_chars, a.avg_logp,
+               a.ppl, t.ppl_lo, t.ppl_hi,
+               CASE WHEN a.ppl <= t.ppl_lo THEN 'head'
+                    WHEN a.ppl <= t.ppl_hi THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM agg a JOIN th t USING (lang)
+    """
+
+
+def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index (operators/similarity.py: ivf_index_build /
+    ivf_index_append / ivf_index_search): the corpus two-thirds of
+    `embeddings` is indexed ONCE (KMeans quantizer + label-partitioned
+    assignments), the remaining third is APPENDED against the stored
+    centroids (no refit, no corpus rescan), and the search runs over
+    the stored state. Probing ALL 8 cells makes the result EXACTLY the
+    brute-force top-10, so this gets a full value oracle (DuckDB
+    brute-force over `embeddings`) covering the whole stored-state
+    path: a lost append breaks it outright (the query vector vec_id=0
+    sits in the appended third), as does any vector corrupted by the
+    partitioned write or a centroid-ranking bug dropping a cell.
+    Partial-probe pruning (file-level PartitionFilters) and the recall
+    bound on separable clusters are plan-/pytest-asserted
+    (tests/test_similarity.py) — the synthetic near-random embeddings
+    make a fixed-probe recall bound a coin flip, not a contract."""
+    from advanced_data_profile_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    idx = (
+        "/tmp/adp_ivf_index_"
+        + _fixture_cache_tag(sf_dir, "embeddings", "k8,seed1,mod3split")
+    )
+    import os
+
+    if not os.path.exists(f"{idx}/_built"):
+        ivf_index_build(
+            emb.where(F.col("vec_id") % 3 != 0), "vec_id", "embedding", idx,
+            k=8, seed=1,
+        )
+        ivf_index_append(
+            emb.where(F.col("vec_id") % 3 == 0), "vec_id", "embedding", idx
+        )
+        with open(f"{idx}/_built", "w") as fh:
+            fh.write("ok")
+    return ivf_index_search(spark, idx, q, k=10, n_probe=8)
+
+
+def _oracle_ivf_index_search() -> str:
+    return """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+        FROM embeddings, q
+        ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) DESC,
+                 vec_id ASC
+        LIMIT 10
+    """
+
+
 def _oracle_correlation() -> str:
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
@@ -2839,6 +2990,13 @@ _EXTENDED_NAMES = [
                               # near_dup_minhash + dup_clusters (and
                               # simhash_near_dups stays for the SimHash
                               # block-LSH path)
+    "char_lm_ppl_by_lang_documents",  # round-7 add; per-language CCNet
+                              # scoring + tercile buckets; single-model
+                              # path is contract-covered by
+                              # char_lm_perplexity_documents
+    "ivf_index_search_embeddings",  # round-7 add; persisted IVF stored-
+                              # state build/append/search; per-call IVF is
+                              # contract-covered by knn_ivf_learned
 ]
 # Round-7 rotation IN (the r5 precedent): the round-6 operators
 # drift_from_stored_state_events, neardup_index_documents, and
@@ -2928,6 +3086,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dimension_stats_vectors": q_dimension_stats_vectors,
         "cms_heavy_hitters_events": q_cms_heavy_hitters_events,
         "asof_forward_join": q_asof_forward_join,
+        "char_lm_ppl_by_lang_documents": q_char_lm_ppl_by_lang,
+        "ivf_index_search_embeddings": q_ivf_index_search,
     }
 
 
@@ -2950,6 +3110,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "drift_from_stored_state_events": _oracle_drift_from_stored_state(),
         "neardup_index_documents": _oracle_neardup_index(),
         "char_lm_perplexity_documents": _oracle_char_lm_perplexity(),
+        "char_lm_ppl_by_lang_documents": _oracle_char_lm_ppl_by_lang(),
+        "ivf_index_search_embeddings": _oracle_ivf_index_search(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),
         "knn_ivf_learned": _oracle_knn_ivf_learned(),
         "split_pack_documents": _oracle_split_pack_documents(),
