@@ -169,13 +169,20 @@ def main() -> None:
 
     # warm-up: JVM JIT + parquet footer reads + the Python worker pool
     # (forked workers import pandas on first use; reused afterwards).
-    # Each headline query runs once UNTIMED first — steady-state
+    # Each headline query runs TWICE untimed first — steady-state
     # measurement, the same discipline as scripts/scaling_bench.py (a
     # long-running cluster is always in that state); collect() below
-    # still recomputes from the scan, nothing is cached.
+    # still recomputes from the scan, nothing is cached. Two passes,
+    # not one (round-7 finding): C2 compilation of the widest generated
+    # aggregate (profile_lineitem's fused struct) converges only around
+    # the 4th-5th execution — with a single warm pass the 3-pass min
+    # was still warm-up-bound (~5.3s vs ~5.0s steady on the same box),
+    # so a JIT-speed shift between VM windows masqueraded as a query
+    # regression.
     spark.range(0, 128, 1, 128).mapInPandas(lambda it: it, "id long").count()
-    for name in HEADLINE:
-        qs[name](spark, sf_dir).collect()
+    for _ in range(2):
+        for name in HEADLINE:
+            qs[name](spark, sf_dir).collect()
 
     # best-of-3 timed passes per query, with the per-query spread
     # (min/med/max) reported so VM drift on this shared box is
