@@ -242,6 +242,30 @@ def _require_ivf_index(spark, index_path: str) -> list:
     return cents
 
 
+def nearest_centroid_expr(vec: Column, cents: list) -> Column:
+    """Nearest-stored-centroid label as a k-term literal argmin
+    expression (squared euclidean — the quantizer's own metric): no
+    join, no shuffle, pure codegen'd projection. `cents` is the
+    collected KB-sized centroid relation. zip_with's inputs are
+    evaluated ONCE outside the lambda (the HOF capture trap applies to
+    captured outer expressions, not lambda ARGUMENTS)."""
+    def d2(centroid) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in centroid])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    return F.array_sort(
+        F.array(*[
+            F.struct(
+                d2(r.centroid).alias("d"), F.lit(int(r.label)).alias("l")
+            )
+            for r in cents
+        ])
+    )[0]["l"]
+
+
 def ivf_index_append(
     batch: DataFrame, id_col: str, vec_col: str, index_path: str
 ) -> None:
@@ -258,26 +282,9 @@ def ivf_index_append(
     spark = batch.sparkSession
     cents = _require_ivf_index(spark, index_path)
     v = F.col(vec_col).cast("array<double>")
-
-    def d2(centroid) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in centroid])
-        # zip_with's inputs are evaluated ONCE outside the lambda (the
-        # HOF capture trap does not apply to lambda ARGUMENTS)
-        return F.aggregate(
-            F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-
-    best = F.array_sort(
-        F.array(*[
-            F.struct(
-                d2(r.centroid).alias("d"), F.lit(int(r.label)).alias("l")
-            )
-            for r in cents
-        ])
-    )[0]["l"]
     asg = batch.select(
-        F.col(id_col).alias("id"), v.alias("vec"), best.alias("label")
+        F.col(id_col).alias("id"), v.alias("vec"),
+        nearest_centroid_expr(v, cents).alias("label"),
     )
     asg.write.mode("append").partitionBy("label").parquet(
         f"{index_path}/assignments"
@@ -323,9 +330,24 @@ def ivf_index_search(
 
     ranked = sorted(cents, key=lambda r: (-ccos(r.centroid), int(r.label)))
     labels = [int(r.label) for r in ranked[:n_probe]]
-    asg = spark.read.parquet(f"{index_path}/assignments").where(
-        F.col("label").isin(labels)
-    )
+    from advanced_data_profile_spark.session import hadoop_path_exists
+
+    # two stored legs share the label partition column, so BOTH prune
+    # to the probed files: the batch-built layout (label) and, when
+    # present, the streaming-ingested layout (batch_id, label) written
+    # by streaming.incremental.ivf_batch_writer
+    legs = [f"{index_path}/assignments"]
+    stream_dir = f"{index_path}/assignments_stream"
+    if hadoop_path_exists(spark, stream_dir):
+        legs.append(stream_dir)
+    asg = None
+    for leg in legs:
+        part = (
+            spark.read.parquet(leg)
+            .where(F.col("label").isin(labels))
+            .select("id", "vec")
+        )
+        asg = part if asg is None else asg.unionByName(part)
     cos = cosine_expr(F.col("vec"), _query_lit(query_vec))
     return (
         asg.select(F.col("id"), F.round(cos, 6).alias("cosine"))

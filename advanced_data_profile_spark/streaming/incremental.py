@@ -488,3 +488,54 @@ def neardup_batch_writer(
         sigs.unpersist()
 
     return write_batch
+
+
+def ivf_batch_writer(
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch seam for STREAMING ANN ingestion over the persisted
+    IVF index (operators/similarity): each micro-batch of embeddings is
+    assigned to the nearest STORED centroid (the seed build's quantizer
+    — a k-term literal argmin projection, no join, no refit) and
+    written under {index_path}/assignments_stream PARTITIONED BY
+    (batch_id, label). ivf_index_search unions this leg with the
+    batch-built assignments automatically; label stays a partition
+    column in both, so probe pruning reads n_probe/k of the files of
+    EACH leg.
+
+    Replay idempotency (a crashed micro-batch replays with the SAME
+    batch_id): dynamic partition overwrite on batch_id means a replay
+    overwrites exactly its own partitions — no dedup pass, no
+    double-ingestion. The centroid relation is NOT touched per batch:
+    rewriting its counts per micro-batch would double-count on replay
+    (the batch-API append may refresh counts because its caller owns
+    exactly-once semantics); stream-ingested vectors are therefore
+    invisible in the informational `n` column, by design.
+
+    The quantizer must exist before the stream starts — run
+    ivf_index_build over a seed corpus first (raises otherwise, same
+    contract as ivf_index_append)."""
+    from advanced_data_profile_spark.operators.similarity import (
+        _require_ivf_index,
+        nearest_centroid_expr,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cents = _require_ivf_index(spark, index_path)
+        v = F.col(vec_col).cast("array<double>")
+        (
+            batch_df.select(
+                F.col(id_col).alias("id"), v.alias("vec"),
+                nearest_centroid_expr(v, cents).alias("label"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "label")
+            .parquet(f"{index_path}/assignments_stream")
+        )
+
+    return write_batch

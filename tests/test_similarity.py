@@ -295,3 +295,51 @@ def test_ivf_index_requires_build(spark, two_cluster_df, tmp_path):
         S.ivf_index_append(
             two_cluster_df, "vid", "v", str(tmp_path / "missing")
         )
+
+
+def test_ivf_stream_ingestion_replay_idempotent(
+    spark, two_cluster_df, tmp_path
+):
+    """Streaming ANN ingestion: micro-batches assign to the SEED
+    build's stored centroids and land in batch_id+label partitions; a
+    crash replay (same batch_id) overwrites its own partitions instead
+    of double-ingesting; search unions the streamed leg with the
+    batch-built leg, with label partition pruning reaching BOTH."""
+    import re
+
+    from advanced_data_profile_spark.streaming.incremental import (
+        ivf_batch_writer,
+    )
+
+    idx = str(tmp_path / "ivf")
+    S.ivf_index_build(two_cluster_df, "vid", "v", idx, k=2, seed=1)
+    wb = ivf_batch_writer(idx, id_col="vid", vec_col="v")
+    b1 = spark.createDataFrame(
+        [(100, [11.0, 0.0, 0.0, 1.0]), (101, [-11.0, 0.0, 0.0, 1.0])],
+        "vid bigint, v array<double>",
+    )
+    wb(b1, 0)
+    wb(b1, 0)  # crash replay with the same batch_id
+    wb(spark.createDataFrame(
+        [(102, [12.0, 0.0, 0.0, 1.0])], "vid bigint, v array<double>"
+    ), 1)
+    stream = spark.read.parquet(f"{idx}/assignments_stream")
+    assert stream.count() == 3  # replay did not double-ingest
+    out = S.ivf_index_search(spark, idx, [11.0, 0.0, 0.0, 1.0], k=4,
+                             n_probe=1)
+    got = {r.id for r in out.collect()}
+    assert {100, 102} <= got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"PartitionFilters: \[[^\]]*label", plan)) == 2
+
+
+def test_ivf_stream_requires_built_quantizer(spark, two_cluster_df, tmp_path):
+    from advanced_data_profile_spark.streaming.incremental import (
+        ivf_batch_writer,
+    )
+
+    wb = ivf_batch_writer(str(tmp_path / "missing"), "vid", "v")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not built"):
+        wb(two_cluster_df, 0)
