@@ -339,6 +339,20 @@ def train_char_lm(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     )
 
 
+def merge_char_lm_models(models: DataFrame) -> DataFrame:
+    """Merge char-LM count relations by summation — n-gram counts are
+    exactly additive, so the reference model is TRAINABLE INCREMENTALLY
+    with the stored-state discipline of the sketch rollups: train per
+    batch (train_char_lm / train_char_lm_by_lang), append the count
+    relation to persisted state, and the merged model is BIT-IDENTICAL
+    to one-pass training on the union (tested) — no corpus rescan when
+    the trusted reference grows. Accepts both the single-model
+    (ctx, ch, cnt) and the per-language (lang, ctx, ch, cnt) shapes;
+    the group keys are every column except cnt."""
+    keys = [c for c in models.columns if c != "cnt"]
+    return models.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
 def char_lm_model_n(model: DataFrame) -> int:
     """Derive the n-gram order from a train_char_lm model relation (ctx
     width + 1), validating the relation on the way: an empty model or

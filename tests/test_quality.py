@@ -512,3 +512,52 @@ def test_ppl_thresholds_from_stored_kll_state(spark, tmp_path):
     counts = Counter(r.bucket for r in out.collect())
     assert set(counts) == {"head", "middle", "tail"}
     assert all(28 <= c <= 38 for c in counts.values())
+
+
+def test_merge_char_lm_models_incremental_equals_one_pass(spark, tmp_path):
+    """n-gram counts are additive: per-batch models appended to stored
+    state and merged are BIT-IDENTICAL to one-pass training on the
+    union — the reference LM grows without a corpus rescan. Both model
+    shapes (single and per-language)."""
+    from advanced_data_profile_spark.operators.quality import (
+        char_lm_perplexity,
+        merge_char_lm_models,
+        train_char_lm,
+        train_char_lm_by_lang,
+    )
+
+    b1 = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "jumps over the dog")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "the lazy dog sleeps"), (3, "quick foxes jump")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm_state")
+    train_char_lm(b1, "text").write.mode("append").parquet(path)
+    train_char_lm(b2, "text").write.mode("append").parquet(path)
+    merged = merge_char_lm_models(spark.read.parquet(path))
+    union = train_char_lm(b1.unionByName(b2), "text")
+    assert (
+        sorted((r.ctx, r.ch, r.cnt) for r in merged.collect())
+        == sorted((r.ctx, r.ch, r.cnt) for r in union.collect())
+    )
+    # scoring under merged state == scoring under the one-pass model
+    docs = spark.createDataFrame([(9, "the dog")], "doc_id long, text string")
+    a = char_lm_perplexity(docs, "doc_id", "text", merged).first()
+    b = char_lm_perplexity(docs, "doc_id", "text", union).first()
+    assert a.ppl == b.ppl and a.avg_logp == b.avg_logp
+    # per-language shape merges on (lang, ctx, ch)
+    l1 = b1.withColumn("lang", F.lit("en"))
+    l2 = b2.withColumn("lang", F.lit("en"))
+    m = merge_char_lm_models(
+        train_char_lm_by_lang(l1, "text", "lang").unionByName(
+            train_char_lm_by_lang(l2, "text", "lang")
+        )
+    )
+    u = train_char_lm_by_lang(l1.unionByName(l2), "text", "lang")
+    assert (
+        sorted(tuple(r) for r in m.collect())
+        == sorted(tuple(r) for r in u.collect())
+    )

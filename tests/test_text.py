@@ -634,3 +634,36 @@ def test_language_profile_operator(spark):
     assert len(rows) == len(by_lang) <= 5
     confs = [r.conf for r in rows]
     assert confs == sorted(confs, reverse=True)
+
+
+def test_lang_top_k_consistency_on_random_text(spark):
+    """Structural invariants of the confidence output over 300 seeded
+    random strings spanning Latin, diacritics, Cyrillic, and Han
+    characters: top-1 always equals lang_predict's label, confidences
+    are descending, within (0, 100], and sum to <= 100 (exactly 100.0
+    for a script-rule hit, [('und', 0.0)] when signal-free)."""
+    import random
+
+    from advanced_data_profile_spark.functions.text import lang_top_k
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz  àèéöüßи汉 "
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    rows = df.select(
+        X.lang_predict(F.col("t")).alias("p"),
+        lang_top_k(F.col("t")).alias("k"),
+    ).collect()
+    for r in rows:
+        pairs = [(e.lang, e.conf) for e in r.k]
+        assert pairs and pairs[0][0] == r.p
+        confs = [c for _, c in pairs]
+        assert confs == sorted(confs, reverse=True)
+        assert sum(confs) <= 100.0 + 1e-6
+        if r.p == "und":
+            assert pairs == [("und", 0.0)]
+        else:
+            assert all(0.0 < c <= 100.0 for c in confs)
