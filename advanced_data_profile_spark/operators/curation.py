@@ -165,6 +165,118 @@ def curate_corpus(
     return out.withColumn("keep_final", keep_final)
 
 
+def curate_corpus_incremental(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    benchmark: DataFrame | None = None,
+    quality_params: QualityParams | None = None,
+    decon_n: int = 13,
+    minhash_k: int = 16,
+    minhash_bands: int = 4,
+    minhash_threshold: float = 0.8,
+    ppl_model: DataFrame | None = None,
+    max_ppl: float = 30.0,
+    ppl_alpha: float = 0.1,
+    ppl_lang_col: str | None = None,
+    append_survivors: bool = True,
+) -> DataFrame:
+    """The INCREMENTAL curation funnel — curate_corpus's semantics for
+    a corpus that arrives in batches, composed entirely from stored
+    state so no prior batch is ever rescanned (the 100 TB ingestion
+    shape):
+
+    - keep_quality / keep_repetition / keep_decontamination /
+      keep_perplexity: batch-local scans (quality rules, repetition
+      signals, broadcast benchmark n-grams, perplexity under the
+      caller-supplied STORED model relation — train once / merge
+      incrementally via merge_char_lm_models, per-language when the
+      model carries a lang column);
+    - keep_dedup: first-seen-wins across batches — the doc must have
+      no near-dup in the persisted LSH index at `index_path`
+      (neardup_index_check: batch keys broadcast against stored
+      buckets, prior corpus text never rescanned) AND be its IN-batch
+      near-dup cluster's min-id canonical (minhash_dedup within the
+      batch only).
+
+    Only keep_final SURVIVORS join the index (append_survivors=True):
+    the index is the retained corpus, so a document dropped for
+    quality never suppresses a later clean near-copy — unlike
+    appending raw batches, where a rejected first-seen would shadow
+    every subsequent duplicate. The first batch (no index yet) skips
+    the cross-batch check and seeds the index from its survivors.
+
+    Batch-at-a-time semantics deliberately differ from the one-shot
+    curate_corpus in ONE way: cluster canonicality is first-seen-wins
+    (arrival order) rather than global min-id — the only consistent
+    choice when later batches cannot reorder history. Returns one row
+    per batch document: (id, keep_quality, keep_repetition,
+    keep_decontamination, keep_dedup, keep_perplexity, keep_final).
+    Callers driving this from foreachBatch should guard replays on
+    the batch id before appending, the same idempotency contract as
+    streaming.neardup_batch_writer."""
+    from advanced_data_profile_spark.operators.dedup import (
+        neardup_index_build,
+        neardup_index_check,
+    )
+    from advanced_data_profile_spark.session import hadoop_path_exists
+
+    spark = batch.sparkSession
+    verdicts = curate_corpus(
+        batch, id_col, text_col,
+        benchmark=benchmark, quality_params=quality_params,
+        decon_n=decon_n, minhash_k=minhash_k, minhash_bands=minhash_bands,
+        minhash_threshold=minhash_threshold, ppl_model=ppl_model,
+        max_ppl=max_ppl, ppl_alpha=ppl_alpha, ppl_lang_col=ppl_lang_col,
+    )
+    have_index = hadoop_path_exists(spark, f"{index_path}/signatures")
+    if have_index:
+        hits = (
+            neardup_index_check(
+                batch, id_col, text_col, index_path,
+                k=minhash_k, bands=minhash_bands,
+                threshold=minhash_threshold,
+            )
+            .select(F.col("id_new").alias("id"))
+            .distinct()
+            .withColumn("__indexed_dup", F.lit(True))
+        )
+        verdicts = verdicts.join(hits, "id", "left").withColumn(
+            "keep_dedup",
+            F.col("keep_dedup") & F.col("__indexed_dup").isNull(),
+        ).drop("__indexed_dup")
+        # keep_final re-derives so the cross-batch verdict participates
+        keep = None
+        for c in (
+            "keep_quality", "keep_repetition", "keep_decontamination",
+            "keep_dedup", "keep_perplexity",
+        ):
+            keep = F.col(c) if keep is None else (keep & F.col(c))
+        verdicts = verdicts.withColumn("keep_final", keep)
+    if append_survivors:
+        # materialize verdicts BEFORE the index append: the returned
+        # relation (and the survivors feeding the append) must never
+        # recompute against post-append index state — the write-path
+        # cache-invalidation trap, same discipline as
+        # neardup_index_check's file-list snapshot. localCheckpoint
+        # stores the computed partitions; nothing downstream re-reads
+        # the index.
+        verdicts = verdicts.localCheckpoint(eager=True)
+        survivors = batch.join(
+            verdicts.where(F.col("keep_final")).select(
+                F.col("id").alias(id_col)
+            ),
+            id_col,
+        )
+        neardup_index_build(
+            survivors, id_col, text_col, index_path,
+            k=minhash_k, bands=minhash_bands,
+            mode="append" if have_index else "overwrite",
+        )
+    return verdicts
+
+
 def curation_funnel(curated: DataFrame) -> DataFrame:
     """The attrition view: one row — total docs, per-stage keep counts,
     final survivors. A monitoring aggregate over the verdict relation

@@ -141,3 +141,60 @@ def test_char_lm_model_n_validates(spark):
     )
     with pytest.raises(ValueError, match="mixed ctx widths"):
         char_lm_model_n(mixed)
+
+
+def test_curate_corpus_incremental_batches(spark, tmp_path):
+    """Batch-at-a-time curation over stored state: batch 2's near-dup
+    of a batch-1 SURVIVOR is dropped by the stored-index check (no
+    rescan of batch 1), a near-copy of a batch-1 QUALITY-REJECT is
+    kept (only survivors join the index, so rejected docs never shadow
+    later clean copies), and fresh documents pass."""
+    from advanced_data_profile_spark.operators.curation import (
+        curate_corpus_incremental,
+    )
+
+    varied = " ".join(
+        f"the word{i} and item{i * 7 % 97} of part{i % 13}" for i in range(40)
+    )
+    other = " ".join(
+        f"an entry{i} plus thing{i * 5 % 89} in group{i % 11}"
+        for i in range(40)
+    )
+    idx = str(tmp_path / "cur_idx")
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, varied), (2, varied + " trailing"), (3, "x y")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out1 = {r.id: r for r in curate_corpus_incremental(
+        b1, "doc_id", "text", idx
+    ).collect()}
+    assert out1[1].keep_final is True          # first seen, clean
+    assert out1[2].keep_dedup is False         # in-batch near-dup of 1
+    assert out1[3].keep_quality is False       # too short -> not indexed
+    b2 = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (10, varied + " extra"),       # near-dup of SURVIVOR 1
+                (11, "x y"),                   # same text as reject 3
+                (12, other),                   # fresh
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out2 = {r.id: r for r in curate_corpus_incremental(
+        b2, "doc_id", "text", idx
+    ).collect()}
+    assert out2[10].keep_dedup is False        # stored-index hit, batch 1
+    assert out2[10].keep_final is False
+    assert out2[11].keep_quality is False      # fails quality again, but
+    assert out2[11].keep_dedup is True         # reject 3 never shadowed it
+    assert out2[12].keep_final is True         # fresh doc survives
+    # the index grew by batch 2's survivor only: first-seen-wins means a
+    # third batch near-copy of `other` is now dropped too
+    b3 = spark.createDataFrame(
+        pd.DataFrame([(20, other + " tail")], columns=["doc_id", "text"])
+    )
+    out3 = curate_corpus_incremental(b3, "doc_id", "text", idx).collect()
+    assert out3[0].keep_dedup is False
