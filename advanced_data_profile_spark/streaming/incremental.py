@@ -539,3 +539,120 @@ def ivf_batch_writer(
         )
 
     return write_batch
+
+
+def curation_batch_writer(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    quality_params=None,
+    decon_n: int = 13,
+    minhash_k: int = 16,
+    minhash_bands: int = 4,
+    minhash_threshold: float = 0.8,
+    ppl_model: DataFrame | None = None,
+    max_ppl: float = 30.0,
+    ppl_alpha: float = 0.1,
+    ppl_lang_col: str | None = None,
+):
+    """foreachBatch seam for STREAMING corpus curation — the live twin
+    of operators.curation.curate_corpus_incremental: each micro-batch
+    gets the five-stage verdict (quality / repetition /
+    decontamination / perplexity batch-local; dedup = in-batch min-id
+    canonicality AND no near-dup among PRIOR batches' survivors in the
+    stored LSH state), verdicts land under {state_dir}/verdicts and
+    the batch's SURVIVOR signatures/buckets under {state_dir}/index —
+    all PARTITIONED BY batch_id with dynamic partition overwrite.
+
+    Replay idempotency (same contract as neardup_batch_writer): a
+    crashed micro-batch replays with the SAME batch_id, overwriting
+    exactly its own verdict and index partitions; the stored index
+    side is filtered to batch_id != current, so a replay neither
+    matches its first attempt's rows nor double-appends survivors —
+    the two failure modes a plain append layout cannot exclude.
+    Only survivors are indexed, so a quality-reject never shadows a
+    later clean near-copy (the batch-API funnel's contract)."""
+    from advanced_data_profile_spark.operators.curation import curate_corpus
+    from advanced_data_profile_spark.operators.dedup import (
+        lsh_band_buckets,
+        match_against_index,
+        minhash_signatures,
+    )
+    from advanced_data_profile_spark.session import hadoop_path_exists
+
+    sig_dir = f"{state_dir}/index/signatures"
+    bkt_dir = f"{state_dir}/index/buckets"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        verdicts = curate_corpus(
+            batch_df, id_col, text_col,
+            benchmark=benchmark, quality_params=quality_params,
+            decon_n=decon_n, minhash_k=minhash_k,
+            minhash_bands=minhash_bands,
+            minhash_threshold=minhash_threshold, ppl_model=ppl_model,
+            max_ppl=max_ppl, ppl_alpha=ppl_alpha, ppl_lang_col=ppl_lang_col,
+        )
+        sigs = minhash_signatures(batch_df, id_col, text_col, minhash_k)
+        sigs = sigs.persist()
+        b_new = lsh_band_buckets(sigs, minhash_bands,
+                                 minhash_k // minhash_bands)
+        if hadoop_path_exists(spark, bkt_dir):
+            stored_b = spark.read.parquet(bkt_dir).where(
+                F.col("batch_id") != int(batch_id)
+            )
+            stored_s = spark.read.parquet(sig_dir).where(
+                F.col("batch_id") != int(batch_id)
+            )
+            hits = (
+                match_against_index(
+                    stored_b, stored_s, b_new, sigs, minhash_k,
+                    minhash_threshold,
+                )
+                .select(F.col("id_new").alias("id"))
+                .distinct()
+                .withColumn("__indexed_dup", F.lit(True))
+            )
+            verdicts = verdicts.join(hits, "id", "left").withColumn(
+                "keep_dedup",
+                F.col("keep_dedup") & F.col("__indexed_dup").isNull(),
+            ).drop("__indexed_dup")
+            keep = None
+            for c in (
+                "keep_quality", "keep_repetition", "keep_decontamination",
+                "keep_dedup", "keep_perplexity",
+            ):
+                keep = F.col(c) if keep is None else (keep & F.col(c))
+            verdicts = verdicts.withColumn("keep_final", keep)
+        # materialize before any state write: neither the verdict write
+        # nor the survivor filter may recompute against this batch's
+        # own appended partitions (write-path cache-invalidation)
+        verdicts = verdicts.localCheckpoint(eager=True)
+        (
+            verdicts.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{state_dir}/verdicts")
+        )
+        surv_ids = verdicts.where(F.col("keep_final")).select(
+            F.col("id")
+        )
+        surv_sigs = sigs.join(surv_ids, "id")
+        for d, rel in (
+            (sig_dir, surv_sigs),
+            (bkt_dir, lsh_band_buckets(
+                surv_sigs, minhash_bands, minhash_k // minhash_bands
+            )),
+        ):
+            (
+                rel.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(d)
+            )
+        sigs.unpersist()
+
+    return write_batch

@@ -627,3 +627,48 @@ def test_neardup_batch_writer_incremental_and_replay(spark, tmp_path):
     )
     w(b2, 2)
     assert matches_of(2) == {(20, 11, 1.0)}
+
+
+def test_streaming_curation_writer_replay_idempotent(spark, tmp_path):
+    """Streaming curation over batch_id-partitioned state: batch 2's
+    near-dup of a batch-1 survivor is dropped via the stored index, a
+    near-copy of a batch-1 quality-reject passes (only survivors are
+    indexed), and a crash replay of batch 1 neither double-appends
+    survivors nor matches its own first attempt."""
+    import pandas as pd
+
+    from advanced_data_profile_spark.streaming.incremental import (
+        curation_batch_writer,
+    )
+
+    varied = " ".join(
+        f"the word{i} and item{i * 7 % 97} of part{i % 13}" for i in range(40)
+    )
+    state = str(tmp_path / "cur_state")
+    wb = curation_batch_writer(state)
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, varied), (2, "x y")], columns=["doc_id", "text"]
+        )
+    )
+    wb(b1, 0)
+    wb(b1, 0)  # crash replay, same batch_id
+    sigs = spark.read.parquet(f"{state}/index/signatures")
+    assert sigs.count() == 1  # survivor of batch 1, once
+    b2 = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, varied + " extra"), (11, "x y z w fresh words appear"),
+             (12, "x y")],
+            columns=["doc_id", "text"],
+        )
+    )
+    wb(b2, 1)
+    from pyspark.sql import functions as F
+
+    v = spark.read.parquet(f"{state}/verdicts")
+    out2 = {r.id: r for r in v.where(F.col("batch_id") == 1).collect()}
+    assert out2[10].keep_dedup is False        # stored-survivor near-dup
+    assert out2[12].keep_quality is False      # quality reject again
+    assert out2[12].keep_dedup is True         # reject 2 never indexed
+    out1 = {r.id: r for r in v.where(F.col("batch_id") == 0).collect()}
+    assert out1[1].keep_final is True and len(out1) == 2
