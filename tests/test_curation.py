@@ -198,3 +198,52 @@ def test_curate_corpus_incremental_batches(spark, tmp_path):
     )
     out3 = curate_corpus_incremental(b3, "doc_id", "text", idx).collect()
     assert out3[0].keep_dedup is False
+
+
+def test_curate_corpus_cli(spark, tmp_path, monkeypatch):
+    """scripts/curate_corpus.py end-to-end: verdicts + funnel JSON +
+    kept docs, then a second --incremental invocation whose near-dup
+    of a first-run survivor is dropped via the persisted index."""
+    import importlib
+    import json
+    import sys as _sys
+
+    varied = " ".join(
+        f"the word{i} and item{i * 7 % 97} of part{i % 13}" for i in range(40)
+    )
+    docs1 = str(tmp_path / "docs1")
+    spark.createDataFrame(
+        pd.DataFrame([(1, varied), (2, "x y")], columns=["doc_id", "text"])
+    ).write.parquet(docs1)
+    out = str(tmp_path / "cur_out")
+    idx = str(tmp_path / "cur_cli_idx")
+    kept = str(tmp_path / "kept")
+    mod = importlib.import_module("scripts.curate_corpus")
+
+    def run(docs_path):
+        monkeypatch.setattr(_sys, "argv", [
+            "curate_corpus.py", "--docs", docs_path, "--output", out,
+            "--incremental", "--index", idx, "--kept-out", kept,
+        ])
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            mod.main()
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    r1 = run(docs1)
+    assert r1["n_docs"] == 2 and r1["n_keep_final"] == 1
+    assert spark.read.parquet(kept).count() == 1
+    docs2 = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(10, varied + " extra")], columns=["doc_id", "text"]
+        )
+    ).write.parquet(docs2)
+    r2 = run(docs2)
+    # cumulative funnel over the appended verdicts: 3 docs, still 1 kept
+    # (the near-dup of run 1's survivor was dropped by the stored index)
+    assert r2["n_docs"] == 3 and r2["n_keep_final"] == 1
+    assert spark.read.parquet(kept).count() == 1
