@@ -120,17 +120,17 @@ def language_profile(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
     "Languages Detected with Confidence" field (Profiler.py:663-673:
     per-unique-text detection, dedup by language keeping the
     highest-confidence entry, top 5 by confidence desc). Spark shape:
-    distinct texts → lang_top_k expression (JVM-side) → explode →
-    max(conf) per language → TakeOrderedAndProject. Distinct first for
-    the same reason as lang_id_distinct: web corpora are
-    duplicate-heavy, and per-column language mix is a property of the
-    distinct value set."""
+    lang_top_k expression (JVM-side projection) → explode → max(conf)
+    per language → TakeOrderedAndProject. No distinct() — max(conf) is
+    duplicate-insensitive, so the result is identical to the
+    reference's per-unique-text pass while the only shuffle is the
+    narrow (lang, conf) aggregation with map-side combine; a distinct
+    would shuffle full text payloads for nothing."""
     from advanced_data_profile_spark.functions.text import lang_top_k
 
     return (
         df.select(F.col(text_col).alias("__text"))
         .where(F.col("__text").isNotNull())
-        .distinct()
         .select(F.explode(lang_top_k(F.col("__text"), k)).alias("e"))
         .groupBy(F.col("e.lang").alias("lang"))
         .agg(F.max("e.conf").alias("conf"))

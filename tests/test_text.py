@@ -667,3 +667,24 @@ def test_lang_top_k_consistency_on_random_text(spark):
             assert pairs == [("und", 0.0)]
         else:
             assert all(0.0 < c <= 100.0 for c in confs)
+
+
+def test_language_profile_plan_no_payload_shuffle(spark):
+    """Scale contract: the only Exchange is the narrow (lang, conf)
+    aggregation — no distinct / payload shuffle of the text column
+    (max(conf) per language is duplicate-insensitive, so deduping
+    first would cost a full-text shuffle for an identical result)."""
+    from advanced_data_profile_spark.operators.text_ml import (
+        language_profile,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": ["the of and to in is was"] * 4})
+    )
+    out = language_profile(df, "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # one exchange pair for the partial/final agg, nothing keyed on text
+    assert plan.count("Exchange") <= 2
+    rows = out.collect()
+    assert rows and rows[0].lang == "en"
