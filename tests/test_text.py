@@ -688,3 +688,29 @@ def test_language_profile_plan_no_payload_shuffle(spark):
     assert plan.count("Exchange") <= 2
     rows = out.collect()
     assert rows and rows[0].lang == "en"
+
+
+def test_lang_surface_covers_lid176_label_set():
+    """Label parity with the reference's fasttext lid.176 model
+    (Profiler.py:226-259): every language code the public lid.176
+    model can emit has a marker set or script/word-sequence rule here
+    (the heuristic differs in accuracy, not in label coverage)."""
+    from advanced_data_profile_spark.functions.text import (
+        LANG_MARKERS,
+        SCRIPT_RULES,
+    )
+
+    ours = set(LANG_MARKERS) | {lang for lang, _ in SCRIPT_RULES}
+    lid176 = set(
+        "af als am an ar arz as ast av az azb ba bar bcl be bg bh bn bo "
+        "bpy br bs bxr ca cbk ce ceb ckb co cs cv cy da de diq dsb dty "
+        "dv el en eo es et eu fa fi fr frr fy ga gd gl gn gom gu gv he "
+        "hi hif hr hsb ht hu hy ia id ie ilo io is it ja jbo jv ka kk "
+        "km kn ko krc ku kv kw ky la lb lez li lmo lo lrc lt lv mai mg "
+        "mhr min mk ml mn mr mrj ms mt mwl my myv mzn nah nap nds ne "
+        "new nl nn no oc or os pa pam pfl pl pms pnb ps pt qu rm ro ru "
+        "rue sa sah sc scn sco sd sh si sk sl so sq sr su sv sw ta te "
+        "tg th tk tl tr tt tyv ug uk ur uz vec vep vi vls vo wa war wuu "
+        "xal xmf yi yo yue zh".split()
+    )
+    assert not lid176 - ours, sorted(lid176 - ours)
