@@ -1895,6 +1895,63 @@ def _oracle_char_lm_ppl_by_lang() -> str:
     """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global duplicate-span removal (operators/dedup.py:
+    remove_duplicate_spans — Raffel et al. 2020 §2.2, a text TRANSFORM:
+    corpus-repeated spans survive only at their first occurrence).
+    The fixture's texts are single-line word bags, so the span unit is
+    the space-delimited word with a 4-char floor — degenerate English
+    but the identical machinery (global count + (id, pos) argmin +
+    pos-ordered rebuild). Value oracle: DuckDB replays the split,
+    struct-min first-occurrence, and ordered string_agg rebuild."""
+    from advanced_data_profile_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, "doc_id", "text", delimiter=" ",
+                                 min_chars=4)
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
+def _oracle_dedup_spans() -> str:
+    return """
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i
+          FROM base
+        ),
+        segs AS (
+          SELECT doc_id, (i - 1)::BIGINT AS pos, parts[i::INT] AS span
+          FROM pos
+        ),
+        cand AS (SELECT * FROM segs WHERE length(span) >= 4),
+        stats AS (
+          SELECT span, count(*) AS cnt,
+                 min(struct_pack(d := doc_id, p := pos)) AS first
+          FROM cand GROUP BY 1
+        ),
+        keptc AS (
+          SELECT c.doc_id, c.pos, c.span
+          FROM cand c JOIN stats s USING (span)
+          WHERE s.cnt = 1 OR (c.doc_id = s.first.d AND c.pos = s.first.p)
+        ),
+        kept AS (
+          SELECT doc_id, pos, span FROM segs WHERE length(span) < 4
+          UNION ALL SELECT * FROM keptc
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+          FROM kept GROUP BY 1
+        )
+        SELECT d.doc_id, a.text
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF index (operators/similarity.py: ivf_index_build /
     ivf_index_append / ivf_index_search): the corpus two-thirds of
@@ -2997,6 +3054,9 @@ _EXTENDED_NAMES = [
     "ivf_index_search_embeddings",  # round-7 add; persisted IVF stored-
                               # state build/append/search; per-call IVF is
                               # contract-covered by knn_ivf_learned
+    "dedup_spans_documents",  # round-7 add; C4 global span-removal
+                              # transform; dedup-family filters are
+                              # contract-covered by dedup_exact/near_dup
 ]
 # Round-7 rotation IN (the r5 precedent): the round-6 operators
 # drift_from_stored_state_events, neardup_index_documents, and
@@ -3088,6 +3148,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_join": q_asof_forward_join,
         "char_lm_ppl_by_lang_documents": q_char_lm_ppl_by_lang,
         "ivf_index_search_embeddings": q_ivf_index_search,
+        "dedup_spans_documents": q_dedup_spans,
     }
 
 
@@ -3112,6 +3173,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "char_lm_perplexity_documents": _oracle_char_lm_perplexity(),
         "char_lm_ppl_by_lang_documents": _oracle_char_lm_ppl_by_lang(),
         "ivf_index_search_embeddings": _oracle_ivf_index_search(),
+        "dedup_spans_documents": _oracle_dedup_spans(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),
         "knn_ivf_learned": _oracle_knn_ivf_learned(),
         "split_pack_documents": _oracle_split_pack_documents(),

@@ -733,3 +733,70 @@ def decontaminate(
         F.coalesce("n_overlaps", F.lit(0)).cast("bigint").alias("n_overlaps"),
         (F.coalesce("n_overlaps", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# --- Global duplicate-span removal -----------------------------------------
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = "\n",
+    min_chars: int = 15,
+) -> DataFrame:
+    """C4-style global duplicate-SPAN removal — a text TRANSFORM, not a
+    document filter (C4, Raffel et al. 2020 §2.2: spans repeated across
+    the corpus — boilerplate, navigation, license blocks — are removed
+    from every document but their first occurrence; the documents
+    themselves survive). Returns (id, text) with each corpus-repeated
+    span kept only at its first occurrence, first = smallest (id,
+    position) — deterministic and order-free.
+
+    Spans are the delimiter-separated segments of the text (newline for
+    line-level, '. ' for sentence-ish; the delimiter is a LITERAL,
+    quoted into the split regex). Segments shorter than `min_chars`
+    never dedup (short lines like 'the' or '' repeat naturally and are
+    not boilerplate) and pass through untouched, preserving document
+    structure on rebuild. NULL-text documents come back with NULL text.
+
+    Scale shape: three narrow shuffles, none carrying full documents —
+    the global count+argmin groups by span (candidates only, map-side
+    partial agg), candidates join back span-keyed, and the rebuild
+    groups by id (pos-sorted concat). The span relation is one row per
+    segment — linear in corpus text, same fan-out class as every
+    n-gram/token op here."""
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
+        ).alias("pos", "span"),
+    )
+    cand = segs.where(F.length("span") >= min_chars)
+    stats = cand.groupBy("span").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("id", "pos")).alias("first"),
+    )
+    kept_cand = (
+        cand.join(stats, "span")
+        .where(
+            (F.col("cnt") == 1)
+            | ((F.col("id") == F.col("first.id"))
+               & (F.col("pos") == F.col("first.pos")))
+        )
+        .select("id", "pos", "span")
+    )
+    kept = segs.where(F.length("span") < min_chars).select(
+        "id", "pos", "span"
+    ).unionByName(kept_cand)
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias(text_col)
+    )
+    return df.select(F.col(id_col).alias("id")).distinct().join(
+        rebuilt, "id", "left"
+    )

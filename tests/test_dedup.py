@@ -498,3 +498,37 @@ def test_hadoop_list_files_raises_on_subdirectories(spark, tmp_path):
     ).parquet(parted)
     with pytest.raises(ValueError, match="subdirector"):
         hadoop_list_files(spark, parted)
+
+
+def test_remove_duplicate_spans_c4(spark):
+    """Global span dedup is a TRANSFORM: the repeated boilerplate line
+    survives only at its first occurrence (smallest (id, pos)), short
+    lines never dedup, unique lines are untouched, structure and
+    delimiter are preserved on rebuild, NULL text stays NULL."""
+    from advanced_data_profile_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (1, f"first article body\n{boiler}\nunique closing one"),
+        (2, f"{boiler}\nsecond article body"),
+        (3, f"third body\n{boiler}"),
+        (4, "the\nthe\nthe"),          # short spans repeat freely
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.text for r in remove_duplicate_spans(
+        df, "doc_id", "text").collect()}
+    assert out[1] == f"first article body\n{boiler}\nunique closing one"
+    assert out[2] == "second article body"
+    assert out[3] == "third body"
+    assert out[4] == "the\nthe\nthe"
+    assert out[5] is None
+    # within-doc repetition of a long span also collapses to first use
+    df2 = spark.createDataFrame(
+        [(1, f"{boiler}\nmiddle line here\n{boiler}")],
+        "doc_id long, text string",
+    )
+    out2 = remove_duplicate_spans(df2, "doc_id", "text").first().text
+    assert out2 == f"{boiler}\nmiddle line here"
