@@ -1946,8 +1946,10 @@ def _oracle_dedup_spans() -> str:
           SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
           FROM kept GROUP BY 1
         )
-        SELECT d.doc_id, a.text
-        FROM (SELECT DISTINCT doc_id FROM documents) d
+        SELECT d.doc_id,
+               CASE WHEN d.has_text THEN coalesce(a.text, '') END AS text
+        FROM (SELECT DISTINCT doc_id, text IS NOT NULL AS has_text
+              FROM documents) d
         LEFT JOIN agg a USING (doc_id)
     """
 

@@ -795,8 +795,22 @@ def remove_duplicate_spans(
                 F.array_sort(F.collect_list(F.struct("pos", "span"))),
                 lambda s: s["span"],
             ),
-        ).alias(text_col)
+        ).alias("__rebuilt")
     )
-    return df.select(F.col(id_col).alias("id")).distinct().join(
-        rebuilt, "id", "left"
+    # a doc whose EVERY span was removed becomes the empty string (it
+    # still exists); NULL is reserved for NULL input text
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).isNotNull().alias("__has_text"),
+        )
+        .distinct()
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("__has_text"),
+                F.coalesce(F.col("__rebuilt"), F.lit("")),
+            ).alias(text_col),
+        )
     )

@@ -47,6 +47,10 @@ def main() -> None:
                     help="LSH index path (required with --incremental)")
     ap.add_argument("--kept-out", default=None,
                     help="also write surviving documents here")
+    ap.add_argument("--dedup-spans", default=None, metavar="DELIM",
+                    help="pre-pass: remove corpus-repeated spans (C4) "
+                         "split on this literal delimiter")
+    ap.add_argument("--span-min-chars", type=int, default=15)
     args = ap.parse_args()
     if args.incremental and not args.index:
         ap.error("--incremental requires --index")
@@ -69,6 +73,19 @@ def main() -> None:
     )
 
     docs = spark.read.parquet(args.docs)
+    if args.dedup_spans is not None:
+        # C4 boilerplate pre-pass: the funnel (and any --kept-out
+        # write) then sees the span-deduplicated text
+        from advanced_data_profile_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        docs = remove_duplicate_spans(
+            docs, args.id_col, args.text_col,
+            delimiter=args.dedup_spans, min_chars=args.span_min_chars,
+        ).select(
+            F.col("id").alias(args.id_col), args.text_col
+        )
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     model = spark.read.parquet(args.ppl_model) if args.ppl_model else None
     common = dict(

@@ -532,3 +532,50 @@ def test_remove_duplicate_spans_c4(spark):
     )
     out2 = remove_duplicate_spans(df2, "doc_id", "text").first().text
     assert out2 == f"{boiler}\nmiddle line here"
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark):
+    """Differential test vs a direct Python transcription of the
+    semantics over a randomized 40-doc corpus (seeded): global
+    first-occurrence-wins at (id, pos), short-span passthrough,
+    pos-ordered rebuild."""
+    import random
+
+    from advanced_data_profile_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(41)
+    vocab = [
+        "alpha beta gamma", "delta line", "repeated boilerplate block",
+        "x", "", "another long unique-ish span", "short", "tail words",
+    ]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+        for i in range(40)
+    ]
+
+    def py_ref(rows, min_chars=15):
+        segs = []
+        for i, t in rows:
+            for p, s in enumerate(t.split("\n")):
+                segs.append((i, p, s))
+        first, cnt = {}, {}
+        for i, p, s in segs:
+            if len(s) >= min_chars:
+                cnt[s] = cnt.get(s, 0) + 1
+                first.setdefault(s, (i, p))
+        out = {}
+        for i, t in rows:
+            kept = [
+                s for p, s in enumerate(t.split("\n"))
+                if len(s) < min_chars or cnt[s] == 1 or first[s] == (i, p)
+            ]
+            out[i] = "\n".join(kept)
+        return out
+
+    expected = py_ref(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.text for r in remove_duplicate_spans(
+        df, "doc_id", "text").collect()}
+    assert got == expected
