@@ -1895,6 +1895,33 @@ def _oracle_char_lm_ppl_by_lang() -> str:
     """
 
 
+def q_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column language mix with confidence (operators/text_ml.py:
+    language_profile — the reference's "Languages Detected with
+    Confidence", Profiler.py:663-673): per-text top-k (lang, conf%)
+    via the lang_top_k expression, best confidence per language,
+    top 5 by confidence. Value oracle: DuckDB replays the full
+    marker-score/total-normalization arithmetic and the script-rule
+    short-circuits (oracle_fragments.sql_lang_top_k)."""
+    from advanced_data_profile_spark.operators.text_ml import (
+        language_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_profile(docs, "text", k=5)
+
+
+def _oracle_language_profile() -> str:
+    from advanced_data_profile_spark.functions import oracle_fragments as O
+
+    return f"""
+        WITH d AS ({_norm_cte("WHERE text IS NOT NULL")}),
+        per AS (SELECT unnest({O.sql_lang_top_k()}) AS e FROM d)
+        SELECT e.lang AS lang, max(e.conf) AS conf FROM per
+        GROUP BY 1 ORDER BY conf DESC, lang ASC LIMIT 5
+    """
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global duplicate-span removal (operators/dedup.py:
     remove_duplicate_spans — Raffel et al. 2020 §2.2, a text TRANSFORM:
@@ -3059,6 +3086,9 @@ _EXTENDED_NAMES = [
     "dedup_spans_documents",  # round-7 add; C4 global span-removal
                               # transform; dedup-family filters are
                               # contract-covered by dedup_exact/near_dup
+    "language_profile_documents",  # round-7 add; per-column (lang, conf)
+                              # top-5; label path contract-covered by
+                              # langid
 ]
 # Round-7 rotation IN (the r5 precedent): the round-6 operators
 # drift_from_stored_state_events, neardup_index_documents, and
@@ -3151,6 +3181,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_lm_ppl_by_lang_documents": q_char_lm_ppl_by_lang,
         "ivf_index_search_embeddings": q_ivf_index_search,
         "dedup_spans_documents": q_dedup_spans,
+        "language_profile_documents": q_language_profile,
     }
 
 
@@ -3176,6 +3207,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "char_lm_ppl_by_lang_documents": _oracle_char_lm_ppl_by_lang(),
         "ivf_index_search_embeddings": _oracle_ivf_index_search(),
         "dedup_spans_documents": _oracle_dedup_spans(),
+        "language_profile_documents": _oracle_language_profile(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),
         "knn_ivf_learned": _oracle_knn_ivf_learned(),
         "split_pack_documents": _oracle_split_pack_documents(),

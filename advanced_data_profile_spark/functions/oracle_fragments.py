@@ -113,6 +113,44 @@ def sql_lang_predict(col: str = "text", norm: str = "__norm") -> str:
     return f"(CASE {script_whens} ELSE ({best}).l END)"
 
 
+def sql_lang_top_k(col: str = "text", norm: str = "__norm", k: int = 5) -> str:
+    """DuckDB mirror of functions.text.lang_top_k: a list of
+    struct(lang, conf) — script-rule hit short-circuits to
+    [(lang, 100.0)]; otherwise the (s, nr, l) structs sort descending,
+    the top-k positive scores get conf = round(100.0 * s / total, 2)
+    (total over ALL languages, the exact Spark arithmetic and operand
+    order), and a zero-hit row yields [('und', 0.0)]. The entries list
+    is built once in a scalar subquery and referenced twice (ranked +
+    total), mirroring Spark's subexpression-eliminated double use."""
+    langs = sorted(LANG_MARKERS)
+    entries = []
+    for i, lang in enumerate(langs):
+        markers = _sql_list(LANG_MARKERS[lang])
+        score = (
+            f"(CASE WHEN {norm} = '' THEN 0 ELSE "
+            f"length(list_filter(string_split({norm}, ' '), "
+            f"x -> list_contains({markers}, x))) END)"
+        )
+        entries.append(f"struct_pack(s := {score}, nr := {-i}, l := '{lang}')")
+    es = f"[{', '.join(entries)}]"
+    body = (
+        f"(SELECT CASE WHEN len(top) > 0 THEN "
+        f"list_transform(top, e -> struct_pack(lang := e.l, "
+        f"conf := round(100.0 * e.s / total, 2))) "
+        f"ELSE [struct_pack(lang := 'und', conf := 0.0)] END "
+        f"FROM (SELECT list_filter(list_reverse_sort(es)[1:{k}], "
+        f"e -> e.s > 0) AS top, "
+        f"list_sum(list_transform(es, e -> e.s)) AS total "
+        f"FROM (SELECT {es} AS es) __lka) __lkb)"
+    )
+    script_whens = " ".join(
+        f"WHEN regexp_matches({col}, '{pattern}') "
+        f"THEN [struct_pack(lang := '{lang}', conf := 100.0)]"
+        for lang, pattern in SCRIPT_RULES
+    )
+    return f"(CASE {script_whens} ELSE {body} END)"
+
+
 def sql_winnow(norm: str = "__norm", k: int = 5, w: int = 4) -> str:
     """DuckDB mirror of functions.text.winnow_fingerprints (1-based
     inclusive list slicing)."""
