@@ -248,7 +248,14 @@ def nearest_centroid_expr(vec: Column, cents: list) -> Column:
     join, no shuffle, pure codegen'd projection. `cents` is the
     collected KB-sized centroid relation. zip_with's inputs are
     evaluated ONCE outside the lambda (the HOF capture trap applies to
-    captured outer expressions, not lambda ARGUMENTS)."""
+    captured outer expressions, not lambda ARGUMENTS).
+
+    SMALL-k path only: the expression tree is O(k*d) literal nodes, so
+    plan construction/analysis collapses long before the data does at
+    production IVF widths (k ~ 4096 x d ~ 768 is millions of nodes).
+    assign_nearest_centroid auto-switches to the broadcast-relation
+    path above NEAREST_CENTROID_LITERAL_MAX_TERMS — use it instead of
+    calling this directly."""
     def d2(centroid) -> Column:
         arr = F.array(*[F.lit(float(x)) for x in centroid])
         return F.aggregate(
@@ -266,26 +273,120 @@ def nearest_centroid_expr(vec: Column, cents: list) -> Column:
     )[0]["l"]
 
 
+# Above this many k*d argmin terms the literal expression path is
+# replaced by the broadcast-relation path: the literal tree's py4j
+# construction + Catalyst analysis cost grows linearly in k*d (seconds
+# at ~10^5 terms, unusable at the ~10^6.5 of a production 4096x768
+# index), while the broadcast path's plan is O(1) size regardless of k.
+# 4096 terms keeps the tested small-k contract (k=8 x d<=512) on the
+# join-free projection.
+NEAREST_CENTROID_LITERAL_MAX_TERMS = 4096
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    vec_col: str,
+    cents: list,
+    label_col: str = "label",
+    mode: str | None = None,
+) -> DataFrame:
+    """Attach the nearest-stored-centroid label to every row of `df`,
+    auto-selecting the plan by argmin width k*d:
+
+    - "literal" (k*d <= NEAREST_CENTROID_LITERAL_MAX_TERMS): the
+      k-term literal argmin projection (nearest_centroid_expr) — no
+      join, no shuffle, the right plan while the expression tree stays
+      small;
+    - "broadcast" (k*d above the threshold — production IVF widths):
+      the ENTIRE centroid relation rides ONE broadcast row as an
+      array<struct<l,c>> column, equi-joined on a constant key
+      (BroadcastHashJoin — k rows never expand the batch), and the
+      argmin runs as JVM higher-order functions (transform + zip_with
+      + array_sort) over that array column. Zero batch-side shuffle,
+      zero row expansion, O(1) expression-tree size at ANY k*d: the
+      per-row work is the same O(k*d) arithmetic, but it lives in data
+      (one ~k*d*8-byte broadcast) instead of in the plan. Same
+      squared-euclidean metric and smallest-label tiebreak as the
+      literal path (differential-tested in tests/test_similarity.py).
+
+    `cents` is the collected centroid relation (rows with .label and
+    .centroid). `df[vec_col]` must already be array<double>."""
+    k = len(cents)
+    d = len(cents[0].centroid) if k else 0
+    if mode is None:
+        mode = (
+            "literal"
+            if k * d <= NEAREST_CENTROID_LITERAL_MAX_TERMS
+            else "broadcast"
+        )
+    v = F.col(vec_col)
+    if mode == "literal":
+        return df.withColumn(label_col, nearest_centroid_expr(v, cents))
+    spark = df.sparkSession
+    payload = [
+        (
+            [
+                (int(r.label), [float(x) for x in r.centroid])
+                for r in cents
+            ],
+            0,
+        )
+    ]
+    # Join key: constant-VALUED (always 0) but non-FOLDABLE on BOTH
+    # sides. A key Catalyst can fold to a literal gets constant-folded
+    # out of the join condition and the planner downgrades to a
+    # BroadcastNestedLoopJoin; keeping a real equi-key preserves the
+    # BroadcastHashJoin physical shape (single-bucket probe against the
+    # one-row build side, still zero batch-side shuffle). Build side:
+    # the 0 rides IN the row data, opaque to the optimizer. Stream
+    # side: sz - sz over a null-guarded size() — value-identical to 0,
+    # no simplification rule applies, and NULL vectors keep their row
+    # (NULL label), matching the literal path.
+    crel = spark.createDataFrame(
+        payload, "__cents array<struct<l:bigint,c:array<double>>>, __j int"
+    )
+    lbl = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda ce: F.struct(
+                F.aggregate(
+                    F.zip_with(v, ce["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                ce["l"].alias("l"),
+            ),
+        )
+    )[0]["l"]
+    sz = F.coalesce(F.size(v), F.lit(-1))
+    return (
+        df.withColumn("__j", (sz - sz).cast("int"))
+        .join(F.broadcast(crel), "__j")
+        .withColumn(label_col, lbl)
+        .drop("__j", "__cents")
+    )
+
+
 def ivf_index_append(
     batch: DataFrame, id_col: str, vec_col: str, index_path: str
 ) -> None:
     """Append vectors to a built index WITHOUT refitting or rescanning:
-    each batch row is assigned to the nearest stored centroid by a
-    k-term literal argmin expression (the centroid relation is
-    collected driver-side — k rows — so assignment is a codegen'd
-    projection: no join, no shuffle), then appended to the
-    label-partitioned assignments. Distance is squared euclidean, the
-    quantizer's own metric. Centroid means stay FIXED (the IVF
-    contract); the informational n counts are refreshed from the
-    batch's per-label counts (one batch-sized agg + a rewrite of the
-    KB-sized centroid relation)."""
+    each batch row is assigned to the nearest stored centroid by
+    assign_nearest_centroid (literal argmin projection at small k*d;
+    broadcast-relation HOF argmin above the threshold — either way no
+    batch-side shuffle), then appended to the label-partitioned
+    assignments. Distance is squared euclidean, the quantizer's own
+    metric. Centroid means stay FIXED (the IVF contract); the
+    informational n counts are refreshed from the batch's per-label
+    counts (one batch-sized agg + a rewrite of the KB-sized centroid
+    relation)."""
     spark = batch.sparkSession
     cents = _require_ivf_index(spark, index_path)
     v = F.col(vec_col).cast("array<double>")
-    asg = batch.select(
-        F.col(id_col).alias("id"), v.alias("vec"),
-        nearest_centroid_expr(v, cents).alias("label"),
-    )
+    asg = assign_nearest_centroid(
+        batch.select(F.col(id_col).alias("id"), v.alias("vec")),
+        "vec", cents,
+    ).select("id", "vec", "label")
     asg.write.mode("append").partitionBy("label").parquet(
         f"{index_path}/assignments"
     )
@@ -353,6 +454,61 @@ def ivf_index_search(
         asg.select(F.col("id"), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
+    )
+
+
+def ivf_index_stats(spark, index_path: str) -> DataFrame:
+    """Per-label occupancy of the stored index with the streamed leg
+    made VISIBLE: the centroid relation's informational `n` column
+    counts only batch-API writes (the streaming writer deliberately
+    never rewrites it — a per-micro-batch count rewrite would
+    double-count on replay), so a user reading `centroids.n` after
+    streaming sees stale totals. This helper derives the streamed-leg
+    counts at read time — one count-only agg per leg over the
+    assignment files, column-pruned to the label partition column, so
+    no vectors are read — and returns per label:
+
+      (label, n_batch, n_stream, n_total, n_centroid_stale)
+
+    n_batch counts the batch-built + batch-appended leg, n_stream the
+    streaming-ingested leg, n_total their sum (the true occupancy),
+    and n_centroid_stale echoes the centroid relation's own n so the
+    staleness is explicit rather than silent. Search-cost planning
+    (which probe reads how many vectors) should use n_total."""
+    from advanced_data_profile_spark.session import hadoop_path_exists
+
+    cents = _require_ivf_index(spark, index_path)
+    crel = spark.createDataFrame(
+        [(int(r.label), int(r.n)) for r in cents],
+        "label bigint, n_centroid_stale bigint",
+    )
+
+    def leg_counts(path: str, out: str) -> DataFrame:
+        if not hadoop_path_exists(spark, path):
+            return spark.createDataFrame([], f"label bigint, {out} bigint")
+        return (
+            spark.read.parquet(path)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias(out))
+            .select(F.col("label").cast("bigint").alias("label"), out)
+        )
+
+    batch = leg_counts(f"{index_path}/assignments", "n_batch")
+    stream = leg_counts(f"{index_path}/assignments_stream", "n_stream")
+    return (
+        crel.join(batch, "label", "left")
+        .join(stream, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+            F.coalesce("n_stream", F.lit(0)).alias("n_stream"),
+            (
+                F.coalesce("n_batch", F.lit(0))
+                + F.coalesce("n_stream", F.lit(0))
+            ).alias("n_total"),
+            "n_centroid_stale",
+        )
+        .orderBy("label")
     )
 
 

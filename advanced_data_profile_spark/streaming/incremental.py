@@ -498,7 +498,9 @@ def ivf_batch_writer(
     """foreachBatch seam for STREAMING ANN ingestion over the persisted
     IVF index (operators/similarity): each micro-batch of embeddings is
     assigned to the nearest STORED centroid (the seed build's quantizer
-    — a k-term literal argmin projection, no join, no refit) and
+    — assign_nearest_centroid: literal argmin projection at small k*d,
+    broadcast-relation HOF argmin above the threshold; no batch-side
+    shuffle either way, no refit) and
     written under {index_path}/assignments_stream PARTITIONED BY
     (batch_id, label). ivf_index_search unions this leg with the
     batch-built assignments automatically; label stays a partition
@@ -512,14 +514,17 @@ def ivf_batch_writer(
     rewriting its counts per micro-batch would double-count on replay
     (the batch-API append may refresh counts because its caller owns
     exactly-once semantics); stream-ingested vectors are therefore
-    invisible in the informational `n` column, by design.
+    invisible in the informational `n` column, by design — read true
+    per-label occupancy via similarity.ivf_index_stats, which derives
+    the streamed-leg counts at read time and reports the staleness
+    explicitly.
 
     The quantizer must exist before the stream starts — run
     ivf_index_build over a seed corpus first (raises otherwise, same
     contract as ivf_index_append)."""
     from advanced_data_profile_spark.operators.similarity import (
         _require_ivf_index,
-        nearest_centroid_expr,
+        assign_nearest_centroid,
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -527,10 +532,11 @@ def ivf_batch_writer(
         cents = _require_ivf_index(spark, index_path)
         v = F.col(vec_col).cast("array<double>")
         (
-            batch_df.select(
-                F.col(id_col).alias("id"), v.alias("vec"),
-                nearest_centroid_expr(v, cents).alias("label"),
+            assign_nearest_centroid(
+                batch_df.select(F.col(id_col).alias("id"), v.alias("vec")),
+                "vec", cents,
             )
+            .select("id", "vec", "label")
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -343,3 +343,172 @@ def test_ivf_stream_requires_built_quantizer(spark, two_cluster_df, tmp_path):
 
     with _pt.raises(ValueError, match="not built"):
         wb(two_cluster_df, 0)
+
+
+# --- scale-safe centroid assignment (broadcast-relation argmin) ------------
+
+def _fake_cents(k: int, d: int):
+    """Deterministic (seeded) centroid rows shaped like the collected
+    relation."""
+    from collections import namedtuple
+
+    import numpy as np
+
+    Row = namedtuple("Row", ["label", "centroid", "n"])
+    rng = np.random.RandomState(7)
+    return [
+        Row(label=i, centroid=[round(float(x), 3) for x in rng.randn(d)], n=1)
+        for i in range(k)
+    ]
+
+
+def _fake_vecs(spark, n: int, d: int, seed: int = 11):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, [round(float(x), 3) for x in rng.randn(d)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vid bigint, v array<double>")
+
+
+def _numpy_labels(df, cents):
+    import numpy as np
+
+    C = np.array([list(r.centroid) for r in cents], dtype=np.float64)
+    out = {}
+    for r in df.collect():
+        v = np.array(r.v, dtype=np.float64)
+        d2 = ((C - v) ** 2).sum(axis=1)
+        best = np.lexsort((np.array([r.label for r in cents]), d2))[0]
+        out[r.vid] = int(cents[best].label)
+    return out
+
+
+def test_assign_nearest_centroid_broadcast_matches_literal(spark):
+    """Differential: the broadcast-relation HOF argmin and the literal
+    expression argmin are the same function (metric, tiebreak), row for
+    row — including exact-tie vectors where the smallest label wins."""
+    cents = _fake_cents(5, 6)
+    df = _fake_vecs(spark, 60, 6)
+    lit = {
+        r.vid: r.label
+        for r in S.assign_nearest_centroid(df, "v", cents, mode="literal").collect()
+    }
+    bc = {
+        r.vid: r.label
+        for r in S.assign_nearest_centroid(df, "v", cents, mode="broadcast").collect()
+    }
+    assert lit == bc == _numpy_labels(df, cents)
+    # exact tie between centroid 0 and a duplicate at a higher label
+    from collections import namedtuple
+
+    Row = namedtuple("Row", ["label", "centroid", "n"])
+    tie = [Row(0, [1.0, 0.0], 1), Row(1, [1.0, 0.0], 1), Row(2, [9.0, 9.0], 1)]
+    one = spark.createDataFrame([(7, [1.0, 0.1])], "vid bigint, v array<double>")
+    for mode in ("literal", "broadcast"):
+        assert (
+            S.assign_nearest_centroid(one, "v", tie, mode=mode).first().label == 0
+        )
+
+
+def test_assign_nearest_centroid_auto_switch_and_plan(spark):
+    """Auto mode picks literal under the k*d threshold and broadcast
+    above it; the broadcast plan is a BroadcastHashJoin with ZERO
+    batch-side shuffle (the only Exchange is the broadcast itself)."""
+    df = _fake_vecs(spark, 40, 80)
+    small = S.assign_nearest_centroid(df, "v", _fake_cents(8, 80))  # 640 terms
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_small  # literal projection path
+    big_cents = _fake_cents(64, 80)  # 5120 terms > threshold -> broadcast
+    big = S.assign_nearest_centroid(df, "v", big_cents)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_big, plan_big
+    assert "Exchange hashpartitioning" not in plan_big, plan_big
+    # and the plan stays O(1) size: no per-centroid literal arrays
+    assert plan_big.count("zip_with") <= 4
+    # same labels as the ground truth regardless of path
+    assert {r.vid: r.label for r in big.collect()} == _numpy_labels(
+        df, big_cents
+    )
+
+
+def test_ivf_index_append_large_k_uses_broadcast_path(spark, tmp_path):
+    """Append at production-shaped k (64 centroids x 80 dims > the
+    literal-terms threshold): assignment flows through the broadcast
+    join, every appended vector lands in its numpy-argmin partition,
+    and full-probe search over the stored state equals brute force."""
+    idx = str(tmp_path / "ivf64")
+    corpus = _fake_vecs(spark, 512, 128)
+    S.ivf_index_build(corpus, "vid", "v", idx, k=64, seed=1)
+    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    # KMeans may leave a few clusters empty; the broadcast path must
+    # still be the auto-selected one (len(cents)*128 >> 4096)
+    assert len(cents) >= 48
+    assert (
+        len(cents) * 128 > S.NEAREST_CENTROID_LITERAL_MAX_TERMS
+    )
+    batch = _fake_vecs(spark, 16, 128).withColumn(
+        "vid", F.col("vid") + 1000
+    )
+    S.ivf_index_append(batch, "vid", "v", idx)
+    got = {
+        r.id: r.label
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .where(F.col("id") >= 1000)
+        .select("id", "label")
+        .collect()
+    }
+    want = {
+        vid + 1000: lbl
+        for vid, lbl in _numpy_labels(_fake_vecs(spark, 16, 128), cents).items()
+    }
+    assert got == want
+    q = [float(x) for x in batch.where(F.col("vid") == 1000).first().v]
+    full = S.ivf_index_search(spark, idx, q, k=5, n_probe=64)
+    brute = S.knn_bruteforce(
+        corpus.unionByName(batch), "vid", "v", q, k=5
+    )
+    assert [(r.cosine, r.id) for r in full.collect()] == [
+        (r.cosine, r.id) for r in brute.collect()
+    ]
+
+
+def test_ivf_index_stats_exposes_streamed_leg(spark, two_cluster_df, tmp_path):
+    """centroids.n deliberately excludes stream-ingested vectors;
+    ivf_index_stats derives the streamed-leg counts at read time so the
+    true occupancy (and the staleness) are visible."""
+    from advanced_data_profile_spark.streaming.incremental import (
+        ivf_batch_writer,
+    )
+
+    idx = str(tmp_path / "ivf")
+    S.ivf_index_build(two_cluster_df, "vid", "v", idx, k=2, seed=1)
+    S.ivf_index_append(
+        spark.createDataFrame(
+            [(100, [11.0, 0.0, 0.0, 1.0])], "vid bigint, v array<double>"
+        ),
+        "vid", "v", idx,
+    )
+    wb = ivf_batch_writer(idx, id_col="vid", vec_col="v")
+    wb(spark.createDataFrame(
+        [(200, [12.0, 0.0, 0.0, 1.0]), (201, [-12.0, 0.0, 0.0, 1.0])],
+        "vid bigint, v array<double>",
+    ), 0)
+    stats = {r.label: r for r in S.ivf_index_stats(spark, idx).collect()}
+    assert sum(r.n_batch for r in stats.values()) == 41
+    assert sum(r.n_stream for r in stats.values()) == 2
+    assert all(
+        r.n_total == r.n_batch + r.n_stream for r in stats.values()
+    )
+    # the stale column mirrors the centroid relation's own n (41: the
+    # batch append refreshed it, the streamed batch did not)
+    cent_n = {
+        r.label: r.n for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert {k: r.n_centroid_stale for k, r in stats.items()} == cent_n
+    # a no-stream index reports a zero streamed leg, not an error
+    idx2 = str(tmp_path / "ivf2")
+    S.ivf_index_build(two_cluster_df, "vid", "v", idx2, k=2, seed=1)
+    s2 = S.ivf_index_stats(spark, idx2).collect()
+    assert sum(r.n_stream for r in s2) == 0 and sum(r.n_batch for r in s2) == 40
