@@ -760,10 +760,17 @@ def remove_duplicate_spans(
     structure on rebuild. NULL-text documents come back with NULL text.
 
     Scale shape: three narrow shuffles, none carrying full documents —
-    the global count+argmin groups by span (candidates only, map-side
-    partial agg), candidates join back span-keyed, and the rebuild
-    groups by id (pos-sorted concat). The span relation is one row per
-    segment — linear in corpus text, same fan-out class as every
+    the global count+argmin groups by a 128-bit span FINGERPRINT
+    (xxhash64 under two seeds — the same fingerprint-only discipline
+    as dedup_exact, collision odds ~2^-128), candidates join back
+    fingerprint-keyed, and the rebuild groups by id (pos-sorted
+    concat). Keying the agg+join on the fingerprint instead of the raw
+    span text keeps span strings entirely OUT of the stats side (the
+    agg shuffle carries 16-byte keys, not boilerplate paragraphs) and
+    makes the hot keys — corpus-hot boilerplate spans are exactly the
+    skewed ones — fixed-width 16-byte values for AQE's skew handling
+    instead of arbitrarily long strings. The span relation is one row
+    per segment — linear in corpus text, same fan-out class as every
     n-gram/token op here."""
     segs = df.select(
         F.col(id_col).alias("id"),
@@ -771,13 +778,18 @@ def remove_duplicate_spans(
             F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
         ).alias("pos", "span"),
     )
-    cand = segs.where(F.length("span") >= min_chars)
-    stats = cand.groupBy("span").agg(
+    cand = segs.where(F.length("span") >= min_chars).withColumns(
+        {
+            "fp1": F.xxhash64("span"),
+            "fp2": F.xxhash64(F.lit(0x5BD1), F.col("span")),
+        }
+    )
+    stats = cand.groupBy("fp1", "fp2").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("id", "pos")).alias("first"),
     )
     kept_cand = (
-        cand.join(stats, "span")
+        cand.join(stats, ["fp1", "fp2"])
         .where(
             (F.col("cnt") == 1)
             | ((F.col("id") == F.col("first.id"))
