@@ -3076,27 +3076,28 @@ _EXTENDED_NAMES = [
                               # near_dup_minhash + dup_clusters (and
                               # simhash_near_dups stays for the SimHash
                               # block-LSH path)
-    "char_lm_ppl_by_lang_documents",  # round-7 add; per-language CCNet
-                              # scoring + tercile buckets; single-model
-                              # path is contract-covered by
-                              # char_lm_perplexity_documents
-    "ivf_index_search_embeddings",  # round-7 add; persisted IVF stored-
-                              # state build/append/search; per-call IVF is
-                              # contract-covered by knn_ivf_learned
-    "dedup_spans_documents",  # round-7 add; C4 global span-removal
-                              # transform; dedup-family filters are
-                              # contract-covered by dedup_exact/near_dup
-    "language_profile_documents",  # round-7 add; per-column (lang, conf)
-                              # top-5; label path contract-covered by
-                              # langid
+    "knn_bruteforce",         # rotated out r8: IVF full-probe search
+                              # (ivf_index_search_embeddings, now in
+                              # contract) EQUALS brute force by its own
+                              # oracle, and knn_lsh/knn_ivf_learned keep
+                              # the cosine-top-k family in contract
+    "minmax_datetime",        # rotated out r8: profile family contract-
+                              # covered by profile_lineitem /
+                              # table_summary_lineitem
+    "simhash_near_dups",      # rotated out r8: dedup-verify family
+                              # contract-covered by near_dup_minhash +
+                              # dup_clusters + neardup_index_documents
+    "winnow_overlap",         # rotated out r8: same family as above;
+                              # winnowing keeps its value oracle +
+                              # pytest coverage
 ]
-# Round-7 rotation IN (the r5 precedent): the round-6 operators
-# drift_from_stored_state_events, neardup_index_documents, and
-# char_lm_perplexity_documents — the newest, most complex surfaces —
-# moved from the extended set into the driver's 50-row contract so
-# CORRECTNESS_r07 carries hard rows for them; the three rotated-out
-# queries above keep their value oracles via check_oracles.py and
-# tests/test_oracles_extended.py.
+# Round-8 rotation IN (the r5/r7 precedent): the round-7 operators
+# char_lm_ppl_by_lang_documents, ivf_index_search_embeddings,
+# dedup_spans_documents, and language_profile_documents — the newest,
+# most complex surfaces — moved from the extended set into the
+# driver's 50-row contract so CORRECTNESS_r08 carries hard rows for
+# them; the four rotated-out queries above keep their value oracles
+# via check_oracles.py and tests/test_oracles_extended.py.
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3104,6 +3105,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries lead) so nothing load-bearing can fall off the end of the
     # driver's budget again.
     return {
+        "char_lm_ppl_by_lang_documents": q_char_lm_ppl_by_lang,
+        "ivf_index_search_embeddings": q_ivf_index_search,
+        "dedup_spans_documents": q_dedup_spans,
+        "language_profile_documents": q_language_profile,
         "drift_from_sketches": q_drift_from_sketches,
         "drift_from_stored_state_events": q_drift_from_stored_state,
         "neardup_index_documents": q_neardup_index_documents,
@@ -3128,18 +3133,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_violations": q_uniqueness_violations,
         "referential_integrity": q_referential_integrity,
         "histogram_quantity": q_histogram_quantity,
-        "minmax_datetime": q_minmax_datetime,
         "decimal_places": q_decimal_places,
         "drift_psi_events": q_drift_psi_events,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats": q_text_stats,
         "langid": q_langid,
-        "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
-        "winnow_overlap": q_winnow_overlap,
         "near_dup_minhash": q_near_dup_minhash,
         "dup_clusters": q_dup_clusters,
-        "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "near_dup_embeddings": q_near_dup_embeddings,
@@ -3178,10 +3179,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dimension_stats_vectors": q_dimension_stats_vectors,
         "cms_heavy_hitters_events": q_cms_heavy_hitters_events,
         "asof_forward_join": q_asof_forward_join,
-        "char_lm_ppl_by_lang_documents": q_char_lm_ppl_by_lang,
-        "ivf_index_search_embeddings": q_ivf_index_search,
-        "dedup_spans_documents": q_dedup_spans,
-        "language_profile_documents": q_language_profile,
+        "minmax_datetime": q_minmax_datetime,
+        "simhash_near_dups": q_simhash_near_dups,
+        "winnow_overlap": q_winnow_overlap,
+        "knn_bruteforce": q_knn_bruteforce,
     }
 
 
