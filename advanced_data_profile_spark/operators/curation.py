@@ -181,6 +181,7 @@ def curate_corpus_incremental(
     ppl_alpha: float = 0.1,
     ppl_lang_col: str | None = None,
     append_survivors: bool = True,
+    batch_tag: str | None = None,
 ) -> DataFrame:
     """The INCREMENTAL curation funnel — curate_corpus's semantics for
     a corpus that arrives in batches, composed entirely from stored
@@ -213,9 +214,17 @@ def curate_corpus_incremental(
     choice when later batches cannot reorder history. Returns one row
     per batch document: (id, keep_quality, keep_repetition,
     keep_decontamination, keep_dedup, keep_perplexity, keep_final).
-    Callers driving this from foreachBatch should guard replays on
-    the batch id before appending, the same idempotency contract as
-    streaming.neardup_batch_writer."""
+
+    Replay safety: pass `batch_tag` (a stable per-batch identifier)
+    and the index uses the batch-tagged partitioned layout — the
+    cross-batch check excludes this batch's own partitions (a retry
+    that already appended its survivors never matches its first
+    attempt's rows) and the survivor append dynamically overwrites
+    exactly its own partitions (no double-append). Without a
+    batch_tag the flat layout applies and callers — e.g. foreachBatch
+    drivers — must guard replays on the batch id themselves, the same
+    idempotency contract as streaming.neardup_batch_writer. The two
+    layouts must not be mixed within one index."""
     from advanced_data_profile_spark.operators.dedup import (
         neardup_index_build,
         neardup_index_check,
@@ -237,6 +246,7 @@ def curate_corpus_incremental(
                 batch, id_col, text_col, index_path,
                 k=minhash_k, bands=minhash_bands,
                 threshold=minhash_threshold,
+                exclude_batch_tag=batch_tag,
             )
             .select(F.col("id_new").alias("id"))
             .distinct()
@@ -273,6 +283,7 @@ def curate_corpus_incremental(
             survivors, id_col, text_col, index_path,
             k=minhash_k, bands=minhash_bands,
             mode="append" if have_index else "overwrite",
+            batch_tag=batch_tag,
         )
     return verdicts
 

@@ -186,6 +186,7 @@ def neardup_index_build(
     k: int = 16,
     bands: int = 4,
     mode: str = "overwrite",
+    batch_tag: str | None = None,
 ) -> None:
     """Persist a corpus's MinHash-LSH state — signatures and band
     buckets — so later batches can be near-dup-checked WITHOUT ever
@@ -202,9 +203,50 @@ def neardup_index_build(
     snapshot taken before the append bounds the read-back), so bucket
     state stays linear in total corpus size over repeated appends — a
     full read-back would re-append every pre-existing bucket row,
-    growing buckets quadratically."""
+    growing buckets quadratically. The snapshot is a before/after
+    directory diff, which makes flat-layout appends a SINGLE-WRITER
+    contract: a concurrent append landing between the two listings
+    would have its files claimed by this call and its bucket rows
+    double-appended. Orchestrated multi-writer or retry-prone callers
+    should pass `batch_tag` instead.
+
+    batch_tag='...' (the replay-safe layout, mirroring the streaming
+    writer's batch_id partitions): both relations gain a batch_tag
+    column and are written PARTITIONED BY it with dynamic partition
+    overwrite, so a retried or replayed append overwrites exactly its
+    own partitions — no directory diff, no double-append, no
+    single-writer assumption (concurrent appends own disjoint
+    partitions). The bucket read-back prunes to this call's partition
+    at the file level. The two layouts must not be mixed within one
+    index: seed a batch-tagged index with batch_tag on the FIRST
+    build too (mode is then ignored — every write is a dynamic
+    overwrite of its own partition)."""
     spark = df.sparkSession
     sig_path = f"{index_path}/signatures"
+    if batch_tag is not None:
+        sigs = minhash_signatures(df, id_col, text_col, k).withColumn(
+            "batch_tag", F.lit(batch_tag)
+        )
+        (
+            sigs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_tag")
+            .parquet(sig_path)
+        )
+        stored = (
+            spark.read.parquet(sig_path)
+            .where(F.col("batch_tag") == batch_tag)
+            .drop("batch_tag")
+        )
+        (
+            lsh_band_buckets(stored, bands, k // bands)
+            .withColumn("batch_tag", F.lit(batch_tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_tag")
+            .parquet(f"{index_path}/buckets")
+        )
+        return
     before: set[str] = set()
     if mode == "append" and hadoop_path_exists(spark, sig_path):
         before = set(hadoop_list_files(spark, sig_path))
@@ -272,10 +314,19 @@ def neardup_index_check(
     threshold: float = 0.5,
     append: bool = False,
     broadcast_batch: bool = True,
+    exclude_batch_tag: str | None = None,
 ) -> DataFrame:
     """Near-dup-check an incoming batch against the stored index:
     (id_new, id_indexed, est_jaccard) for every batch document whose
     estimated Jaccard against an indexed document reaches `threshold`.
+
+    exclude_batch_tag='...' (batch-tagged index layout only — see
+    neardup_index_build): the stored relations are filtered to
+    batch_tag != this tag, so a retried invocation that already
+    appended its own survivors never matches its first attempt's rows
+    — the partition-predicate twin of the flat layout's file-list
+    snapshot, and the same self-exclusion the streaming writer applies
+    to its batch_id partitions.
 
     Scale shape (batch << index, the streaming-ingest contract): the
     batch's (band, bucket) keys are BROADCAST against the stored
@@ -302,6 +353,22 @@ def neardup_index_check(
     b_new = lsh_band_buckets(sigs_new, bands, k // bands)
 
     def _snapshot(path: str):
+        if exclude_batch_tag is not None:
+            # batch-tagged layout: self-exclusion by partition
+            # predicate (file-level pruning) replaces the file-list
+            # snapshot — replays and post-append evaluations both
+            # read everything EXCEPT this batch's own partitions.
+            if not hadoop_path_exists(spark, path):
+                raise ValueError(
+                    f"near-dup index not built at {index_path!r} "
+                    f"(nothing under {path!r}) — run neardup_index_build "
+                    "first."
+                )
+            return (
+                spark.read.parquet(path)
+                .where(F.col("batch_tag") != exclude_batch_tag)
+                .drop("batch_tag")
+            )
         files = (
             hadoop_list_files(spark, path)
             if hadoop_path_exists(spark, path)

@@ -5,8 +5,8 @@ spark-submit job (one-shot or incremental):
     spark-submit --py-files dist/adp_spark.zip scripts/curate_corpus.py \\
         --docs s3://.../corpus/ --output /curated \\
         [--benchmark evalset.parquet] [--ppl-model lm_counts.parquet \\
-         --max-ppl 30] [--incremental --index /curated/lsh_index] \\
-        [--kept-out /curated/kept]
+         --max-ppl 30] [--incremental --index /curated/lsh_index \\
+         --batch-id batch-2024-07-01] [--kept-out /curated/kept]
 
 Writes {output}/verdicts (one row per doc: per-stage keeps + keep_final),
 prints the attrition funnel as JSON, and optionally writes the surviving
@@ -16,16 +16,39 @@ batch is near-dup-checked against the persisted LSH index at --index
 repeated invocations curate an arriving corpus batch-at-a-time.
 A --ppl-model relation carrying a `lang` column switches the perplexity
 stage to per-language scoring (train_char_lm_by_lang state).
+
+Replay safety: every run carries a batch tag (--batch-id, defaulting to
+a tag derived from the --docs path), and all incremental state —
+verdicts, kept docs, and the LSH index partitions — is PARTITIONED BY
+that tag with dynamic partition overwrite, while the cross-batch
+near-dup check excludes the tag's own partitions. Re-running a batch
+(orchestrator retry after partial failure, accidental re-invocation)
+therefore overwrites exactly its own state and reproduces its original
+verdicts instead of self-matching against its first attempt's appended
+survivors. Distinct batches MUST carry distinct tags (automatic when
+each arrives under its own path); one-shot (non-incremental) runs
+OVERWRITE {output}/verdicts and --kept-out outright.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def default_batch_tag(docs_path: str) -> str:
+    """Stable tag for a batch: sanitized basename + short content-free
+    hash of the normalized path (two batches under different paths can
+    share a basename)."""
+    norm = docs_path.rstrip("/")
+    base = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(norm)) or "batch"
+    return f"{base}-{hashlib.md5(norm.encode()).hexdigest()[:10]}"
 
 
 def main() -> None:
@@ -45,6 +68,10 @@ def main() -> None:
                     help="check/append against the persisted LSH index")
     ap.add_argument("--index", default=None,
                     help="LSH index path (required with --incremental)")
+    ap.add_argument("--batch-id", default=None,
+                    help="stable batch tag for replay-safe state "
+                         "partitioning (default: derived from --docs "
+                         "path; distinct batches need distinct tags)")
     ap.add_argument("--kept-out", default=None,
                     help="also write surviving documents here")
     ap.add_argument("--dedup-spans", default=None, metavar="DELIM",
@@ -54,6 +81,7 @@ def main() -> None:
     args = ap.parse_args()
     if args.incremental and not args.index:
         ap.error("--incremental requires --index")
+    batch_tag = args.batch_id or default_batch_tag(args.docs)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -93,21 +121,38 @@ def main() -> None:
         minhash_threshold=args.minhash_threshold,
         ppl_model=model, max_ppl=args.max_ppl,
     )
+    vpath = f"{args.output}/verdicts"
     if args.incremental:
+        # batch_tag flows into the index state too: the check excludes
+        # this tag's partitions and the survivor append overwrites
+        # them, so a replay reproduces its first attempt (see
+        # curate_corpus_incremental)
         verdicts = curate_corpus_incremental(
-            docs, args.id_col, args.text_col, args.index, **common
+            docs, args.id_col, args.text_col, args.index,
+            batch_tag=batch_tag, **common
         )
+        # already localCheckpointed by curate_corpus_incremental
+        (
+            verdicts.withColumn("batch_tag", F.lit(batch_tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_tag")
+            .parquet(vpath)
+        )
+        # cumulative funnel over ALL batches' verdicts (a replay sees
+        # its own overwritten partition, not a duplicate)
+        funnel_src = spark.read.parquet(vpath).drop("batch_tag")
     else:
         verdicts = curate_corpus(
             docs, args.id_col, args.text_col, **common
         ).localCheckpoint(eager=True)  # compute the funnel once; the
         # verdict write and the kept-doc join both read the checkpoint
-    vpath = f"{args.output}/verdicts"
-    verdicts.write.mode("append").parquet(vpath)
-    stored = spark.read.parquet(vpath)
+        verdicts.write.mode("overwrite").parquet(vpath)
+        funnel_src = verdicts
     out = {
         "verdicts": vpath,
-        **{k: v for k, v in curation_funnel(stored).first().asDict().items()},
+        "batch_tag": batch_tag,
+        **{k: v for k, v in curation_funnel(funnel_src).first().asDict().items()},
     }
     if args.kept_out:
         kept = docs.join(
@@ -116,7 +161,16 @@ def main() -> None:
             ),
             args.id_col,
         )
-        kept.write.mode("append").parquet(args.kept_out)
+        if args.incremental:
+            (
+                kept.withColumn("batch_tag", F.lit(batch_tag))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_tag")
+                .parquet(args.kept_out)
+            )
+        else:
+            kept.write.mode("overwrite").parquet(args.kept_out)
         out["kept_out"] = args.kept_out
     print(json.dumps(out))
 

@@ -247,3 +247,127 @@ def test_curate_corpus_cli(spark, tmp_path, monkeypatch):
     # (the near-dup of run 1's survivor was dropped by the stored index)
     assert r2["n_docs"] == 3 and r2["n_keep_final"] == 1
     assert spark.read.parquet(kept).count() == 1
+
+
+def test_curate_corpus_incremental_replay_idempotent(spark, tmp_path):
+    """Batch-tagged layout: replaying a batch with the SAME tag (an
+    orchestrator retry, an accidental re-invocation) reproduces its
+    first attempt's verdicts — the cross-batch check excludes the
+    tag's own partitions, so survivors already appended by the first
+    attempt never self-match — and the survivor append overwrites its
+    own partitions instead of double-appending."""
+    from advanced_data_profile_spark.operators.curation import (
+        curate_corpus_incremental,
+    )
+
+    varied = " ".join(
+        f"the word{i} and item{i * 7 % 97} of part{i % 13}" for i in range(40)
+    )
+    other = " ".join(
+        f"an entry{i} plus thing{i * 5 % 89} in group{i % 11}"
+        for i in range(40)
+    )
+    idx = str(tmp_path / "replay_idx")
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, varied), (2, "x y")], columns=["doc_id", "text"]
+        )
+    )
+
+    def verdicts(batch, tag):
+        return {
+            r.id: (r.keep_dedup, r.keep_final)
+            for r in curate_corpus_incremental(
+                batch, "doc_id", "text", idx, batch_tag=tag
+            ).collect()
+        }
+
+    first = verdicts(b1, "b1")
+    assert first[1] == (True, True)
+    sig_rows = spark.read.parquet(f"{idx}/signatures").count()
+    # replay of the very first batch: identical verdicts (the flipped-
+    # keep_dedup failure mode ADVICE flagged), no state growth
+    assert verdicts(b1, "b1") == first
+    assert spark.read.parquet(f"{idx}/signatures").count() == sig_rows
+    # a genuinely new batch under a new tag still sees b1's survivors
+    b2 = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, varied + " extra"), (11, other)],
+            columns=["doc_id", "text"],
+        )
+    )
+    second = verdicts(b2, "b2")
+    assert second[10] == (False, False)  # near-dup of b1's survivor
+    assert second[11] == (True, True)    # fresh
+    sig_rows2 = spark.read.parquet(f"{idx}/signatures").count()
+    # and b2's replay is idempotent too
+    assert verdicts(b2, "b2") == second
+    assert spark.read.parquet(f"{idx}/signatures").count() == sig_rows2
+    # state is tag-partitioned: each batch owns exactly its partition
+    tags = {
+        r.batch_tag
+        for r in spark.read.parquet(f"{idx}/signatures")
+        .select("batch_tag").distinct().collect()
+    }
+    assert tags == {"b1", "b2"}
+
+
+def test_curate_corpus_cli_replay_and_one_shot_overwrite(
+    spark, tmp_path, monkeypatch
+):
+    """CLI replay guards: re-running an --incremental batch leaves the
+    cumulative funnel, verdicts, and kept output unchanged; re-running
+    a one-shot curation overwrites rather than double-counting."""
+    import importlib
+    import json
+    import sys as _sys
+
+    varied = " ".join(
+        f"the word{i} and item{i * 7 % 97} of part{i % 13}" for i in range(40)
+    )
+    docs1 = str(tmp_path / "docs1")
+    spark.createDataFrame(
+        pd.DataFrame([(1, varied), (2, "x y")], columns=["doc_id", "text"])
+    ).write.parquet(docs1)
+    mod = importlib.import_module("scripts.curate_corpus")
+
+    def run(extra):
+        monkeypatch.setattr(_sys, "argv", ["curate_corpus.py"] + extra)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            mod.main()
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    # --- one-shot: second run overwrites, funnel does not double ---
+    out1 = str(tmp_path / "oneshot")
+    kept1 = str(tmp_path / "oneshot_kept")
+    a = run(["--docs", docs1, "--output", out1, "--kept-out", kept1])
+    b = run(["--docs", docs1, "--output", out1, "--kept-out", kept1])
+    assert a["n_docs"] == b["n_docs"] == 2
+    assert spark.read.parquet(f"{out1}/verdicts").count() == 2
+    assert spark.read.parquet(kept1).count() == 1
+
+    # --- incremental: replay of the same batch is a no-op ---
+    out2 = str(tmp_path / "inc")
+    idx = str(tmp_path / "inc_idx")
+    kept2 = str(tmp_path / "inc_kept")
+    inc = ["--output", out2, "--incremental", "--index", idx,
+           "--kept-out", kept2]
+    r1 = run(["--docs", docs1] + inc)
+    r2 = run(["--docs", docs1] + inc)  # replay: same default batch tag
+    assert r1["batch_tag"] == r2["batch_tag"]
+    assert r1["n_docs"] == r2["n_docs"] == 2
+    assert r1["n_keep_final"] == r2["n_keep_final"] == 1
+    assert spark.read.parquet(f"{out2}/verdicts").count() == 2
+    assert spark.read.parquet(kept2).count() == 1
+    # a second batch under its own path/tag still accumulates
+    docs2 = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        pd.DataFrame([(10, varied + " extra")], columns=["doc_id", "text"])
+    ).write.parquet(docs2)
+    r3 = run(["--docs", docs2] + inc)
+    assert r3["batch_tag"] != r1["batch_tag"]
+    assert r3["n_docs"] == 3 and r3["n_keep_final"] == 1
