@@ -503,6 +503,33 @@ def lang_top_k(c: Column, k: int = 5) -> Column:
     model's calibrated probability — the label ordering is identical to
     lang_predict's by construction); no hits at all → [('und', 0.0)].
 
+    WHAT THE PERCENTAGE MEANS (calibration contract, for report
+    consumers): conf is the language's SHARE OF MARKER-WORD HITS in
+    the text, not a model probability. It diverges from fasttext-style
+    calibrated probabilities in four characterized ways (each pinned
+    by tests/test_text.py::test_lang_confidence_calibration_contract):
+
+    1. Mixed-language text splits conf proportionally to each
+       language's marker-hit counts — a half-English/half-French doc
+       reports ~both near 50, where a whole-document classifier
+       concentrates mass on one label; on genuinely mixed text the
+       top-1 RANKING can differ from fasttext's when one language's
+       function words are individually more frequent.
+    2. No length calibration: a 3-word text with one marker hit gets
+       conf 100.0, the same as a 10k-word monolingual doc — fasttext's
+       probability would reflect the thin evidence.
+    3. Script-rule matches short-circuit to exactly [(lang, 100.0)],
+       never a distribution over related same-script languages (ru vs
+       uk vs bg all read as the script rule's label at 100).
+    4. Only marker-bearing languages can score; labels in the pinned
+       lid.176-superset surface without marker lists never appear in
+       the top-k (they are reachable via the fasttext seam only).
+
+    Use conf to rank and to gauge MIXTURE (shares sum to 100 across
+    all scored languages), not as P(lang | text). Swapping in real
+    lid.176 via lang_id_distinct's predict_fn seam restores calibrated
+    probabilities with the same output shape.
+
     The sorted struct array is referenced twice (slice + total); both
     references are deterministic and identical, so whole-stage codegen's
     subexpression elimination evaluates the 100+-struct build once — and

@@ -125,7 +125,16 @@ def language_profile(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
     duplicate-insensitive, so the result is identical to the
     reference's per-unique-text pass while the only shuffle is the
     narrow (lang, conf) aggregation with map-side combine; a distinct
-    would shuffle full text payloads for nothing."""
+    would shuffle full text payloads for nothing.
+
+    Confidence semantics: under the built-in heuristic, conf is a
+    normalized marker-hit SHARE, not a calibrated probability — see
+    functions.text.lang_top_k's calibration contract for the four
+    characterized divergences from fasttext-style probabilities
+    (mixture-proportional splits, no length calibration, script-rule
+    100s, marker-bearing languages only). Report consumers should
+    read the percentage as "share of language evidence", not
+    P(lang | text)."""
     from advanced_data_profile_spark.functions.text import lang_top_k
 
     return (

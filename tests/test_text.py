@@ -714,3 +714,49 @@ def test_lang_surface_covers_lid176_label_set():
         "xal xmf yi yo yue zh".split()
     )
     assert not lid176 - ours, sorted(lid176 - ours)
+
+
+def test_lang_confidence_calibration_contract(spark):
+    """Pins the four characterized divergences between the heuristic's
+    normalized marker-hit-share confidence and fasttext-style
+    calibrated probabilities (lang_top_k's documented calibration
+    contract — report consumers read conf as 'share of language
+    evidence', not P(lang | text))."""
+    rows = [
+        ("mix", "the cat is on the mat and it is warm "
+                "le chat est sur le tapis et il est chaud"),
+        ("ratio", "the and of to the and of to le et la dans"),
+        ("short", "the"),
+        ("cyr", "привет мир как дела"),
+        ("content", "analysis report network computing throughput "
+                    "le la les"),
+    ]
+    df = spark.createDataFrame(rows, "id string, t string")
+    got = {
+        r.id: [(e.lang, e.conf) for e in r.tk]
+        for r in df.select(
+            "id", X.lang_top_k(F.col("t")).alias("tk")
+        ).collect()
+    }
+    # 1. mixed text splits conf as SHARES: both halves score high,
+    #    neither reaches 100, and the top-k shares never exceed 100
+    #    total (a calibrated classifier would concentrate mass on one)
+    mix = dict(got["mix"])
+    assert {"en", "fr"} <= set(mix)
+    assert 20 < mix["en"] < 60 and 20 < mix["fr"] < 60
+    assert sum(mix.values()) <= 100.01
+    # ...and shares track marker-hit RATIOS: 8 en hits vs 4 fr hits
+    ratio = dict(got["ratio"])
+    assert abs(ratio["en"] / ratio["fr"] - 2.0) < 0.01
+    # 2. no length calibration: a one-word text with one marker hit is
+    #    just as "confident" as a monolingual document
+    assert got["short"] == [("en", 100.0)]
+    # 3. script rules short-circuit to a single (lang, 100.0) — never a
+    #    distribution over related same-script languages
+    assert got["cyr"] == [("ru", 100.0)]
+    # 4. marker share, not content volume, decides rank: a
+    #    majority-English text whose English words are all CONTENT
+    #    words (no markers) ranks French first — exactly where a real
+    #    model's ranking would diverge from the heuristic's
+    assert got["content"][0][0] == "fr"
+    assert all(lang != "en" for lang, _ in got["content"])
