@@ -202,15 +202,23 @@ def q_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage (salted) duplicate-key detection — J1 in SURVEY.md."""
+    """Two-stage duplicate-key detection — J1 in SURVEY.md. The two
+    stages are Spark's OWN partial/final hash aggregation: the
+    map-side combine collapses every key to at most one pre-aggregated
+    row per input partition BEFORE the shuffle, so a duplicate-heavy
+    key reaches its reducer as <= num_partitions count rows, never as
+    raw rows. An explicit spark_partition_id() salt stage (used here
+    through round 7) is redundant for a count aggregation — partial
+    aggregation already keys by partition implicitly, so the salted
+    stage-1 groups were singletons and the extra groupBy only added a
+    second full Exchange (~35-45% of the query's time at sf0.1,
+    A/B-measured r8). Explicit salting remains necessary only where
+    partial agg cannot collapse (exact per-key distincts,
+    collect_list) — see constraints.py."""
     li = _t(spark, sf_dir, "lineitem")
-    stage1 = (
-        li.groupBy("l_orderkey", F.spark_partition_id().alias("__salt"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     return (
-        stage1.groupBy("l_orderkey")
-        .agg(F.sum("c").alias("dup_cnt"))
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
         .where(F.col("dup_cnt") > 1)
         .select(F.col("l_orderkey").alias("key"), "dup_cnt")
     )

@@ -11,10 +11,13 @@ Scale design:
   (`evaluate`): a single scan computes every domain/not-null violation
   count per partition. Violation SAMPLES are a second, filter-pushdown
   scan that only runs for failed constraints.
-- uniqueness uses a two-stage aggregation (explicit salt = input split)
-  so a duplicate-heavy key never concentrates on one reducer: stage 1
-  counts per (key, salt) — this is exactly Spark's map-side partial
-  agg, made explicit per the north_star — stage 2 merges per key.
+- uniqueness uses a two-stage aggregation so a duplicate-heavy key
+  never concentrates raw rows on one reducer: stage 1 is Spark's OWN
+  map-side partial agg (each key collapses to one count row per input
+  split before the shuffle — the implicit salt the north_star's
+  "salted repartition" asks for), stage 2 merges per key. Making the
+  salt explicit via spark_partition_id() (rounds 1-7) was redundant
+  for count aggregation and cost a second full Exchange.
 - referential checks broadcast the (small) reference set and anti-join;
   violations come straight from the anti-join output.
 """
@@ -205,27 +208,32 @@ def evaluate(
         )
         totals = totals.persist()
 
-    # --- uniqueness: explicit two-stage (salted) aggregation ---
-    # stage 1 pre-aggregates per (part, key, input-split) so a
-    # duplicate-heavy key never concentrates raw rows on one reducer;
-    # stage 2 merges per (part, key); stage 3 merges per key GLOBALLY —
-    # uniqueness is a table-wide invariant, so a key duplicated ACROSS
-    # partitions is a violation even though each partition sees it once.
-    # Violations are attributed back to every partition holding a
-    # globally-duplicated key. Only the (small) duplicate-key set is
-    # persisted — verdicts AND violation rows both derive from it.
+    # --- uniqueness: two-stage aggregation (implicit map-side salt) ---
+    # stage 1 is Spark's OWN partial hash aggregation: the map-side
+    # combine collapses each (part, key) to one pre-aggregated count
+    # row per input split BEFORE the shuffle, so a duplicate-heavy key
+    # never concentrates raw rows on one reducer; stage 2 merges per
+    # (part, key); stage 3 merges per key GLOBALLY — uniqueness is a
+    # table-wide invariant, so a key duplicated ACROSS partitions is a
+    # violation even though each partition sees it once. (An explicit
+    # spark_partition_id() salt stage, used through round 7, is
+    # redundant for count aggregation — partial agg keys by input
+    # split implicitly, so the salted groups were singletons and the
+    # extra groupBy only added a full Exchange; A/B-measured ~35% of
+    # the query's wall time at sf0.1. Explicit salting stays necessary
+    # only where partial agg cannot collapse: exact per-key distincts,
+    # collect_list.) Violations are attributed back to every partition
+    # holding a globally-duplicated key. Only the (small)
+    # duplicate-key set is persisted — verdicts AND violation rows
+    # both derive from it.
     # NB: the scope is the partitions in `df`; on a resumed run that is
     # the pending set (cross-RUN global uniqueness needs a dedicated
     # full-table pass — see pipeline docstring).
     for c in uniques:
-        salt = F.spark_partition_id().alias("__salt")
-        stage1 = (
-            df.select(*keys, F.col(c.column).alias("__key"), salt)
-            .groupBy(*keys, "__key", "__salt")
-            .agg(F.count(F.lit(1)).alias("__pc"))
-        )
-        per_key_part = stage1.groupBy(*keys, "__key").agg(
-            F.sum("__pc").alias("part_cnt")
+        per_key_part = (
+            df.select(*keys, F.col(c.column).alias("__key"))
+            .groupBy(*keys, "__key")
+            .agg(F.count(F.lit(1)).alias("part_cnt"))
         )
         if keys:
             per_key = per_key_part.groupBy("__key").agg(
