@@ -12,7 +12,8 @@ Scan economy per run (any number of partitions/columns, approx mode):
   1 scan  — metadata profile + row-wise constraint counts, FUSED into
             one wide aggregation (both are aggs over the same pruned
             metadata columns — fusing removes a whole scan + job)
-  1 scan  — uniqueness (two-stage salted agg, global-within-run with
+  1 scan  — uniqueness (two-stage agg via map-side partial combine,
+    global-within-run with
             per-partition attribution) + referential anti-join
   1 scan  — payload validation (the only scan that reads `bytes`)
   1 scan  — drift histogram (bin edges reused from the fused profile,
@@ -252,6 +253,18 @@ def run_pipeline(
         stage_t[name] = round(time.time() - s, 3)
         return out
 
+    # The decode pass gets its OWN executor so its future can outlive
+    # the metadata-compute barrier: only the verdict append (inside
+    # _write_results below) needs the decode result, so the decode
+    # TAIL overlaps every metadata write and both drift legs instead
+    # of blocking them. On a bandwidth-saturated box (the measured
+    # 0.4-weak-scaling kernel ceiling) the decode stage elongates
+    # while everything else scales at ~1.0 — deepening this overlap is
+    # exactly what moves end-to-end weak scaling toward the
+    # metadata-side's efficiency.
+    decode_pool = ThreadPoolExecutor(max_workers=1)
+    decode_end = {"at": None}
+    f_ver = None
     with ThreadPoolExecutor(max_workers=4) as pool:
         if cfg.approx:
             def _fused():
@@ -293,13 +306,19 @@ def run_pipeline(
                 df2 = read_images(s2, images_path, fmt=cfg.table_format).where(
                     F.col("part_id").isin(pending_ids)
                 )
-                return _mat("decode_verify", validation_verdicts(validate_payloads(df2)))
-            f_ver = pool.submit(_decode)
+                out = _mat(
+                    "decode_verify",
+                    validation_verdicts(validate_payloads(df2)),
+                )
+                decode_end["at"] = time.time()
+                return out
+            f_ver = decode_pool.submit(_decode)
         profiles, results_row = f_prof.result()
         results_other, violations_other = f_other.result()
         violations_row = f_vio.result()
-        verdicts = f_ver.result() if cfg.validate_images else None
-    timings["compute"] = time.time() - t
+        # decode NOT joined here — its tail overlaps writes + drift
+    meta_end = time.time()
+    timings["compute_metadata"] = meta_end - t
     timings.update(stage_t)
 
     results = results_row.unionByName(results_other)
@@ -349,10 +368,15 @@ def run_pipeline(
 
     def _write_results():
         # verdicts (sibling session) append AFTER the overwrite of the
-        # same path — strictly ordered within this task
+        # same path — strictly ordered within this task. This is the
+        # ONLY consumer of the decode result, so the decode future is
+        # joined HERE (after the results overwrite, which needs no
+        # decode output): every other write and both drift legs run
+        # concurrently with the decode tail.
         results.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/constraint_results"
         )
+        verdicts = f_ver.result() if f_ver is not None else None
         if verdicts is not None:
             verdicts.coalesce(1).write.mode("append").partitionBy("part_id").parquet(
                 f"{output_dir}/constraint_results"
@@ -546,6 +570,20 @@ def run_pipeline(
         if fc is not None:
             fc.result()
     timings["writes_and_drift"] = time.time() - t
+    decode_pool.shutdown(wait=True)
+    if decode_end["at"] is not None:
+        # "compute" keeps its historical meaning — time until ALL
+        # compute (incl. decode) finished — even though the decode tail
+        # now overlaps the write/drift phase; the tail itself is
+        # reported so the overlap win is visible per run
+        timings["compute"] = timings["compute_metadata"] + max(
+            0.0, decode_end["at"] - meta_end
+        )
+        timings["decode_tail_overlapped"] = max(
+            0.0, decode_end["at"] - meta_end
+        )
+    else:
+        timings["compute"] = timings["compute_metadata"]
 
     # id-index append BEFORE the manifest commit (crash between them =>
     # replayed append, deduped by the check's latest-per-(key,part)
@@ -674,7 +712,7 @@ def global_uniqueness_check(
     partitions, so a late partition duplicating an id that an earlier
     run processed is invisible to the incremental check (documented at
     the top of this module). This job closes that gap: one full-table
-    scan regardless of the manifest — the same two-stage salted
+    scan regardless of the manifest — the same two-stage
     aggregation (constraints.evaluate), so a duplicate-heavy key still
     never concentrates on one reducer — emitting kind='unique_global'
     rows attributed to every partition holding a duplicated key.

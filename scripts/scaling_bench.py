@@ -250,8 +250,9 @@ long-running cluster has warm Python workers and JIT-compiled
 binary->Arrow paths).
 
 Job: end-to-end images validation — metadata column profile (one wide
-agg), constraint verdicts + violations (fused row-wise agg, salted
-two-stage uniqueness, broadcast anti-join referential), payload
+agg), constraint verdicts + violations (fused row-wise agg, two-stage
+uniqueness via map-side partial combine, broadcast anti-join
+referential), payload
 decode/verify (Arrow mapInPandas — the only bytes-reading pass),
 shared-bin KS/PSI drift, manifest commit. Fixture: {n_parts} partitions,
 dims {DIMS[0]}/{DIMS[1]} (~12-50 KB payloads), decode-dominant like
@@ -299,7 +300,7 @@ with compute-light metadata aggregation, shuffle and write stages
 stalls.
 
 Second isolation: the SAME pipeline with the bytes-reading decode pass
-disabled (everything left — fused profile+constraint agg, salted
+disabled (everything left — fused profile+constraint agg, two-stage
 uniqueness, broadcast referential, drift, writes, manifest — is pure
 engine work):
 
