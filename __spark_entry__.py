@@ -2044,6 +2044,62 @@ def _oracle_ivf_index_search() -> str:
     """
 
 
+def q_ivf_assign_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 scale-safe centroid-assignment path under a full
+    value oracle (operators/similarity.py: assign_nearest_centroid,
+    mode='broadcast' — the whole centroid relation rides one broadcast
+    row, BroadcastHashJoin on a non-foldable constant key, argmin via
+    JVM higher-order functions; the plan ivf_index_append and the
+    streaming ivf_batch_writer use above the literal-terms threshold).
+    Centroids here are DETERMINISTIC — the table's first 8 embeddings
+    — so DuckDB replays the exact assignment: per vector, the argmin
+    of euclidean distance over the 8 centroids with ties to the
+    smallest label (sqrt is monotonic, so DuckDB's list_distance and
+    Spark's squared-euclidean agree on the argmin)."""
+    from advanced_data_profile_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("label"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+        .collect()
+    )
+    out = assign_nearest_centroid(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "v", cents, mode="broadcast",
+    )
+    return out.select(
+        F.col("vec_id").alias("id"), F.col("label").alias("label")
+    )
+
+
+def _oracle_ivf_assign_broadcast() -> str:
+    return """
+        WITH c AS (
+          SELECT vec_id AS label, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8
+        ),
+        d AS (
+          SELECT e.vec_id AS id, c.label,
+                 list_distance(e.embedding::DOUBLE[], c.cv) AS dist
+          FROM embeddings e CROSS JOIN c
+        ),
+        r AS (
+          SELECT id, label,
+                 row_number() OVER (PARTITION BY id ORDER BY dist, label) AS rn
+          FROM d
+        )
+        SELECT id, label FROM r WHERE rn = 1
+    """
+
+
 def _oracle_correlation() -> str:
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
@@ -3098,6 +3154,11 @@ _EXTENDED_NAMES = [
     "winnow_overlap",         # rotated out r8: same family as above;
                               # winnowing keeps its value oracle +
                               # pytest coverage
+    "ivf_assign_broadcast",   # round-8 add; the scale-safe broadcast
+                              # centroid-assignment path under a full
+                              # DuckDB argmin replay; the literal-path
+                              # assignment family is contract-covered
+                              # by ivf_index_search_embeddings
 ]
 # Round-8 rotation IN (the r5/r7 precedent): the round-7 operators
 # char_lm_ppl_by_lang_documents, ivf_index_search_embeddings,
@@ -3191,6 +3252,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "winnow_overlap": q_winnow_overlap,
         "knn_bruteforce": q_knn_bruteforce,
+        "ivf_assign_broadcast": q_ivf_assign_broadcast,
     }
 
 
@@ -3215,6 +3277,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "char_lm_perplexity_documents": _oracle_char_lm_perplexity(),
         "char_lm_ppl_by_lang_documents": _oracle_char_lm_ppl_by_lang(),
         "ivf_index_search_embeddings": _oracle_ivf_index_search(),
+        "ivf_assign_broadcast": _oracle_ivf_assign_broadcast(),
         "dedup_spans_documents": _oracle_dedup_spans(),
         "language_profile_documents": _oracle_language_profile(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),

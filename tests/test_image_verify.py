@@ -125,3 +125,60 @@ def test_verify_detects_caption_tamper(spark, images):
     out = verify_against_reference(tampered, clean)
     bad = out.where(~F.col("caption_ok")).collect()
     assert [r.image_id for r in bad] == ["img-0000-00000002"]
+
+
+def test_pyarrow_decode_leg_matches_jvm_leg(spark, images_path, images):
+    """The pyarrow decode leg (row-group tasks, bytes read inside the
+    Python workers) must produce row-identical validation output to
+    the JVM-scan leg — same kernel, different transport — including on
+    the fixture's planted corrupt/mismatched payloads."""
+    from advanced_data_profile_spark.operators.image_verify import (
+        decode_file_tasks,
+        validate_payloads_files,
+    )
+
+    part_ids = sorted(
+        r.part_id for r in images.select("part_id").distinct().collect()
+    )
+    tasks = decode_file_tasks(spark, images_path, part_ids)
+    assert len(tasks) >= N_PARTS  # at least one row group per part dir
+    assert {t[1] for t in tasks} == set(part_ids)
+    via_files = validate_payloads_files(
+        spark, images_path, part_ids, tasks=tasks
+    )
+    via_jvm = validate_payloads(images)
+
+    def norm(df):
+        return sorted(
+            (
+                r.image_id, r.part_id, r.decode_ok, r.dims_match,
+                r.fmt_known, r.error,
+            )
+            for r in df.collect()
+        )
+
+    assert norm(via_files) == norm(via_jvm)
+    # and the rolled-up verdicts agree with ground truth through the
+    # new leg too
+    verdicts = validation_verdicts(via_files).collect()
+    gt = ground_truth(N_PARTS, ROWS)
+    by = {(int(r.part_id), r.constraint): r for r in verdicts}
+    for p in range(N_PARTS):
+        g = gt[p]
+        assert by[(p, "fmt_known")].n_violations == g["fmt_violations"]
+
+
+def test_pyarrow_decode_leg_prunes_partitions(spark, images_path):
+    """Listing only the pending part dirs IS the partition pruning:
+    tasks and output rows cover exactly the requested partitions."""
+    from advanced_data_profile_spark.operators.image_verify import (
+        decode_file_tasks,
+        validate_payloads_files,
+    )
+
+    tasks = decode_file_tasks(spark, images_path, [1, 3])
+    assert {t[1] for t in tasks} == {1, 3}
+    out = validate_payloads_files(spark, images_path, [1, 3], tasks=tasks)
+    assert {
+        r.part_id for r in out.select("part_id").distinct().collect()
+    } == {1, 3}
