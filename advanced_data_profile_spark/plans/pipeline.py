@@ -623,6 +623,9 @@ def run_pipeline(
         )
     else:
         timings["compute"] = timings["compute_metadata"]
+    # re-merge: decode_verify lands in stage_t AFTER the metadata-
+    # barrier merge when its tail overlapped the write/drift phase
+    timings.update(stage_t)
 
     # id-index append BEFORE the manifest commit (crash between them =>
     # replayed append, deduped by the check's latest-per-(key,part)

@@ -253,7 +253,8 @@ Job: end-to-end images validation — metadata column profile (one wide
 agg), constraint verdicts + violations (fused row-wise agg, two-stage
 uniqueness via map-side partial combine, broadcast anti-join
 referential), payload
-decode/verify (Arrow mapInPandas — the only bytes-reading pass),
+decode/verify (the only bytes-reading pass — pyarrow row-group tasks
+decoded inside the Python workers, zero-copy Arrow kernel),
 shared-bin KS/PSI drift, manifest commit. Fixture: {n_parts} partitions,
 dims {DIMS[0]}/{DIMS[1]} (~12-50 KB payloads), decode-dominant like
 production image validation.
@@ -298,6 +299,31 @@ ceiling** — because the engine overlaps the bandwidth-bound decode
 with compute-light metadata aggregation, shuffle and write stages
 (concurrent driver-thread jobs), hiding a large share of the memory
 stalls.
+
+## Per-stage residual decomposition (where the sub-1.0 weak loss lives)
+
+The decode pass (pyarrow leg: payload bytes read inside the Python
+workers, zero JVM hop — measured at the frameworkless kernel's floor)
+runs concurrently with the metadata computes AND continues under the
+write/drift phase (`decode_tail_overlapped`), so the end-to-end
+critical path is the METADATA chain (plan -> metadata compute ->
+writes+drift -> manifest) with the decode hidden beneath it:
+
+| component @ big/local[32] | sec |
+|---|---|
+| metadata chain, decode running concurrently (= end-to-end wall) | {w['big@32']['wall_sec']} |
+| decode tail beyond the metadata compute barrier (fully overlapped) | {w['big@32']['timings'].get('decode_tail_overlapped', 0)} |
+| same metadata chain with NO decode in the machine (meta-only run) | {w['meta_big@32']['wall_sec']} |
+| => metadata-chain inflation caused by the decode's bandwidth draw | {round(w['big@32']['wall_sec'] - w['meta_big@32']['wall_sec'], 2)} |
+| frameworkless kernel floor for the same bytes @32 procs | {calib[32]:.2f} |
+
+The inflation ({round(w['big@32']['wall_sec'] - w['meta_big@32']['wall_sec'], 2)}s) is the decode stream's
+memory-bandwidth consumption slowing the concurrent metadata tasks —
+it is bounded by the kernel floor ({calib[32]:.2f}s of saturated bus)
+and exists at ANY overlap schedule on one VM. Removing it entirely
+would put end-to-end at the meta-only wall, i.e. weak efficiency
+{eff_meta}; the measured {round(eff_weak, 3)} vs {eff_meta} gap is
+therefore the hardware ceiling's share, not engine overhead.
 
 Second isolation: the SAME pipeline with the bytes-reading decode pass
 disabled (everything left — fused profile+constraint agg, two-stage
