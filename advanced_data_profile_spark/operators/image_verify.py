@@ -6,10 +6,14 @@ decode UDFs"):
 
 - ``validate_payloads``: standalone structural validation — payload
   decodes, decoded dims match declared (w, h), fmt is known. Runs as
-  ``mapInPandas`` so each Arrow batch of binary payloads is decoded in
-  one Python call; batch size is bounded by
+  ``mapInArrow`` with payloads accessed as zero-copy memoryview slices
+  of the Arrow buffers (no per-row Python bytes objects, no pandas
+  conversion); batch size is bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py)
-  because rows are payload-wide.
+  because rows are payload-wide. ``validate_payloads_files`` is the
+  same kernel with the parquet row groups read by pyarrow INSIDE the
+  Python workers — bytes never enter the JVM (the pipeline's default
+  decode leg for hive-layout parquet).
 
 - ``verify_against_reference``: per-row invariant vs a reference table —
   decoded-pixel PSNR (>= min_psnr passes; lossless identical ⇒ capped
@@ -25,10 +29,7 @@ through stages that don't decode).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -263,30 +264,87 @@ def validation_verdicts(validated: DataFrame) -> DataFrame:
     )
 
 
-def _verify_batch(min_psnr: float):
-    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            n = len(pdf)
-            res = {
-                "image_id": pdf["image_id"], "part_id": pdf["part_id"],
-                "psnr": [0.0] * n, "pixels_ok": [False] * n,
-                "caption_ok": list(
-                    (pdf["caption"].fillna("\x00") == pdf["ref_caption"].fillna("\x00"))
-                ),
-                "error": [None] * n,
+def _binary_views(barr, n):
+    """(offsets, data-memoryview, validity-checker) for a flat Arrow
+    binary array — the zero-copy access pattern _validate_arrow uses:
+    payload i is data[offsets[i]:offsets[i+1]], no per-row Python
+    bytes objects."""
+    import pyarrow as pa
+
+    if isinstance(barr, pa.ChunkedArray):  # defensive; batches are flat
+        barr = barr.combine_chunks()
+    bufs = barr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_binary(barr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        barr.offset: barr.offset + n + 1
+    ]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return offsets, data, barr
+
+
+def _verify_arrow(min_psnr: float):
+    """Arrow-native twin of _validate_arrow for the reference-verify
+    kernel: BOTH payload columns (candidate + reference) are read as
+    zero-copy memoryview slices of the Arrow buffers. The old
+    mapInPandas version materialized every payload as a Python bytes
+    object during the Arrow->pandas conversion — one full extra copy
+    of the two heaviest columns per batch; on the bandwidth-bound
+    decode path that copy is the difference between scaling and not
+    (same reasoning, and same differential tests, as the validation
+    kernel)."""
+    import pyarrow as pa
+
+    def fn(it):
+        for batch in it:
+            n = batch.num_rows
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
             }
+            ws = cols["w"].to_numpy(zero_copy_only=False)
+            hs = cols["h"].to_numpy(zero_copy_only=False)
+            rws = cols["ref_w"].to_numpy(zero_copy_only=False)
+            rhs = cols["ref_h"].to_numpy(zero_copy_only=False)
+            fmts = cols["fmt"].to_pylist()
+            rfmts = cols["ref_fmt"].to_pylist()
+            caps = cols["caption"].to_pylist()
+            rcaps = cols["ref_caption"].to_pylist()
+            a_off, a_data, a_arr = _binary_views(cols["bytes"], n)
+            b_off, b_data, b_arr = _binary_views(cols["ref_bytes"], n)
+
+            psnrs = np.zeros(n, dtype=np.float64)
+            pixels_ok = np.zeros(n, dtype=bool)
+            caption_ok = np.array(
+                [c == r for c, r in zip(caps, rcaps)], dtype=bool
+            )
+            errors: list[str | None] = [None] * n
             for i in range(n):
                 try:
-                    a = decode(pdf["bytes"].iat[i], int(pdf["w"].iat[i]),
-                               int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
-                    b = decode(pdf["ref_bytes"].iat[i], int(pdf["ref_w"].iat[i]),
-                               int(pdf["ref_h"].iat[i]), pdf["ref_fmt"].iat[i])
+                    if not a_arr[i].is_valid or not b_arr[i].is_valid:
+                        raise ValueError("null payload")
+                    a = decode(
+                        a_data[a_off[i]: a_off[i + 1]],
+                        int(ws[i]), int(hs[i]), fmts[i],
+                    )
+                    b = decode(
+                        b_data[b_off[i]: b_off[i + 1]],
+                        int(rws[i]), int(rhs[i]), rfmts[i],
+                    )
                     p = psnr(a, b)
-                    res["psnr"][i] = p
-                    res["pixels_ok"][i] = p >= min_psnr
+                    psnrs[i] = p
+                    pixels_ok[i] = p >= min_psnr
                 except (ValueError, TypeError) as e:
-                    res["error"][i] = str(e)[:200]
-            yield pd.DataFrame(res)
+                    errors[i] = str(e)[:200]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["image_id"], cols["part_id"],
+                    pa.array(psnrs), pa.array(pixels_ok),
+                    pa.array(caption_ok), pa.array(errors, type=pa.string()),
+                ],
+                names=["image_id", "part_id", "psnr", "pixels_ok",
+                       "caption_ok", "error"],
+            )
+
     return fn
 
 
@@ -308,4 +366,4 @@ def verify_against_reference(
         F.col("caption").alias("ref_caption"),
     )
     joined = cand.join(ref, "image_id", "inner")
-    return joined.mapInPandas(_verify_batch(min_psnr), schema=VERIFY_SCHEMA)
+    return joined.mapInArrow(_verify_arrow(min_psnr), schema=VERIFY_SCHEMA)
