@@ -2080,6 +2080,50 @@ def q_ivf_assign_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py: semdedup — Abbas et al.
+    2023): drop documents whose embedding cosine to a smaller-id
+    SAME-CLUSTER neighbor reaches the threshold. The oracle variant
+    injects DETERMINISTIC sign-LSH labels (sign_bucket over the first
+    4 components — the production path fits KMeans instead, same
+    downstream join), so DuckDB replays the full pipeline: bucket,
+    within-bucket pairwise cosine, smallest-id-wins keep bit. The
+    0.2 threshold fits the near-random synthetic embeddings (162 of
+    500 kept at sf0.01) — real corpora use ~0.95."""
+    from advanced_data_profile_spark.operators.similarity import (
+        semdedup,
+        sign_bucket,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "bkt", sign_bucket(F.col("embedding"), 4)
+    )
+    out = semdedup(emb, "vec_id", "embedding", threshold=0.2,
+                   label_col="bkt")
+    return out.select(F.col("id").alias("vec_id"), "label", "keep")
+
+
+def _oracle_semdedup() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import (
+        sql_sign_bucket,
+    )
+
+    bkt = sql_sign_bucket("embedding", 4)
+    return f"""
+        WITH l AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, {bkt} AS label
+          FROM embeddings
+        ),
+        dups AS (
+          SELECT DISTINCT b.vec_id AS id
+          FROM l a JOIN l b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        )
+        SELECT l.vec_id, l.label, d.id IS NULL AS keep
+        FROM l LEFT JOIN dups d ON l.vec_id = d.id
+    """
+
+
 def _oracle_ivf_assign_broadcast() -> str:
     return """
         WITH c AS (
@@ -3159,6 +3203,12 @@ _EXTENDED_NAMES = [
                               # DuckDB argmin replay; the literal-path
                               # assignment family is contract-covered
                               # by ivf_index_search_embeddings
+    "semdedup_embeddings",    # round-8 add; SemDeDup semantic dedup
+                              # (cluster + within-cluster cosine) under
+                              # a full DuckDB replay via deterministic
+                              # sign-LSH labels; embedding-dedup family
+                              # is contract-covered by
+                              # near_dup_embeddings
 ]
 # Round-8 rotation IN (the r5/r7 precedent): the round-7 operators
 # char_lm_ppl_by_lang_documents, ivf_index_search_embeddings,
@@ -3253,6 +3303,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "knn_bruteforce": q_knn_bruteforce,
         "ivf_assign_broadcast": q_ivf_assign_broadcast,
+        "semdedup_embeddings": q_semdedup,
     }
 
 
@@ -3278,6 +3329,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "char_lm_ppl_by_lang_documents": _oracle_char_lm_ppl_by_lang(),
         "ivf_index_search_embeddings": _oracle_ivf_index_search(),
         "ivf_assign_broadcast": _oracle_ivf_assign_broadcast(),
+        "semdedup_embeddings": _oracle_semdedup(),
         "dedup_spans_documents": _oracle_dedup_spans(),
         "language_profile_documents": _oracle_language_profile(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),

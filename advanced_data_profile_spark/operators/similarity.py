@@ -512,6 +512,69 @@ def ivf_index_stats(spark, index_path: str) -> DataFrame:
     )
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    k: int = 8,
+    seed: int = 1,
+    label_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the embedding space coarsely,
+    then drop documents whose cosine similarity to another document IN
+    THE SAME CLUSTER reaches `threshold`. Near-duplicate MEANING (same
+    boilerplate paraphrased, same article re-hosted) dedups even when
+    every n-gram tier misses it. Returns (id, label, keep): keep=False
+    iff a smaller-id same-cluster neighbor has round(cosine,6) >=
+    threshold — the same deterministic smallest-id-wins canonicality
+    as every other dedup tier here.
+
+    Clustering: pyspark.ml KMeans by default (the paper's choice);
+    pass `label_col` to supply precomputed labels instead — any
+    deterministic coarse bucketing (e.g. sign_bucket) makes the whole
+    operator SQL-replayable, which is exactly what the DuckDB value
+    oracle does (semdedup_embeddings).
+
+    Scale shape (the paper's own cost model): candidate generation is
+    a self-equi-join ON THE CLUSTER LABEL, so pair work is
+    sum_c(n_c^2) — never all-pairs across the corpus. k chosen ~
+    n/target_cluster_size bounds the quadratic term (the paper uses
+    ~50k clusters at 100M docs); an oversized cluster is a skewed join
+    key, split by AQE. Vectors ride the label shuffle once per side;
+    only (label, id) pairs survive the similarity filter."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *([F.col(label_col).alias("label")] if label_col else []),
+    )
+    if label_col is None:
+        base = ivf_kmeans_labels(base, "v", k=k, seed=seed, label_col="label")
+    a = base.select(
+        "label", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = base.select(
+        "label", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    dup_ids = (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        base.join(dup_ids, "id", "left")
+        .select(
+            "id", "label",
+            F.col("__dup").isNull().alias("keep"),
+        )
+    )
+
+
 def embedding_profile(
     df: DataFrame, emb_col: str, group_by: str | None = None
 ) -> DataFrame:

@@ -512,3 +512,49 @@ def test_ivf_index_stats_exposes_streamed_leg(spark, two_cluster_df, tmp_path):
     S.ivf_index_build(two_cluster_df, "vid", "v", idx2, k=2, seed=1)
     s2 = S.ivf_index_stats(spark, idx2).collect()
     assert sum(r.n_stream for r in s2) == 0 and sum(r.n_batch for r in s2) == 40
+
+
+def test_semdedup_drops_same_cluster_near_copies(spark):
+    """SemDeDup contract: a near-copy (cosine >= threshold) of a
+    smaller-id document in the SAME cluster is dropped; orthogonal
+    documents and near-copies that land in DIFFERENT clusters survive
+    (the method's documented recall limit — cross-cluster near-dups
+    are invisible by design)."""
+    rows = [
+        (1, [10.0, 0.0, 0.0, 0.1]),    # cluster +x, canonical
+        (2, [9.8, 0.1, 0.0, 0.1]),     # near-copy of 1 -> dropped
+        (3, [10.1, -0.1, 0.0, 0.2]),   # another near-copy -> dropped
+        (4, [0.0, 10.0, 0.0, 0.1]),    # orthogonal, same-ish region
+        (10, [-10.0, 0.0, 0.0, 0.1]),  # cluster -x, canonical
+        (11, [-9.9, 0.0, 0.1, 0.1]),   # near-copy of 10 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vid bigint, v array<double>")
+    out = {
+        r.id: (r.keep, r.label)
+        for r in S.semdedup(df, "vid", "v", threshold=0.95, k=2).collect()
+    }
+    assert out[1][0] and out[10][0]            # canonicals kept
+    assert not out[2][0] and not out[3][0] and not out[11][0]
+    assert out[4][0]                           # orthogonal kept
+    # near-copies clustered WITH their canonicals (KMeans on separable
+    # data), so the drop decisions came from within-cluster pairs only
+    assert out[2][1] == out[1][1] and out[11][1] == out[10][1]
+    # injected deterministic labels: cross-cluster near-dup survives
+    lab = df.withColumn("lb", (F.col("vid") >= 10).cast("int"))
+    out2 = {
+        r.id: r.keep
+        for r in S.semdedup(
+            lab, "vid", "v", threshold=0.95, label_col="lb"
+        ).collect()
+    }
+    assert not out2[2] and not out2[3] and out2[1] and out2[4]
+    # force the near-copy pair APART: id 2 alone in its own label —
+    # its near-dup relation to 1 becomes cross-cluster and invisible
+    apart = df.withColumn("lb", (F.col("vid") == 2).cast("int"))
+    out3 = {
+        r.id: r.keep
+        for r in S.semdedup(
+            apart, "vid", "v", threshold=0.95, label_col="lb"
+        ).collect()
+    }
+    assert out3[2]  # survives: SemDeDup is blind across clusters
