@@ -182,3 +182,36 @@ def test_pyarrow_decode_leg_prunes_partitions(spark, images_path):
     assert {
         r.part_id for r in out.select("part_id").distinct().collect()
     } == {1, 3}
+
+
+def test_pyarrow_decode_leg_multi_file_part_dirs(spark, tmp_path):
+    """Part dirs with MULTIPLE data files (the normal shape at scale —
+    the standard fixture writes one file per dir): every file
+    contributes its row groups as tasks and the union covers every row
+    exactly once, matching the JVM leg."""
+    from advanced_data_profile_spark.operators.image_verify import (
+        decode_file_tasks,
+        validate_payloads_files,
+    )
+    from advanced_data_profile_spark.sources.images import generate_images
+
+    path = str(tmp_path / "multi")
+    (
+        generate_images(spark, n_parts=2, rows_per_part=300)
+        .repartition(3)  # 3 files per part dir
+        .write.partitionBy("part_id")
+        .option("compression", "uncompressed")
+        .parquet(path)
+    )
+    tasks = decode_file_tasks(spark, path, [0, 1])
+    assert len(tasks) >= 6  # >= 3 files x 2 dirs, each >= 1 row group
+    assert len(set(tasks)) == len(tasks)
+    out = validate_payloads_files(spark, path, [0, 1], tasks=tasks)
+    rows = out.collect()
+    assert len(rows) == 600  # every row exactly once (the fixture
+    # plants duplicate image_ids on purpose, so multiset parity with
+    # the JVM leg below is the no-dup-read/no-missed-read check)
+    jvm = validate_payloads(read_images(spark, path)).collect()
+    assert sorted(
+        (r.image_id, r.decode_ok, r.dims_match) for r in rows
+    ) == sorted((r.image_id, r.decode_ok, r.dims_match) for r in jvm)
