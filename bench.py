@@ -43,6 +43,13 @@ HEADLINE = [
     # no verification harness in the timed path (drift_from_sketches
     # above keeps timing the harnessed variant)
     "drift_from_stored_state_events",
+    # round-8 adds (totals not comparable to BENCH_r07 — compare
+    # per-query): the stored-state ANN search (index built once, /tmp-
+    # cached by fixture tag — warm-up passes absorb the build, timed
+    # passes measure the production search path) and the C4 global
+    # span-removal transform (the heaviest text-transform surface)
+    "ivf_index_search_embeddings",
+    "dedup_spans_documents",
 ]
 
 # drift_from_sketches times the CONTRACT query, which is HARNESSED:
