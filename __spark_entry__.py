@@ -2080,6 +2080,113 @@ def q_ivf_assign_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RedPajama-V2-style continuous quality signals
+    (operators/quality.py: quality_signals — 18 per-doc measurements,
+    thresholds left to downstream mixtures). DuckDB replays every
+    signal from the shared normalization contract, including the
+    explode-and-group unigram entropy."""
+    from advanced_data_profile_spark.operators.quality import (
+        quality_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_signals(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _oracle_quality_signals() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import (
+        _sql_list,
+        sql_norm,
+    )
+    from advanced_data_profile_spark.functions.text import STOPWORDS_EN
+
+    sw = _sql_list(STOPWORDS_EN)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 {sql_norm("coalesce(text, '')")} AS nrm
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, t, nrm,
+            CASE WHEN nrm = '' THEN []::VARCHAR[]
+                 ELSE string_split(nrm, ' ') END AS toks,
+            list_filter(string_split(t, chr(10)),
+                        x -> length(trim(x)) > 0) AS lines,
+            list_filter(regexp_split_to_array(t, '\\s+'),
+                        x -> length(x) > 0) AS raw
+          FROM d
+        ),
+        ent AS (
+          SELECT doc_id,
+                 round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)
+                     AS unigram_entropy
+          FROM (
+            SELECT doc_id, w, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(toks) AS w FROM b)
+            WHERE w <> '' GROUP BY 1, 2
+          ) GROUP BY 1
+        )
+        SELECT b.doc_id,
+          len(toks)::BIGINT AS word_count,
+          length(t)::BIGINT AS char_count,
+          len(lines)::BIGINT AS num_lines,
+          len(regexp_extract_all(t, '[.!?]+'))::BIGINT AS num_sentences,
+          round(CASE WHEN len(toks) > 0 THEN
+            list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+              / len(toks) ELSE 0.0 END, 6) AS mean_word_length,
+          round(CASE WHEN len(toks) > 0 THEN
+            len(list_distinct(toks))::DOUBLE / len(toks)
+            ELSE 0.0 END, 6) AS frac_unique_words,
+          round(CASE WHEN len(raw) > 0 THEN
+            len(list_filter(raw, x ->
+              regexp_matches(x, '^[A-Z0-9]*[A-Z][A-Z][A-Z0-9]*$')
+            ))::DOUBLE / len(raw) ELSE 0.0 END, 6) AS frac_all_caps_words,
+          round(CASE WHEN len(toks) > 0 THEN
+            len(list_filter(toks, x -> NOT regexp_matches(x, '[a-z]')
+            ))::DOUBLE / len(toks) ELSE 0.0 END, 6) AS frac_no_alpha_words,
+          round(CASE WHEN len(toks) > 0 THEN
+            len(list_filter(toks, x -> list_contains({sw}, x)))::DOUBLE
+              / len(toks) ELSE 0.0 END, 6) AS stop_word_fraction,
+          round(CASE WHEN len(lines) > 0 THEN
+            len(list_filter(lines, x ->
+              regexp_matches(trim(x), '^([-*•]|[0-9]+[.)] )')
+            ))::DOUBLE / len(lines) ELSE 0.0 END, 6)
+              AS frac_lines_start_bullet,
+          round(CASE WHEN len(lines) > 0 THEN
+            len(list_filter(lines, x ->
+              regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')
+            ))::DOUBLE / len(lines) ELSE 0.0 END, 6)
+              AS frac_lines_end_ellipsis,
+          round(CASE WHEN len(lines) > 0 THEN
+            len(list_filter(lines, x ->
+              regexp_matches(rtrim(x), '[.!?"]$')
+            ))::DOUBLE / len(lines) ELSE 0.0 END, 6)
+              AS frac_lines_end_terminal_punct,
+          round(CASE WHEN length(t) > 0 THEN
+            (length(t) - length(regexp_replace(t, '[^a-zA-Z0-9\\s]', '', 'g')))
+              ::DOUBLE / length(t) ELSE 0.0 END, 6) AS punct_ratio,
+          round(CASE WHEN len(toks) > 0 THEN
+            (length(lower(t)) - length(
+              regexp_replace(lower(t), '[#…]|\\.\\.\\.', '', 'g')
+            ))::DOUBLE / len(toks) ELSE 0.0 END, 6) AS symbol_to_word_ratio,
+          round(CASE WHEN length(t) > 0 THEN
+            (length(lower(t)) - length(replace(lower(t), '{{', ''))
+             + length(lower(t)) - length(replace(lower(t), '}}', '')))
+              ::DOUBLE / length(t) ELSE 0.0 END, 6)
+              AS frac_chars_curly_bracket,
+          ((length(lower(t)) - length(replace(lower(t), 'lorem ipsum', '')))
+            / 11)::BIGINT AS lorem_ipsum_count,
+          ((length(lower(t)) - length(replace(lower(t), 'javascript', '')))
+            / 10)::BIGINT AS javascript_count,
+          coalesce(ent.unigram_entropy, 0.0) AS unigram_entropy
+        FROM b LEFT JOIN ent ON b.doc_id = ent.doc_id
+    """
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py: semdedup — Abbas et al.
     2023): drop documents whose embedding cosine to a smaller-id
@@ -3209,6 +3316,10 @@ _EXTENDED_NAMES = [
                               # sign-LSH labels; embedding-dedup family
                               # is contract-covered by
                               # near_dup_embeddings
+    "quality_signals_documents",  # round-8 add; RedPajama-V2-style
+                              # continuous signal relation; thresholded
+                              # quality family is contract-covered by
+                              # quality_filter
 ]
 # Round-8 rotation IN (the r5/r7 precedent): the round-7 operators
 # char_lm_ppl_by_lang_documents, ivf_index_search_embeddings,
@@ -3304,6 +3415,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "ivf_assign_broadcast": q_ivf_assign_broadcast,
         "semdedup_embeddings": q_semdedup,
+        "quality_signals_documents": q_quality_signals,
     }
 
 
@@ -3330,6 +3442,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "ivf_index_search_embeddings": _oracle_ivf_index_search(),
         "ivf_assign_broadcast": _oracle_ivf_assign_broadcast(),
         "semdedup_embeddings": _oracle_semdedup(),
+        "quality_signals_documents": _oracle_quality_signals(),
         "dedup_spans_documents": _oracle_dedup_spans(),
         "language_profile_documents": _oracle_language_profile(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),

@@ -138,6 +138,132 @@ def quality_filter(
     return df.select(*cols)
 
 
+def quality_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Continuous per-document quality SIGNALS — the RedPajama-V2 /
+    Dolma discipline (Together 2023, rps_doc_* signals; Soldaini et
+    al. 2024): instead of baking thresholds into a boolean filter,
+    emit the raw measurements once and let every downstream mixture
+    decide its own cuts (the signals relation is reusable across
+    recipes; quality_filter/QualityParams remains the thresholded
+    view). One row per document:
+
+      word_count, char_count, num_lines, num_sentences (maximal
+      [.!?]+ runs), mean_word_length, frac_unique_words,
+      unigram_entropy (natural-log Shannon over the word multiset —
+      ln(n) - sum(c*ln c)/n), frac_all_caps_words (raw whitespace
+      tokens matching ^[A-Z0-9]*[A-Z]{2,}[A-Z0-9]*$),
+      frac_no_alpha_words, stop_word_fraction (occurrence share, not
+      distinct hits), frac_lines_start_bullet,
+      frac_lines_end_ellipsis, frac_lines_end_terminal_punct (C4's
+      keep rule, as a signal), punct_ratio, symbol_to_word_ratio
+      (#/ellipsis symbols per word), frac_chars_curly_bracket,
+      lorem_ipsum_count, javascript_count.
+
+    All fractions round(6) for cross-engine parity; NULL text is
+    treated as '' (all-zero signals, the row survives). Scale shape:
+    every signal except unigram_entropy is a pure codegen'd
+    projection over the scan; the entropy leg is one explode +
+    (id, word) groupBy with map-side partial agg — the same linear
+    fan-out class as ngram_repetition — joined back on id. ML-model
+    signals from the RPv2 set (wikipedia/books importance) are
+    covered by the char-LM perplexity family (char_lm_perplexity,
+    CCNet buckets), not here."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    t = tokens(c)
+    nw = F.size(t)
+    raw = F.filter(F.split(c, r"\s+"), lambda x: F.length(x) > 0)
+    nraw = F.size(raw)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    nl = F.size(lines)
+    low = F.lower(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    sw_occ = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+
+    def _occurrences(needle: str) -> Column:
+        step = len(needle)
+        return (
+            (F.length(low) - F.length(F.replace(low, F.lit(needle))))
+            / F.lit(step)
+        ).cast("bigint")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6
+        )
+
+    symbols = F.length(low) - F.length(
+        F.regexp_replace(low, r"[#…]|\.\.\.", "")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        nw.cast("bigint").alias("word_count"),
+        F.length(c).cast("bigint").alias("char_count"),
+        nl.cast("bigint").alias("num_lines"),
+        F.regexp_count(c, F.lit(r"[.!?]+")).cast("bigint").alias(
+            "num_sentences"
+        ),
+        F.round(mean_word_length(c), 6).alias("mean_word_length"),
+        frac(F.size(F.array_distinct(t)), nw).alias("frac_unique_words"),
+        frac(
+            F.size(F.filter(raw, lambda x: x.rlike(
+                "^[A-Z0-9]*[A-Z][A-Z][A-Z0-9]*$"
+            ))),
+            nraw,
+        ).alias("frac_all_caps_words"),
+        frac(
+            F.size(F.filter(t, lambda x: ~x.rlike("[a-z]"))), nw
+        ).alias("frac_no_alpha_words"),
+        frac(sw_occ, nw).alias("stop_word_fraction"),
+        frac(
+            F.size(F.filter(
+                lines, lambda x: F.trim(x).rlike(r"^([-*•]|[0-9]+[.)] )")
+            )),
+            nl,
+        ).alias("frac_lines_start_bullet"),
+        frac(
+            F.size(F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))),
+            nl,
+        ).alias("frac_lines_end_ellipsis"),
+        frac(
+            F.size(F.filter(lines, lambda x: F.rtrim(x).rlike("[.!?\"]$"))),
+            nl,
+        ).alias("frac_lines_end_terminal_punct"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        frac(symbols, nw).alias("symbol_to_word_ratio"),
+        frac(
+            F.length(low) - F.length(F.regexp_replace(low, r"[{}]", "")),
+            F.length(c),
+        ).alias("frac_chars_curly_bracket"),
+        _occurrences("lorem ipsum").alias("lorem_ipsum_count"),
+        _occurrences("javascript").alias("javascript_count"),
+        t.alias("__toks"),
+    )
+    ent = (
+        base.select("id", F.explode("__toks").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("__n"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("__clogc"),
+        )
+        .select(
+            "id",
+            F.round(
+                F.log(F.col("__n")) - F.col("__clogc") / F.col("__n"), 6
+            ).alias("unigram_entropy"),
+        )
+    )
+    return (
+        base.drop("__toks")
+        .join(ent, "id", "left")
+        .withColumn(
+            "unigram_entropy", F.coalesce("unigram_entropy", F.lit(0.0))
+        )
+    )
+
+
 def keep_rate(df: DataFrame, text_col: str, group_by: str | None = None,
               params: QualityParams | None = None) -> DataFrame:
     """Corpus-level keep rate (optionally per group) — one aggregation

@@ -561,3 +561,53 @@ def test_merge_char_lm_models_incremental_equals_one_pass(spark, tmp_path):
         sorted(tuple(r) for r in m.collect())
         == sorted(tuple(r) for r in u.collect())
     )
+
+
+def test_quality_signals_values(spark):
+    """Hand-computed signal values on crafted documents (the RPv2-style
+    continuous relation: measurements, no thresholds)."""
+    from advanced_data_profile_spark.operators.quality import quality_signals
+
+    docs = [
+        (1, "The cat sat. The cat sat again!\nSee the {x} list...\n"
+            "- bullet item\nNASA and IBM ship JavaScript today."),
+        (2, "lorem ipsum lorem ipsum"),
+        (3, ""),
+        (4, None),
+        (5, "unique words only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    by = {r.id: r for r in quality_signals(df, "doc_id", "text").collect()}
+
+    r1 = by[1]
+    assert r1.num_lines == 4
+    # maximal [.!?]+ runs: "sat.", "again!", "...", "today." -> 4
+    assert r1.num_sentences == 4
+    assert r1.frac_lines_start_bullet == 0.25   # the "- bullet" line
+    assert r1.frac_lines_end_ellipsis == 0.25   # the "..." line
+    # lines ending [.!?"]: line1 "!", line4 "." -> 2/4 ("..." ends '.')
+    assert r1.frac_lines_end_terminal_punct == 0.75
+    assert r1.javascript_count == 1
+    assert r1.frac_chars_curly_bracket == round(2 / r1.char_count, 6)
+    # raw all-caps words: NASA, IBM of 20 raw whitespace tokens
+    assert r1.frac_all_caps_words == round(2 / 20, 6)
+    # normalized words: the bare "-" bullet marker normalizes away
+    assert r1.word_count == 19 and r1.unigram_entropy > 0
+
+    r2 = by[2]
+    assert r2.lorem_ipsum_count == 2
+    assert r2.word_count == 4 and r2.frac_unique_words == 0.5
+    # two words, two each: entropy = ln 2
+    import math
+    assert r2.unigram_entropy == round(math.log(2), 6)
+    assert r2.stop_word_fraction == 0.0
+
+    for nid in (3, 4):  # empty and NULL text: all-zero row survives
+        r = by[nid]
+        assert r.word_count == 0 and r.char_count == 0
+        assert r.unigram_entropy == 0.0 and r.punct_ratio == 0.0
+
+    r5 = by[5]
+    assert r5.frac_unique_words == 1.0
+    assert r5.unigram_entropy == round(math.log(4), 6)
+    assert r5.frac_no_alpha_words == 0.0
