@@ -2080,6 +2080,34 @@ def q_ivf_assign_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text-cleaning transform (functions/text.py: clean_text —
+    NFC unicode normalization via the one pandas UDF Spark builtins
+    can't express, then JVM-side control-char strip + whitespace
+    canonicalization). DuckDB replays NFC with nfc_normalize (both
+    engines defer to the Unicode tables) and the regex steps verbatim,
+    hash-comparing the cleaned texts themselves."""
+    from advanced_data_profile_spark.functions.text import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", clean_text(F.col("text")).alias("text")
+    )
+
+
+def _oracle_clean_text() -> str:
+    return r"""
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(nfc_normalize(text),
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+            '\r\n?', chr(10), 'g'),
+            '[ '||chr(9)||']+', ' ', 'g'),
+            ' ?'||chr(10)||' ?', chr(10), 'g')) AS text
+        FROM documents
+    """
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RedPajama-V2-style continuous quality signals
     (operators/quality.py: quality_signals — 18 per-doc measurements,
@@ -3320,6 +3348,10 @@ _EXTENDED_NAMES = [
                               # continuous signal relation; thresholded
                               # quality family is contract-covered by
                               # quality_filter
+    "clean_text_documents",   # round-8 add; NFC + control/whitespace
+                              # canonicalization transform; text-
+                              # transform family is contract-covered by
+                              # dedup_spans_documents/redact_documents
 ]
 # Round-8 rotation IN (the r5/r7 precedent): the round-7 operators
 # char_lm_ppl_by_lang_documents, ivf_index_search_embeddings,
@@ -3416,6 +3448,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_broadcast": q_ivf_assign_broadcast,
         "semdedup_embeddings": q_semdedup,
         "quality_signals_documents": q_quality_signals,
+        "clean_text_documents": q_clean_text,
     }
 
 
@@ -3443,6 +3476,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "ivf_assign_broadcast": _oracle_ivf_assign_broadcast(),
         "semdedup_embeddings": _oracle_semdedup(),
         "quality_signals_documents": _oracle_quality_signals(),
+        "clean_text_documents": _oracle_clean_text(),
         "dedup_spans_documents": _oracle_dedup_spans(),
         "language_profile_documents": _oracle_language_profile(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),

@@ -713,3 +713,63 @@ def word_ngrams(toks: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def unicode_normalize(c: Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC/NFKC/NFD/NFKD) via an
+    Arrow-batched pandas UDF — the one text primitive Spark's builtin
+    expressions genuinely cannot express (no JVM-side normalizer is
+    exposed through pyspark.sql.functions). pandas Series.str.normalize
+    is a vectorized wrapper over unicodedata; NULLs pass through.
+    Cross-engine contract: NFC matches DuckDB's nfc_normalize exactly
+    (both defer to the Unicode tables) — the clean_text_documents
+    oracle replays it; NFKC/NFD/NFKD have no DuckDB twin and are
+    pytest-verified."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    return _norm(c)
+
+
+def clean_text(
+    c: Column,
+    form: str | None = "NFC",
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Corpus text-cleaning TRANSFORM (the Dolma/CCNet-style pre-pass
+    that runs before every filter/dedup tier):
+
+    1. `form`: Unicode normalization (default NFC — canonical
+       composition so byte-level dedup/fingerprints see one encoding
+       of each grapheme); None skips the (UDF) step entirely and the
+       whole transform stays JVM-side.
+    2. `strip_control`: remove C0 control characters and DEL except
+       tab/newline/CR ([\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]) —
+       PDF/OCR artifacts that break tokenizers.
+    3. `collapse_whitespace`: CRLF/CR -> LF, horizontal-whitespace
+       runs -> one space, spaces hugging newlines dropped, ends
+       trimmed. Line STRUCTURE is preserved (newlines survive) so
+       line-shape quality signals still work downstream.
+
+    NULL stays NULL. Every regex is RE2-safe and mirrored verbatim in
+    the DuckDB oracle."""
+    out = c
+    if form is not None:
+        out = unicode_normalize(out, form)
+    if strip_control:
+        out = F.regexp_replace(
+            out, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""
+        )
+    if collapse_whitespace:
+        out = F.regexp_replace(out, "\r\n?", "\n")
+        out = F.regexp_replace(out, "[ \t]+", " ")
+        out = F.regexp_replace(out, " ?\n ?", "\n")
+        out = F.trim(out)
+    return out

@@ -760,3 +760,43 @@ def test_lang_confidence_calibration_contract(spark):
     #    model's ranking would diverge from the heuristic's
     assert got["content"][0][0] == "fr"
     assert all(lang != "en" for lang, _ in got["content"])
+
+
+def test_clean_text_transform(spark):
+    """clean_text contract on crafted inputs: NFC composition (e +
+    combining acute -> é), NFKC compatibility folding (the ﬁ ligature
+    — NFKC path is pytest-only, DuckDB has no nfkc), control-char
+    strip keeping tab/newline, CRLF -> LF, horizontal-run collapse,
+    newline-hugging spaces dropped, NULL passthrough."""
+    rows = [
+        (1, "café time"),                # combining acute
+        (2, "a\x00b\x07c\x7fd"),               # C0 controls + DEL
+        (3, "one  \t two\r\nthree  \n  four"),
+        (4, None),
+        (5, "  edge  "),
+        (6, "ﬁne text"),             # ﬁ ligature + NBSP
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    got = {
+        r.id: r.c
+        for r in df.select("id", X.clean_text(F.col("t")).alias("c")).collect()
+    }
+    assert got[1] == "café time" and len(got[1]) == 9  # composed
+    assert got[2] == "abcd"
+    assert got[3] == "one two\nthree\nfour"
+    assert got[4] is None
+    assert got[5] == "edge"
+    assert got[6] == "ﬁne text"  # NFC leaves compat chars alone
+    nfkc = {
+        r.id: r.c
+        for r in df.select(
+            "id", X.clean_text(F.col("t"), form="NFKC").alias("c")
+        ).collect()
+    }
+    assert nfkc[6] == "fine text"  # ligature expanded
+    # form=None keeps the whole transform JVM-side (no UDF in the plan)
+    plan = (
+        df.select(X.clean_text(F.col("t"), form=None).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
