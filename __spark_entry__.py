@@ -2080,6 +2080,66 @@ def q_ivf_assign_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplication signal (operators/dedup.py:
+    corpus_dup_ngrams — Lee et al. 2021): per doc, the fraction of its
+    distinct word 5-grams occurring in at least one OTHER document
+    (planted exact/near dups score 1.0; fresh docs 0). DuckDB replays
+    the shared md5 n-gram construction, the global doc-frequency
+    count, and the per-doc fraction."""
+    from advanced_data_profile_spark.operators.dedup import (
+        corpus_dup_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_dup_ngrams(docs, "doc_id", "text", n=5).select(
+        F.col("id").alias("doc_id"), "n_ngrams", "n_dup", "frac_dup"
+    )
+
+
+def _oracle_corpus_dup_ngrams() -> str:
+    from advanced_data_profile_spark.functions.oracle_fragments import (
+        sql_md5_int60,
+        sql_norm,
+    )
+
+    ghash = sql_md5_int60("array_to_string(toks[i:i + 4], ' ')")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {sql_norm('text')} AS __norm FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, string_split(__norm, ' ') AS toks,
+                 len(string_split(__norm, ' '))::BIGINT AS nt
+          FROM d WHERE __norm <> ''
+        ),
+        gi AS (
+          SELECT doc_id, toks,
+                 unnest(range(1::BIGINT, (nt - 5 + 2)::BIGINT)) AS i
+          FROM tok WHERE nt >= 5
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, {ghash} AS ghash FROM gi
+        ),
+        freq AS (
+          SELECT ghash, count(*) AS df_ FROM g GROUP BY 1
+        ),
+        per AS (
+          SELECT g.doc_id, count(*) AS nn,
+                 sum(CASE WHEN f.df_ > 1 THEN 1 ELSE 0 END) AS nd
+          FROM g JOIN freq f USING (ghash) GROUP BY 1
+        )
+        SELECT a.doc_id,
+               coalesce(p.nn, 0)::BIGINT AS n_ngrams,
+               coalesce(p.nd, 0)::BIGINT AS n_dup,
+               round(CASE WHEN coalesce(p.nn, 0) > 0
+                     THEN coalesce(p.nd, 0)::DOUBLE / p.nn
+                     ELSE 0.0 END, 6) AS frac_dup
+        FROM (SELECT DISTINCT doc_id FROM documents) a
+        LEFT JOIN per p USING (doc_id)
+    """
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text-cleaning transform (functions/text.py: clean_text —
     NFC unicode normalization via the one pandas UDF Spark builtins
@@ -3352,6 +3412,10 @@ _EXTENDED_NAMES = [
                               # canonicalization transform; text-
                               # transform family is contract-covered by
                               # dedup_spans_documents/redact_documents
+    "corpus_dup_ngrams_documents",  # round-8 add; cross-doc duplication
+                              # signal (Lee et al. 2021); dedup-family
+                              # decisions are contract-covered by
+                              # dedup_exact/near_dup/dedup_spans
 ]
 # Round-8 rotation IN (the r5/r7 precedent): the round-7 operators
 # char_lm_ppl_by_lang_documents, ivf_index_search_embeddings,
@@ -3449,6 +3513,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": q_semdedup,
         "quality_signals_documents": q_quality_signals,
         "clean_text_documents": q_clean_text,
+        "corpus_dup_ngrams_documents": q_corpus_dup_ngrams,
     }
 
 
@@ -3477,6 +3542,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "semdedup_embeddings": _oracle_semdedup(),
         "quality_signals_documents": _oracle_quality_signals(),
         "clean_text_documents": _oracle_clean_text(),
+        "corpus_dup_ngrams_documents": _oracle_corpus_dup_ngrams(),
         "dedup_spans_documents": _oracle_dedup_spans(),
         "language_profile_documents": _oracle_language_profile(),
         "chunk_slice_documents": _oracle_chunk_slice_documents(),

@@ -753,6 +753,50 @@ def word_ngram_hashes(
     return grams.select("id", md5_int60(F.col("gram")).alias("ghash")).distinct()
 
 
+def corpus_dup_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 13
+) -> DataFrame:
+    """Corpus-global duplication SIGNAL per document — the measurement
+    behind exact-substring dedup decisions (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": docs
+    whose token windows recur across the corpus): for every document,
+    the fraction of its DISTINCT word n-grams that also occur in at
+    least one OTHER document. Complements the other duplication tiers:
+    ngram_repetition is WITHIN-doc, dedup_spans removes delimiter-
+    bounded spans, decontaminate checks against a separate benchmark —
+    this one quantifies cross-document overlap so a mixture can gate
+    on it (frac_dup 1.0 = an exact or contained copy).
+
+    Returns (id, n_ngrams, n_dup, frac_dup); docs with fewer than n
+    words have zero n-grams and frac 0. Scale shape: the shared
+    word_ngram_hashes relation (distinct (id, ghash), linear in corpus
+    tokens) shuffles once on the 8-byte hash for the global doc-
+    frequency count, joins back hash-keyed (fixed-width skew keys, AQE
+    splits the hot boilerplate grams), and aggregates per id — no text
+    and no gram strings ever ride a shuffle."""
+    g = word_ngram_hashes(df, id_col, text_col, n)
+    freq = g.groupBy("ghash").agg(F.count(F.lit(1)).alias("__df"))
+    per = (
+        g.join(freq, "ghash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("__nn"),
+            F.sum((F.col("__df") > 1).cast("long")).alias("__nd"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    nn = F.coalesce(F.col("__nn"), F.lit(0))
+    nd = F.coalesce(F.col("__nd"), F.lit(0))
+    return ids.join(per, "id", "left").select(
+        "id",
+        nn.alias("n_ngrams"),
+        nd.alias("n_dup"),
+        F.round(
+            F.when(nn > 0, nd.cast("double") / nn).otherwise(0.0), 6
+        ).alias("frac_dup"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -579,3 +579,29 @@ def test_remove_duplicate_spans_matches_python_reference(spark):
     got = {r.id: r.text for r in remove_duplicate_spans(
         df, "doc_id", "text").collect()}
     assert got == expected
+
+
+def test_corpus_dup_ngrams_signal(spark):
+    """Cross-document duplication fractions on crafted docs: an exact
+    copy scores 1.0 on both members, a contained copy scores 1.0 while
+    its superset scores partially, fresh text scores 0, and short
+    (< n words) docs report zero n-grams."""
+    from advanced_data_profile_spark.operators.dedup import corpus_dup_ngrams
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),                           # copied by 2
+        (2, base),                           # exact copy -> 1.0
+        (3, base + " iota kappa"),           # superset: shares a prefix
+        (4, "one two three four five six seven eight nine"),  # fresh
+        (5, "tiny doc"),                     # < n words
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    by = {r.id: r for r in corpus_dup_ngrams(df, "doc_id", "text", n=5).collect()}
+    assert by[1].frac_dup == 1.0 and by[2].frac_dup == 1.0
+    assert by[1].n_ngrams == 4  # 8 words -> 4 distinct 5-grams
+    # doc 3 has 6 grams, the 4 from base are shared -> 4/6
+    assert by[3].n_ngrams == 6 and by[3].n_dup == 4
+    assert by[3].frac_dup == round(4 / 6, 6)
+    assert by[4].frac_dup == 0.0 and by[4].n_dup == 0
+    assert by[5].n_ngrams == 0 and by[5].frac_dup == 0.0
