@@ -30,7 +30,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -115,6 +115,14 @@ def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, _NUMERIC_TYPES)
 
 
+# types whose cast to double is injective, so the exact-quantile value
+# histogram doubles as an exact distinct count (long/decimal can collapse
+# above 2^53 / 15 significant digits and keep the dedicated pass)
+_HIST_DISTINCT_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.FloatType, T.DoubleType,
+)
+
+
 def _is_time(dt: T.DataType) -> bool:
     return isinstance(dt, _TIME_TYPES)
 
@@ -123,7 +131,9 @@ def _null_d() -> Column:
     return F.lit(None).cast("double")
 
 
-def column_profile_struct(name: str, dt: T.DataType, approx: bool) -> Column:
+def column_profile_struct(
+    name: str, dt: T.DataType, approx: bool, with_quantiles: bool = True
+) -> Column:
     """All stats for one column as a single struct-valued aggregate.
 
     n_distinct note: exact ``count_distinct`` must NOT live in this
@@ -168,8 +178,15 @@ def column_profile_struct(name: str, dt: T.DataType, approx: bool) -> Column:
                 F.kll_sketch_get_quantile_double(sk, F.lit(p))
                 for p in (0.25, 0.5, 0.75)
             ])
-        else:
+        elif with_quantiles:
             q = F.percentile(cd, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        else:
+            # exact quantiles come from the distributed histogram pass
+            # (_exact_quantile_relation) and are joined back; Percentile
+            # is a TypedImperativeAggregate whose boxed value->count map
+            # merges single-threaded — measured 13s of an 18.9s profile
+            # on one 4.5M-distinct double column at sf1.0
+            q = F.array(_null_d(), _null_d(), _null_d())
         mean = F.avg(cd)
         stddev = F.stddev_samp(cd)
         stddev_pop = F.stddev_pop(cd)
@@ -226,6 +243,185 @@ def column_profile_struct(name: str, dt: T.DataType, approx: bool) -> Column:
     ).alias(f"__p_{name}")
 
 
+_QUANTILE_BUCKETS = 1024
+_QUANTILE_PROBS = (0.25, 0.5, 0.75)
+
+
+def _exact_quantile_relation(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = _QUANTILE_PROBS,
+    buckets: int = _QUANTILE_BUCKETS,
+) -> DataFrame | None:
+    """Exact p25/p50/p75 (and exact distinct counts) for numeric columns
+    as a tiny relation ``(column, __hq25, __hq50, __hq75, __hnd)`` —
+    the distributed replacement for ``F.percentile`` in ungrouped exact
+    profiles.
+
+    Why not ``F.percentile``: it is a TypedImperativeAggregate over a
+    boxed value->count OpenHashMap whose partial buffers serialize and
+    merge single-threaded; on one 4.5M-distinct double column at sf1.0
+    it costs ~13s even when fed a pre-aggregated histogram. Here every
+    step is whole-stage-codegen:
+
+    1. one metadata-sized job collects (count, min, max) per column so
+       rank positions and bucket bounds become literals;
+    2. melt -> ``groupBy(column, value).count()`` builds the exact value
+       histogram (one narrow shuffle, map-side partial agg);
+    3. values are range-bucketed by the DETERMINISTIC ``width_bucket``
+       on the literal bounds (monotone in v, so bucket order == value
+       order); per-bucket totals come from a second scan-side partial
+       agg that collapses to <= n_cols x buckets rows, and a tiny
+       window over them yields each bucket's global rank offset;
+    4. the cumulative count inside each bucket is a window partitioned
+       by (column, bucket) — parallel across ~1k buckets per column,
+       never the one-task-per-column sort that a plain
+       ``Window.partitionBy(column)`` cumsum would be (measured 6s for
+       the 4.5M-row column);
+    5. the rows bracketing each literal rank are picked by conditional
+       aggregation and interpolated with the exact formula Spark's
+       Percentile.getPercentile uses ((hi - pos) * v_lo +
+       (pos - lo) * v_hi), so results are bit-identical to the old
+       plan's.
+
+    The histogram row count doubles as the exact distinct count
+    (``__hnd``); callers use it only for types whose double cast is
+    injective (_HIST_DISTINCT_TYPES).
+
+    Scale shape: the widest anything gets is the histogram shuffle
+    (bounded by distinct values, not rows); the collected stats row is
+    one row of literals; per-bucket skew is bounded by the value
+    distribution between literal min/max (uniform-ish for real numeric
+    data; a pathological single-value-heavy column just degrades toward
+    the old single-task behavior for that bucket).
+
+    Columns with zero non-null values are left out (callers coalesce
+    their distinct count to 0; quantiles stay NULL). Returns None when
+    nothing remains.
+    """
+    import math
+
+    if not columns:
+        return None
+    spark = df.sparkSession
+    stats_row = df.select([
+        e
+        for c in columns
+        for e in (
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        )
+    ]).collect()[0]
+
+    live = [c for c in columns if stats_row[f"n_{c}"] > 0]
+    if not live:
+        return None
+
+    def bucket_expr(c: str, v: Column) -> Column:
+        mn, mx = stats_row[f"mn_{c}"], stats_row[f"mx_{c}"]
+        if (
+            mn is None or mx is None or mn == mx
+            or not (math.isfinite(mn) and math.isfinite(mx))
+        ):
+            return F.lit(1)
+        b = F.width_bucket(v, F.lit(mn), F.lit(mx), F.lit(buckets))
+        # NaN sorts greatest in SQL ordering; keep it monotone past +max
+        return F.when(F.isnan(v), F.lit(buckets + 2)).otherwise(b)
+
+    def melt(with_bucket: bool) -> DataFrame:
+        fields = []
+        for c in live:
+            v = F.col(c).cast("double")
+            entry = [F.lit(c).alias("column"), v.alias("v")]
+            if with_bucket:
+                entry.append(bucket_expr(c, v).alias("b"))
+            fields.append(F.struct(*entry))
+        return (
+            df.select(F.explode(F.array(*fields)).alias("s"))
+            .select("s.*")
+            .where(F.col("v").isNotNull())
+        )
+
+    # per-bucket totals -> global rank offset of each bucket (tiny)
+    per_bucket = melt(True).groupBy("column", "b").agg(
+        F.count(F.lit(1)).alias("bf")
+    )
+    w_off = (
+        Window.partitionBy("column")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "column", "b", F.coalesce(F.sum("bf").over(w_off), F.lit(0)).alias("off")
+    )
+
+    hist = melt(True).groupBy("column", "b", "v").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    w_cum = (
+        Window.partitionBy("column", "b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        hist.join(F.broadcast(offsets), ["column", "b"])
+        .select(
+            "column", "v", "f",
+            (F.col("off") + F.sum("f").over(w_cum)).alias("c"),
+        )
+    )
+
+    # bracketing positions per column as literals (0-indexed sorted rank)
+    sel: list[Column] = [F.count(F.lit(1)).alias("__hnd")]
+    finals: list[Column] = ["column"]
+    for j, p in enumerate(probs):
+        vlo_cases, vhi_cases = None, None
+        for c in live:
+            n = stats_row[f"n_{c}"]
+            pos = (n - 1) * p
+            lo, hi = math.floor(pos), math.ceil(pos)
+            in_lo = (F.col("c") - F.col("f") <= F.lit(lo)) & (F.lit(lo) < F.col("c"))
+            in_hi = (F.col("c") - F.col("f") <= F.lit(hi)) & (F.lit(hi) < F.col("c"))
+            cm = F.col("column") == c
+            vlo_cases = (
+                F.when(cm & in_lo, F.col("v"))
+                if vlo_cases is None
+                else vlo_cases.when(cm & in_lo, F.col("v"))
+            )
+            vhi_cases = (
+                F.when(cm & in_hi, F.col("v"))
+                if vhi_cases is None
+                else vhi_cases.when(cm & in_hi, F.col("v"))
+            )
+        sel.append(F.max(vlo_cases).alias(f"__vlo_{j}"))
+        sel.append(F.max(vhi_cases).alias(f"__vhi_{j}"))
+
+    agg = cum.groupBy("column").agg(*sel)
+
+    for j, p in enumerate(probs):
+        val = None
+        for c in live:
+            n = stats_row[f"n_{c}"]
+            pos = (n - 1) * p
+            lo, hi = math.floor(pos), math.ceil(pos)
+            if lo == hi:
+                expr = F.col(f"__vlo_{j}")
+            else:
+                # Spark Percentile.getPercentile interpolation, literal
+                # fractions computed in the same double arithmetic
+                expr = (
+                    F.lit(float(hi) - pos) * F.col(f"__vlo_{j}")
+                    + F.lit(pos - float(lo)) * F.col(f"__vhi_{j}")
+                )
+            val = F.when(F.col("column") == c, expr) if val is None else val.when(
+                F.col("column") == c, expr
+            )
+        finals.append(val.alias(f"__hq_{j}"))
+    finals.append(F.col("__hnd"))
+    return agg.select(*finals)
+
+
 def profile(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -247,16 +443,31 @@ def profile(
             and f.name != group_by
         ]
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    structs = [column_profile_struct(c, dtypes[c], approx) for c in columns]
+    # ungrouped exact mode: numeric quantiles (and, where the double
+    # cast is injective, distinct counts) come from the distributed
+    # histogram pass instead of Percentile / count_distinct aggregates —
+    # see _exact_quantile_relation. Grouped exact mode keeps Percentile:
+    # its per-group maps are small (grouping is partition-grained by
+    # contract) and rank literals are unavailable per group.
+    hist_cols = (
+        [c for c in columns if _is_numeric(dtypes[c])]
+        if (not approx and group_by is None)
+        else []
+    )
+    structs = [
+        column_profile_struct(c, dtypes[c], approx, with_quantiles=c not in hist_cols)
+        for c in columns
+    ]
 
-    if not approx:
-        # exact percentile is a sort-heavy aggregate whose parallelism is
-        # capped by input splits (parquet row groups); when the source is
-        # under-split, a cheap narrow-projection shuffle buys full-width
-        # parallelism (~35% faster at sf0.1). Approx mode is single-pass
-        # mergeable sketches and never needs this.
+    if not approx and group_by is not None:
+        # grouped exact percentile is a sort-heavy aggregate whose
+        # parallelism is capped by input splits (parquet row groups);
+        # when the source is under-split, a cheap narrow-projection
+        # shuffle buys full-width parallelism (~35% faster at sf0.1).
+        # Approx mode is single-pass mergeable sketches, and ungrouped
+        # exact mode is moments-only codegen; neither needs this.
         sc = df.sparkSession.sparkContext
-        keep_cols = ([group_by] if group_by else []) + columns
+        keep_cols = [group_by] + columns
         narrow = df.select(*keep_cols)
         if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
             df = narrow.repartition(sc.defaultParallelism)
@@ -276,37 +487,67 @@ def profile(
     if approx:
         return out
 
-    # exact distinct counts: dedicated scan, melted and joined back.
-    # Kept OUT of the main agg to avoid the EXPAND rewrite (docstring
-    # above); this agg has only count_distincts so the expand carries
-    # no heavy expressions. Round-5 A/B vs a melt-shuffle variant
-    # (explode to (column, value) rows, count_distinct per column — no
-    # EXPAND but shuffles n_rows x n_cols rows): 3.242s vs 3.299s at
-    # sf0.1 x 32 cores, and the melt's distinct is over string casts.
-    # The dedicated scan stays.
+    # exact quantiles for numeric columns (ungrouped mode): distributed
+    # histogram pass joined back; its histogram row count is the exact
+    # distinct count for types whose double cast is injective, so those
+    # columns skip the count_distinct scan entirely.
+    qrel = _exact_quantile_relation(df, hist_cols) if hist_cols else None
+    hist_nd_cols = (
+        {c for c in hist_cols if isinstance(dtypes[c], _HIST_DISTINCT_TYPES)}
+        if qrel is not None
+        else set()
+    )
+    joined = out
+    if qrel is not None:
+        joined = joined.drop("p25", "p50", "p75").join(
+            F.broadcast(qrel), on=["column"], how="left"
+        )
+        for j, name in enumerate(("p25", "p50", "p75")):
+            joined = joined.withColumn(name, F.col(f"__hq_{j}"))
+        joined = joined.drop("__hq_0", "__hq_1", "__hq_2")
+
+    # exact distinct counts for the remaining columns: dedicated scan,
+    # melted and joined back. Kept OUT of the main agg to avoid the
+    # EXPAND rewrite (docstring above); this agg has only
+    # count_distincts so the expand carries no heavy expressions.
+    # Round-5 A/B vs a melt-shuffle variant (explode to (column, value)
+    # rows, count_distinct per column — no EXPAND but shuffles
+    # n_rows x n_cols rows): 3.242s vs 3.299s at sf0.1 x 32 cores, and
+    # the melt's distinct is over string casts. The dedicated scan stays.
+    cd_cols = [c for c in columns if c not in hist_nd_cols]
     keys = [group_by] if group_by else []
-    dagg = (df.groupBy(*keys) if keys else df).agg(
-        *[F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in columns]
-    )
-    dmelt = dagg.select(
-        *keys,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("column"),
-                    F.col(f"__d_{c}").cast("bigint").alias("__nd"),
-                )
-                for c in columns
-            ])
-        ).alias("d"),
-    ).select(*keys, "d.column", "d.__nd")
-    joined = out.drop("n_distinct", "unique_ratio").join(
-        F.broadcast(dmelt), on=keys + ["column"], how="left"
-    )
-    joined = joined.withColumn("n_distinct", F.col("__nd")).withColumn(
+    if cd_cols:
+        dagg = (df.groupBy(*keys) if keys else df).agg(
+            *[F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in cd_cols]
+        )
+        dmelt = dagg.select(
+            *keys,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__d_{c}").cast("bigint").alias("__nd"),
+                    )
+                    for c in cd_cols
+                ])
+            ).alias("d"),
+        ).select(*keys, "d.column", "d.__nd")
+        joined = joined.join(F.broadcast(dmelt), on=keys + ["column"], how="left")
+    else:
+        joined = joined.withColumn("__nd", F.lit(None).cast("bigint"))
+    if qrel is not None and hist_nd_cols:
+        # histogram distinct where available; 0 (not NULL) for all-null
+        # columns, which the histogram omits
+        nd = F.when(
+            F.col("column").isin(*hist_nd_cols),
+            F.coalesce(F.col("__hnd"), F.lit(0)),
+        ).otherwise(F.col("__nd"))
+    else:
+        nd = F.col("__nd")
+    joined = joined.withColumn("n_distinct", nd.cast("bigint")).withColumn(
         "unique_ratio",
-        F.when(F.col("n_rows") > 0, F.col("__nd") / F.col("n_rows")),
-    ).drop("__nd")
+        F.when(F.col("n_rows") > 0, F.col("n_distinct") / F.col("n_rows")),
+    ).drop("__nd", "__hnd")
     order = ([group_by] if group_by else []) + [f for f, _ in PROFILE_FIELDS]
     return joined.select(*order)
 
