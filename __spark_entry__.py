@@ -21,6 +21,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame, key: str) -> DataFrame:
+    """Spread an under-split scan across the session's cores before
+    heavy per-row work (tokenize/explode): the single-row-group bench
+    parquet files scan as ONE task, serializing regex/explode legs that
+    dwarf the cost of a deterministic hash repartition (dedup_spans at
+    sf1.0: 2.5s -> 0.74s). No-op when the source already has enough
+    splits — the cluster case, where files abound and the extra
+    exchange would be pure cost."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key)
+
+
 def _fixture_cache_tag(sf_dir: str, table: str, params: str = "") -> str:
     """Cache tag for /tmp fixture-derived state: sf-dir basename plus a
     fingerprint of the source parquet files (name, size, mtime) AND of
@@ -65,7 +80,12 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_data_profile_spark.operators.stats import profile
 
     li = _t(spark, sf_dir, "lineitem")
-    p = profile(li, columns=_PROFILE_COLS)
+    p = profile(
+        li,
+        columns=_PROFILE_COLS,
+        fields=["n_rows", "n_nonnull", "n_distinct", "mean", "stddev",
+                "min_num", "max_num", "p50"],
+    )
     return p.select(
         F.col("column").alias("col_name"),
         "n_rows",
@@ -540,7 +560,7 @@ def q_chunk_slice_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_data_profile_spark.functions.text import tokens
     from advanced_data_profile_spark.operators.packing import slice_chunks
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     toked = docs.select("source", "doc_id", tokens(F.col("text")).alias("toks"))
     out = slice_chunks(toked, "doc_id", "toks", 64, group_col="source")
     return out.select(
@@ -1943,7 +1963,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_duplicate_spans,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     out = remove_duplicate_spans(docs, "doc_id", "text", delimiter=" ",
                                  min_chars=4)
     return out.select(F.col("id").alias("doc_id"), "text")

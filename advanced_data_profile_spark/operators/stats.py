@@ -132,7 +132,8 @@ def _null_d() -> Column:
 
 
 def column_profile_struct(
-    name: str, dt: T.DataType, approx: bool, with_quantiles: bool = True
+    name: str, dt: T.DataType, approx: bool, with_quantiles: bool = True,
+    fields: set[str] | None = None,
 ) -> Column:
     """All stats for one column as a single struct-valued aggregate.
 
@@ -143,12 +144,27 @@ def column_profile_struct(
     the cost of every other aggregate (measured 10x at sf0.1). Exact
     mode therefore computes distincts in a separate scan (see
     ``profile``); approx HLL sketches are expand-free and stay fused.
+
+    ``fields`` (None = all) limits which stats are COMPUTED; the struct
+    always carries every PROFILE_FIELDS slot (unrequested ones as
+    NULL), so the melted schema is stable. The expensive off-menu items
+    are the string-cast aggregates (max_length/max_decimals render
+    every numeric value as a string — ~1.2s of a 1.6s fused agg on
+    4 double columns at sf1.0) and skew/kurt's higher power sums;
+    callers that only read a subset (the profile_lineitem contract
+    reads 9 of 22 fields) shouldn't pay for the rest.
     """
+
+    def need(f: str) -> bool:
+        return fields is None or f in fields
+
     c = F.col(name)
     n_rows = F.count(F.lit(1))
     n_nonnull = F.count(c)
 
-    if approx:
+    if not (need("n_distinct") or need("unique_ratio")):
+        distinct = F.lit(None).cast("bigint")
+    elif approx:
         # Datasketches HLL (same construction as sketch_state_struct, so
         # a fused agg shares ONE buffer for the estimate and the
         # persisted state; estimate error ~1.6% at lg_k=12)
@@ -162,9 +178,12 @@ def column_profile_struct(
     timey = _is_time(dt)
     stringy = isinstance(dt, T.StringType)
 
+    want_q = need("p25") or need("p50") or need("p75")
     if numeric:
         cd = c.cast("double")
-        if approx:
+        if not want_q:
+            q = F.array(_null_d(), _null_d(), _null_d())
+        elif approx:
             # KLL sketch quantiles (north_star: per-partition stats via
             # 'KLL-sketch quantiles'): the sketch aggregate appears once
             # (Catalyst dedupes identical aggregate expressions into one
@@ -187,20 +206,28 @@ def column_profile_struct(
             # merges single-threaded — measured 13s of an 18.9s profile
             # on one 4.5M-distinct double column at sf1.0
             q = F.array(_null_d(), _null_d(), _null_d())
-        mean = F.avg(cd)
-        stddev = F.stddev_samp(cd)
-        stddev_pop = F.stddev_pop(cd)
-        mn, mx = F.min(cd), F.max(cd)
-        skew = sample_skewness(cd, n_nonnull)
-        kurt = sample_kurtosis(cd, n_nonnull)
+        mean = F.avg(cd) if need("mean") else _null_d()
+        stddev = F.stddev_samp(cd) if need("stddev") else _null_d()
+        stddev_pop = F.stddev_pop(cd) if need("stddev_pop") else _null_d()
+        mn = F.min(cd) if need("min_num") else _null_d()
+        mx = F.max(cd) if need("max_num") else _null_d()
+        skew = sample_skewness(cd, n_nonnull) if need("skewness") else _null_d()
+        kurt = sample_kurtosis(cd, n_nonnull) if need("kurtosis") else _null_d()
         p25, p50, p75 = q.getItem(0), q.getItem(1), q.getItem(2)
-        max_dec = F.max(decimal_places(c)).cast("bigint")
+        max_dec = (
+            F.max(decimal_places(c)).cast("bigint")
+            if need("max_decimals")
+            else F.lit(None).cast("bigint")
+        )
     else:
         mean = stddev = stddev_pop = mn = mx = skew = kurt = _null_d()
         p25 = p50 = p75 = _null_d()
         max_dec = F.lit(None).cast("bigint")
 
-    if numeric or timey:
+    want_minmax_str = need("min_str") or need("max_str")
+    if not want_minmax_str:
+        min_str = max_str = F.lit(None).cast("string")
+    elif numeric or timey:
         min_str = F.min(c).cast("string")
         max_str = F.max(c).cast("string")
     elif stringy:
@@ -209,12 +236,24 @@ def column_profile_struct(
         min_str = max_str = F.lit(None).cast("string")
 
     if stringy:
-        max_len = F.max(F.length(c)).cast("bigint")
-        non_ascii = F.coalesce(
-            F.max(c.rlike(r"[^\x00-\x7F]").cast("int")) == 1, F.lit(False)
+        max_len = (
+            F.max(F.length(c)).cast("bigint")
+            if need("max_length")
+            else F.lit(None).cast("bigint")
+        )
+        non_ascii = (
+            F.coalesce(
+                F.max(c.rlike(r"[^\x00-\x7F]").cast("int")) == 1, F.lit(False)
+            )
+            if need("has_non_ascii")
+            else F.lit(None).cast("boolean")
         )
     else:
-        max_len = F.max(F.length(c.cast("string"))).cast("bigint")
+        max_len = (
+            F.max(F.length(c.cast("string"))).cast("bigint")
+            if need("max_length")
+            else F.lit(None).cast("bigint")
+        )
         non_ascii = F.lit(False)
 
     return F.struct(
@@ -268,11 +307,12 @@ def _exact_quantile_relation(
        rank positions and bucket bounds become literals;
     2. melt -> ``groupBy(column, value).count()`` builds the exact value
        histogram (one narrow shuffle, map-side partial agg);
-    3. values are range-bucketed by the DETERMINISTIC ``width_bucket``
-       on the literal bounds (monotone in v, so bucket order == value
-       order); per-bucket totals come from a second scan-side partial
-       agg that collapses to <= n_cols x buckets rows, and a tiny
-       window over them yields each bucket's global rank offset;
+    3. histogram values are range-bucketed by the DETERMINISTIC
+       ``width_bucket`` on the literal bounds (monotone in v, so bucket
+       order == value order); per-bucket totals re-aggregate the SAME
+       histogram (the physical plan shares one Exchange via
+       ReusedExchange — no second scan), and a tiny window over them
+       yields each bucket's global rank offset;
     4. the cumulative count inside each bucket is a window partitioned
        by (column, bucket) — parallel across ~1k buckets per column,
        never the one-task-per-column sort that a plain
@@ -329,61 +369,84 @@ def _exact_quantile_relation(
         # NaN sorts greatest in SQL ordering; keep it monotone past +max
         return F.when(F.isnan(v), F.lit(buckets + 2)).otherwise(b)
 
-    def melt(with_bucket: bool) -> DataFrame:
-        fields = []
-        for c in live:
-            v = F.col(c).cast("double")
-            entry = [F.lit(c).alias("column"), v.alias("v")]
-            if with_bucket:
-                entry.append(bucket_expr(c, v).alias("b"))
-            fields.append(F.struct(*entry))
-        return (
-            df.select(F.explode(F.array(*fields)).alias("s"))
-            .select("s.*")
-            .where(F.col("v").isNotNull())
+    # melt once with an INT column id (string ids would widen both
+    # shuffles) and the deterministic bucket attached
+    melt = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("cid"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for i, c in enumerate(live)
+                ])
+            ).alias("s")
         )
-
-    # per-bucket totals -> global rank offset of each bucket (tiny)
-    per_bucket = melt(True).groupBy("column", "b").agg(
-        F.count(F.lit(1)).alias("bf")
+        .select("s.*")
+        .where(F.col("v").isNotNull())
     )
+    bucket = None
+    for i, c in enumerate(live):
+        e = bucket_expr(c, F.col("v"))
+        bucket = F.when(F.col("cid") == i, e) if bucket is None else bucket.when(
+            F.col("cid") == i, e
+        )
+    hist = melt.groupBy("cid", "v").agg(F.count(F.lit(1)).alias("f")).withColumn(
+        "b", bucket
+    )
+
+    # per-bucket totals -> global rank offset of each bucket (tiny).
+    # Derived from the SAME histogram aggregation as the main path, so
+    # the physical plan shares one Exchange (ReusedExchange) instead of
+    # paying a second melt scan for the broadcast side.
+    per_bucket = hist.groupBy("cid", "b").agg(F.sum("f").alias("bf"))
     w_off = (
-        Window.partitionBy("column")
+        Window.partitionBy("cid")
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = per_bucket.select(
-        "column", "b", F.coalesce(F.sum("bf").over(w_off), F.lit(0)).alias("off")
+        "cid", "b", F.coalesce(F.sum("bf").over(w_off), F.lit(0)).alias("off")
     )
 
-    hist = melt(True).groupBy("column", "b", "v").agg(
-        F.count(F.lit(1)).alias("f")
-    )
     w_cum = (
-        Window.partitionBy("column", "b")
+        Window.partitionBy("cid", "b")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # explicit partition count: the rows are narrow (int, double, long),
+    # so AQE's byte-targeted coalescing would fold the whole histogram
+    # into one or two partitions and serialize the CPU-bound sort+window
+    # (measured 2.1s -> ~0.6s at sf1.0 with the explicit count, which
+    # AQE leaves alone); (cid, bucket) grain keeps it skew-free
+    n_par = df.sparkSession.sparkContext.defaultParallelism
     cum = (
-        hist.join(F.broadcast(offsets), ["column", "b"])
+        hist.join(F.broadcast(offsets), ["cid", "b"])
+        .repartition(n_par, "cid", "b")
         .select(
-            "column", "v", "f",
+            "cid", "v", "f", "b",
             (F.col("off") + F.sum("f").over(w_cum)).alias("c"),
         )
+        .drop("b")
     )
 
     # bracketing positions per column as literals (0-indexed sorted rank)
     sel: list[Column] = [F.count(F.lit(1)).alias("__hnd")]
-    finals: list[Column] = ["column"]
+    finals: list[Column] = [
+        F.element_at(
+            F.array(*[F.lit(c) for c in live]), F.col("cid") + 1
+        ).alias("column")
+    ]
     for j, p in enumerate(probs):
         vlo_cases, vhi_cases = None, None
-        for c in live:
+        for i, c in enumerate(live):
             n = stats_row[f"n_{c}"]
             pos = (n - 1) * p
             lo, hi = math.floor(pos), math.ceil(pos)
             in_lo = (F.col("c") - F.col("f") <= F.lit(lo)) & (F.lit(lo) < F.col("c"))
             in_hi = (F.col("c") - F.col("f") <= F.lit(hi)) & (F.lit(hi) < F.col("c"))
-            cm = F.col("column") == c
+            cm = F.col("cid") == i
             vlo_cases = (
                 F.when(cm & in_lo, F.col("v"))
                 if vlo_cases is None
@@ -397,11 +460,11 @@ def _exact_quantile_relation(
         sel.append(F.max(vlo_cases).alias(f"__vlo_{j}"))
         sel.append(F.max(vhi_cases).alias(f"__vhi_{j}"))
 
-    agg = cum.groupBy("column").agg(*sel)
+    agg = cum.groupBy("cid").agg(*sel)
 
     for j, p in enumerate(probs):
         val = None
-        for c in live:
+        for i, c in enumerate(live):
             n = stats_row[f"n_{c}"]
             pos = (n - 1) * p
             lo, hi = math.floor(pos), math.ceil(pos)
@@ -414,8 +477,8 @@ def _exact_quantile_relation(
                     F.lit(float(hi) - pos) * F.col(f"__vlo_{j}")
                     + F.lit(pos - float(lo)) * F.col(f"__vhi_{j}")
                 )
-            val = F.when(F.col("column") == c, expr) if val is None else val.when(
-                F.col("column") == c, expr
+            val = F.when(F.col("cid") == i, expr) if val is None else val.when(
+                F.col("cid") == i, expr
             )
         finals.append(val.alias(f"__hq_{j}"))
     finals.append(F.col("__hnd"))
@@ -427,6 +490,7 @@ def profile(
     columns: list[str] | None = None,
     group_by: str | None = None,
     approx: bool = False,
+    fields: list[str] | None = None,
 ) -> DataFrame:
     """Profile columns in one aggregation pass (plus, in exact mode, a
     second distinct-count pass — see column_profile_struct); melt to
@@ -435,7 +499,26 @@ def profile(
     Returns one row per (group_by?, column) with PROFILE_FIELDS.
     Binary columns are skipped by default (never scan image payloads
     for stats — reference stats are never over raw bytes either).
+
+    ``fields`` (None = all) restricts which stats are computed —
+    manual projection pushdown into the aggregate. The output schema is
+    unchanged (unrequested fields come back NULL); the savings are the
+    string-cast aggregates, the skew/kurt power sums, and whole side
+    passes (distinct scan, quantile histogram) when their fields are
+    not requested. Catalyst cannot prune these itself: the stats live
+    inside struct-valued aggregates that are exploded before the
+    caller's select.
     """
+    if fields is not None:
+        known = {f for f, _ in PROFILE_FIELDS}
+        bad = set(fields) - known
+        if bad:
+            raise ValueError(f"unknown profile fields: {sorted(bad)}")
+    fset = set(fields) if fields is not None else None
+
+    def need(f: str) -> bool:
+        return fset is None or f in fset
+
     if columns is None:
         columns = [
             f.name for f in df.schema.fields
@@ -449,13 +532,18 @@ def profile(
     # see _exact_quantile_relation. Grouped exact mode keeps Percentile:
     # its per-group maps are small (grouping is partition-grained by
     # contract) and rank literals are unavailable per group.
+    want_q = need("p25") or need("p50") or need("p75")
+    want_nd = need("n_distinct") or need("unique_ratio")
     hist_cols = (
         [c for c in columns if _is_numeric(dtypes[c])]
-        if (not approx and group_by is None)
+        if (not approx and group_by is None and want_q)
         else []
     )
     structs = [
-        column_profile_struct(c, dtypes[c], approx, with_quantiles=c not in hist_cols)
+        column_profile_struct(
+            c, dtypes[c], approx,
+            with_quantiles=c not in hist_cols, fields=fset,
+        )
         for c in columns
     ]
 
@@ -494,7 +582,7 @@ def profile(
     qrel = _exact_quantile_relation(df, hist_cols) if hist_cols else None
     hist_nd_cols = (
         {c for c in hist_cols if isinstance(dtypes[c], _HIST_DISTINCT_TYPES)}
-        if qrel is not None
+        if qrel is not None and want_nd
         else set()
     )
     joined = out
@@ -505,6 +593,11 @@ def profile(
         for j, name in enumerate(("p25", "p50", "p75")):
             joined = joined.withColumn(name, F.col(f"__hq_{j}"))
         joined = joined.drop("__hq_0", "__hq_1", "__hq_2")
+    if not want_nd:
+        # distinct stats not requested: skip the count_distinct pass and
+        # leave the struct's NULL placeholders in place
+        order = ([group_by] if group_by else []) + [f for f, _ in PROFILE_FIELDS]
+        return joined.drop("__hnd").select(*order)
 
     # exact distinct counts for the remaining columns: dedicated scan,
     # melted and joined back. Kept OUT of the main agg to avoid the
