@@ -284,66 +284,335 @@ def column_profile_struct(
 
 _QUANTILE_BUCKETS = 1024
 _QUANTILE_PROBS = (0.25, 0.5, 0.75)
+# max exact-histogram rows the final quantile job may collect per
+# bracketing region; a needed region with more DISTINCT values than
+# this is sub-bucketed in another (cheap, filter-pushed) pass instead —
+# bounds driver memory by CAP x (a few regions) regardless of scale
+_QUANTILE_COLLECT_CAP = 1 << 17
 
 
-def _exact_quantile_relation(
+def _exact_quantiles_driver(
+    df: DataFrame,
+    live: list[str],
+    stats: dict[str, tuple[int, float | None, float | None]],
+    probs: tuple[float, ...] = _QUANTILE_PROBS,
+    buckets: int = _QUANTILE_BUCKETS,
+) -> dict[str, tuple[tuple[float, ...], int]] | None:
+    """Exact quantiles + exact distinct counts for numeric columns via
+    a bucketed rank search finished DRIVER-side — the replacement for
+    both ``F.percentile`` (a TypedImperativeAggregate whose boxed
+    value->count map merges single-threaded: ~13s on one 4.5M-distinct
+    double at sf1.0) and the r8 window/join formulation (whose
+    per-bucket-offset side re-built the melt histogram from raw
+    because diverging pushed filters broke the intended ReusedExchange
+    — two full extra passes, 4.9s of a 5.0s profile at sf1.0).
+
+    ``stats[c] = (n_nonnull, min, max)`` — supplied by the caller, who
+    already has them from the wide profile aggregate (no extra job).
+    ``live`` must only contain columns with n_nonnull > 0.
+
+    Shape:
+    1. ONE scan + ONE narrow shuffle builds the exact value histogram
+       (melt -> ``groupBy(cid, value)``), materialized memory-and-disk
+       for the duration of the call (released before return) — every
+       later step is a filter or tiny aggregation over these rows;
+    2. a per-range-bucket ``(n_distinct_values, n_rows)`` summary (~1k
+       rows per column, from the DETERMINISTIC ``width_bucket`` on the
+       literal bounds — monotone in v, so bucket order == value order)
+       is collected; its distinct-row count doubles as the exact
+       distinct count (buckets partition the value space, so
+       per-bucket distincts add). The driver walks the cumulative
+       bucket counts to find which bucket holds each bracketing rank
+       (floor/ceil of (n-1)*p) and that bucket's global rank offset.
+       Any needed bucket with more than _QUANTILE_COLLECT_CAP distinct
+       values is sub-bucketed by another width_bucket pass over just
+       that bucket's value range (a filter over the materialized
+       histogram; log_buckets levels — 2 cover 10^9 distincts);
+    3. a final job collects ONLY the needed regions' (value, count)
+       histogram rows (CAP-bounded); the driver walks them to the
+       exact bracketing values and interpolates with the same formula
+       Spark's Percentile.getPercentile uses ((hi - pos) * v_lo +
+       (pos - lo) * v_hi) in the same IEEE double arithmetic, so
+       results are bit-identical to the in-plan formulation's.
+
+    Returns ``{column: ((q_per_prob...), n_distinct)}``, or None for
+    the pathological case it cannot bound (a needed bracketing region
+    with non-finite bounds AND more distinct values than the collect
+    cap) — the caller falls back to
+    _exact_quantile_relation_windowed, correct at any size.
+
+    A pre-melt repartition of under-split sources was A/B-measured and
+    REJECTED: the extra narrow shuffle cost more than the single-task
+    melt it parallelized (sf1.0 bucket-summary job 1.87s -> 3.74s with
+    the repartition; sf0.1 1.13s -> 1.29s) — the hash-aggregate
+    exchange, not the map side, bounds this job.
+
+    Scale shape: the widest anything gets is the histogram shuffle
+    (bounded by distinct values, not rows) and its bounded
+    materialization; every collect is either the ~1k-per-column bucket
+    summary or CAP-bounded region rows; no windows, no joins.
+    """
+    import math
+
+    if not live:
+        return {}
+
+    melt = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("cid"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for i, c in enumerate(live)
+                ])
+            ).alias("s")
+        )
+        .select("s.*")
+        .where(F.col("v").isNotNull())
+    )
+    v = F.col("v")
+
+    def finite_bounds(c: str) -> tuple[float, float] | None:
+        _, mn, mx = stats[c]
+        if (
+            mn is None or mx is None or mn == mx
+            or not (math.isfinite(mn) and math.isfinite(mx))
+        ):
+            return None
+        return mn, mx
+
+    def bucket_over(lo: float, hi: float) -> Column:
+        b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(buckets))
+        # NaN sorts greatest in SQL ordering; keep it monotone past +max
+        return F.when(F.isnan(v), F.lit(buckets + 2)).otherwise(b)
+
+    def sub_bounds(lo: float, hi: float, b: int) -> tuple[float, float] | None:
+        # value range of width_bucket cell b over [lo, hi] — used only
+        # to DEFINE the next sub-bucketing grid, never for membership
+        # (membership is always the same width_bucket expression ==
+        # literal, so float rounding here cannot misplace a value)
+        if not 1 <= b <= buckets:
+            return None  # boundary/NaN cells hold few values; no split
+        w = (hi - lo) / buckets
+        slo, shi = lo + (b - 1) * w, lo + b * w
+        if not (math.isfinite(slo) and math.isfinite(shi) and slo < shi):
+            return None
+        return slo, shi
+
+    # needed bracketing ranks per live column (0-indexed sorted rank)
+    need_ranks: dict[int, list[int]] = {}
+    for i, c in enumerate(live):
+        n = stats[c][0]
+        rs = set()
+        for p in probs:
+            pos = (n - 1) * p
+            rs.add(math.floor(pos))
+            rs.add(math.ceil(pos))
+        need_ranks[i] = sorted(rs)
+
+    # per-cid level-1 bucket expressions + the combined case
+    lvl1 = []
+    for i, c in enumerate(live):
+        fb = finite_bounds(c)
+        e = bucket_over(*fb) if fb else F.lit(1)
+        lvl1.append((fb, e))
+    bexpr = None
+    for i, (_, e) in enumerate(lvl1):
+        bexpr = F.when(F.col("cid") == i, e) if bexpr is None else bexpr.when(
+            F.col("cid") == i, e
+        )
+
+    # the exact value histogram is materialized ONCE (memory-and-disk,
+    # released before return): the bucket summary, any refinement
+    # levels, and the final bracketing-row job are all filters/tiny
+    # aggregations over these rows — without the persist each would
+    # replay the full scan+shuffle lineage
+    from pyspark import StorageLevel
+
+    hist = (
+        melt.groupBy("cid", "v")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        cells = (
+            hist.withColumn("b", bexpr)
+            .groupBy("cid", "b")
+            .agg(F.count(F.lit(1)).alias("nd"), F.sum("f").alias("bf"))
+            .collect()
+        )
+        by_cid: dict[int, list] = {i: [] for i in range(len(live))}
+        for r in cells:
+            by_cid[r.cid].append((r.b, r.nd, r.bf))
+        for cl in by_cid.values():
+            cl.sort()
+        nd_total = {i: sum(nd for _, nd, _ in by_cid[i]) for i in by_cid}
+
+        # regions: pred is the exact width_bucket membership chain;
+        # offset the region's global rank offset; ranks the needed
+        # global ranks that fall inside it
+        regions = []
+        for i in range(len(live)):
+            fb, e = lvl1[i]
+            cum = 0
+            it = iter(need_ranks[i])
+            want = next(it, None)
+            for b, nd, bf in by_cid[i]:
+                inside = []
+                while want is not None and cum <= want < cum + bf:
+                    inside.append(want)
+                    want = next(it, None)
+                if inside:
+                    regions.append({
+                        "cid": i,
+                        "pred": (F.col("cid") == i) & (e == F.lit(int(b))),
+                        "bounds": sub_bounds(*fb, int(b)) if fb else None,
+                        "nd": nd,
+                        "offset": cum,
+                        "ranks": inside,
+                    })
+                cum += bf
+        if any(r["nd"] > _QUANTILE_COLLECT_CAP and r["bounds"] is None
+               for r in regions):
+            # pathological: an unsplittable (non-finite-bounds) region
+            # too big to collect — caller falls back to the windowed
+            # formulation, which handles any size
+            return None
+
+        # --- refine oversized regions: one histogram-filter job per
+        # level ---
+        while any(r["nd"] > _QUANTILE_COLLECT_CAP for r in regions):
+            big = [r for r in regions if r["nd"] > _QUANTILE_COLLECT_CAP]
+            keep = [r for r in regions if r["nd"] <= _QUANTILE_COLLECT_CAP]
+            pred = big[0]["pred"]
+            for r in big[1:]:
+                pred = pred | r["pred"]
+            rid = None
+            sub = None
+            subs = [bucket_over(*r["bounds"]) for r in big]
+            for k, r in enumerate(big):
+                rid = F.when(r["pred"], F.lit(k)) if rid is None else rid.when(
+                    r["pred"], F.lit(k)
+                )
+                sub = F.when(r["pred"], subs[k]) if sub is None else sub.when(
+                    r["pred"], subs[k]
+                )
+            rows = (
+                hist.where(pred)
+                .groupBy(rid.alias("rid"), sub.alias("sb"))
+                .agg(F.count(F.lit(1)).alias("nd"), F.sum("f").alias("bf"))
+                .collect()
+            )
+            sub_cells: dict[int, list] = {k: [] for k in range(len(big))}
+            for r in rows:
+                sub_cells[r.rid].append((r.sb, r.nd, r.bf))
+            for cl in sub_cells.values():
+                cl.sort()
+            regions = keep
+            for k, parent in enumerate(big):
+                cum = parent["offset"]
+                it = iter(parent["ranks"])
+                want = next(it, None)
+                for sb, nd, bf in sub_cells[k]:
+                    inside = []
+                    while want is not None and cum <= want < cum + bf:
+                        inside.append(want)
+                        want = next(it, None)
+                    if inside:
+                        nb = sub_bounds(*parent["bounds"], int(sb))
+                        if nb is None and nd > _QUANTILE_COLLECT_CAP:
+                            return None
+                        regions.append({
+                            "cid": parent["cid"],
+                            "pred": parent["pred"]
+                            & (subs[k] == F.lit(int(sb))),
+                            "bounds": nb,
+                            "nd": nd,
+                            "offset": cum,
+                            "ranks": inside,
+                        })
+                    cum += bf
+
+        # --- final job: the needed regions' exact (value, count) rows
+        rank_val: dict[int, dict[int, float]] = {
+            i: {} for i in range(len(live))
+        }
+        if regions:
+            pred = regions[0]["pred"]
+            for r in regions[1:]:
+                pred = pred | r["pred"]
+            rid = None
+            for k, r in enumerate(regions):
+                rid = F.when(r["pred"], F.lit(k)) if rid is None else rid.when(
+                    r["pred"], F.lit(k)
+                )
+            rows = hist.where(pred).select(
+                rid.alias("rid"), "v", "f"
+            ).collect()
+            vals: dict[int, list] = {k: [] for k in range(len(regions))}
+            for r in rows:
+                vals[r.rid].append((r.v, r.f))
+            for k, region in enumerate(regions):
+                cum = region["offset"]
+                it = iter(region["ranks"])
+                want = next(it, None)
+                for vv, f in sorted(
+                    vals[k], key=lambda t: (math.isnan(t[0]), t[0])
+                ):
+                    while want is not None and cum <= want < cum + f:
+                        rank_val[region["cid"]][want] = vv
+                        want = next(it, None)
+                    cum += f
+    finally:
+        hist.unpersist()
+
+    out: dict[str, tuple[tuple[float, ...], int]] = {}
+    for i, c in enumerate(live):
+        n = stats[c][0]
+        rv = rank_val[i]
+        qs = []
+        for p in probs:
+            # Spark Percentile.getPercentile interpolation, identical
+            # IEEE double arithmetic driver-side
+            pos = (n - 1) * p
+            lo, hi = math.floor(pos), math.ceil(pos)
+            if lo == hi:
+                qs.append(float(rv[lo]))
+            else:
+                qs.append(
+                    (float(hi) - pos) * float(rv[lo])
+                    + (pos - float(lo)) * float(rv[hi])
+                )
+        out[c] = (tuple(qs), int(nd_total[i]))
+    return out
+
+
+def _exact_quantile_relation_windowed(
     df: DataFrame,
     columns: list[str],
     probs: tuple[float, ...] = _QUANTILE_PROBS,
     buckets: int = _QUANTILE_BUCKETS,
 ) -> DataFrame | None:
-    """Exact p25/p50/p75 (and exact distinct counts) for numeric columns
-    as a tiny relation ``(column, __hq25, __hq50, __hq75, __hnd)`` —
-    the distributed replacement for ``F.percentile`` in ungrouped exact
-    profiles.
+    """The r8 distributed-window formulation of the exact quantile
+    relation — kept as the any-size fallback for the pathological case
+    the driver-finished path cannot bound (a needed bracketing region
+    with non-finite bounds AND more distinct values than the collect
+    cap). Output contract identical to _exact_quantile_relation.
 
-    Why not ``F.percentile``: it is a TypedImperativeAggregate over a
-    boxed value->count OpenHashMap whose partial buffers serialize and
-    merge single-threaded; on one 4.5M-distinct double column at sf1.0
-    it costs ~13s even when fed a pre-aggregated histogram. Here every
-    step is whole-stage-codegen:
-
-    1. one metadata-sized job collects (count, min, max) per column so
-       rank positions and bucket bounds become literals;
-    2. melt -> ``groupBy(column, value).count()`` builds the exact value
-       histogram (one narrow shuffle, map-side partial agg);
-    3. histogram values are range-bucketed by the DETERMINISTIC
-       ``width_bucket`` on the literal bounds (monotone in v, so bucket
-       order == value order); per-bucket totals re-aggregate the SAME
-       histogram (the physical plan shares one Exchange via
-       ReusedExchange — no second scan), and a tiny window over them
-       yields each bucket's global rank offset;
-    4. the cumulative count inside each bucket is a window partitioned
-       by (column, bucket) — parallel across ~1k buckets per column,
-       never the one-task-per-column sort that a plain
-       ``Window.partitionBy(column)`` cumsum would be (measured 6s for
-       the 4.5M-row column);
-    5. the rows bracketing each literal rank are picked by conditional
-       aggregation and interpolated with the exact formula Spark's
-       Percentile.getPercentile uses ((hi - pos) * v_lo +
-       (pos - lo) * v_hi), so results are bit-identical to the old
-       plan's.
-
-    The histogram row count doubles as the exact distinct count
-    (``__hnd``); callers use it only for types whose double cast is
-    injective (_HIST_DISTINCT_TYPES).
-
-    Scale shape: the widest anything gets is the histogram shuffle
-    (bounded by distinct values, not rows); the collected stats row is
-    one row of literals; per-bucket skew is bounded by the value
-    distribution between literal min/max (uniform-ish for real numeric
-    data; a pathological single-value-heavy column just degrades toward
-    the old single-task behavior for that bucket).
-
-    Columns with zero non-null values are left out (callers coalesce
-    their distinct count to 0; quantiles stay NULL). Returns None when
-    nothing remains.
-    """
+    Shape: the melt histogram is range-bucketed; per-bucket totals give
+    each bucket's global rank offset via a tiny window; the cumulative
+    count inside each bucket is a window partitioned by (column,
+    bucket) — parallel across ~1k buckets per column; bracketing rows
+    are picked by conditional aggregation and interpolated in-plan.
+    Costs two extra melt passes vs the driver-finished path (the
+    per-bucket-offset side's pushed filters diverge from the main
+    path's, which breaks Exchange reuse)."""
     import math
 
     if not columns:
         return None
-    spark = df.sparkSession
     stats_row = df.select([
         e
         for c in columns
@@ -369,8 +638,6 @@ def _exact_quantile_relation(
         # NaN sorts greatest in SQL ordering; keep it monotone past +max
         return F.when(F.isnan(v), F.lit(buckets + 2)).otherwise(b)
 
-    # melt once with an INT column id (string ids would widen both
-    # shuffles) and the deterministic bucket attached
     melt = (
         df.select(
             F.explode(
@@ -396,10 +663,6 @@ def _exact_quantile_relation(
         "b", bucket
     )
 
-    # per-bucket totals -> global rank offset of each bucket (tiny).
-    # Derived from the SAME histogram aggregation as the main path, so
-    # the physical plan shares one Exchange (ReusedExchange) instead of
-    # paying a second melt scan for the broadcast side.
     per_bucket = hist.groupBy("cid", "b").agg(F.sum("f").alias("bf"))
     w_off = (
         Window.partitionBy("cid")
@@ -508,6 +771,21 @@ def profile(
     not requested. Catalyst cannot prune these itself: the stats live
     inside struct-valued aggregates that are exploded before the
     caller's select.
+
+    Execution shape by mode:
+    - approx (any grouping): one fused sketch aggregation, melted
+      in-plan — single scan, mergeable state.
+    - exact grouped: fused aggregation incl. per-group Percentile
+      (per-group maps are small — grouping is partition-grained by
+      contract) + a count_distinct pass joined back.
+    - exact ungrouped (r9): assembled DRIVER-side as a local relation
+      (_profile_exact_ungrouped_local) — the wide struct agg is
+      collected (one row), numeric quantiles/distincts come from the
+      bucketed rank search over the materialized value histogram
+      (_exact_quantiles_driver), remaining distincts from a collected
+      count_distinct row. No melt/explode plan, no broadcast joins,
+      and no separate (count, min, max) pre-job — the collected
+      structs already carry those.
     """
     if fields is not None:
         known = {f for f, _ in PROFILE_FIELDS}
@@ -526,34 +804,27 @@ def profile(
             and f.name != group_by
         ]
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    # ungrouped exact mode: numeric quantiles (and, where the double
-    # cast is injective, distinct counts) come from the distributed
-    # histogram pass instead of Percentile / count_distinct aggregates —
-    # see _exact_quantile_relation. Grouped exact mode keeps Percentile:
-    # its per-group maps are small (grouping is partition-grained by
-    # contract) and rank literals are unavailable per group.
     want_q = need("p25") or need("p50") or need("p75")
     want_nd = need("n_distinct") or need("unique_ratio")
-    hist_cols = (
-        [c for c in columns if _is_numeric(dtypes[c])]
-        if (not approx and group_by is None and want_q)
-        else []
-    )
+
+    if not approx and group_by is None:
+        return _profile_exact_ungrouped_local(
+            df, columns, dtypes, fset, want_q, want_nd
+        )
+
     structs = [
         column_profile_struct(
-            c, dtypes[c], approx,
-            with_quantiles=c not in hist_cols, fields=fset,
+            c, dtypes[c], approx, with_quantiles=True, fields=fset,
         )
         for c in columns
     ]
 
-    if not approx and group_by is not None:
+    if not approx:
         # grouped exact percentile is a sort-heavy aggregate whose
         # parallelism is capped by input splits (parquet row groups);
         # when the source is under-split, a cheap narrow-projection
         # shuffle buys full-width parallelism (~35% faster at sf0.1).
-        # Approx mode is single-pass mergeable sketches, and ungrouped
-        # exact mode is moments-only codegen; neither needs this.
+        # Approx mode is single-pass mergeable sketches and skips this.
         sc = df.sparkSession.sparkContext
         keep_cols = [group_by] + columns
         narrow = df.select(*keep_cols)
@@ -575,74 +846,163 @@ def profile(
     if approx:
         return out
 
-    # exact quantiles for numeric columns (ungrouped mode): distributed
-    # histogram pass joined back; its histogram row count is the exact
-    # distinct count for types whose double cast is injective, so those
-    # columns skip the count_distinct scan entirely.
-    qrel = _exact_quantile_relation(df, hist_cols) if hist_cols else None
-    hist_nd_cols = (
-        {c for c in hist_cols if isinstance(dtypes[c], _HIST_DISTINCT_TYPES)}
-        if qrel is not None and want_nd
-        else set()
-    )
-    joined = out
-    if qrel is not None:
-        joined = joined.drop("p25", "p50", "p75").join(
-            F.broadcast(qrel), on=["column"], how="left"
-        )
-        for j, name in enumerate(("p25", "p50", "p75")):
-            joined = joined.withColumn(name, F.col(f"__hq_{j}"))
-        joined = joined.drop("__hq_0", "__hq_1", "__hq_2")
     if not want_nd:
         # distinct stats not requested: skip the count_distinct pass and
         # leave the struct's NULL placeholders in place
-        order = ([group_by] if group_by else []) + [f for f, _ in PROFILE_FIELDS]
-        return joined.drop("__hnd").select(*order)
+        order = [group_by] + [f for f, _ in PROFILE_FIELDS]
+        return out.select(*order)
 
-    # exact distinct counts for the remaining columns: dedicated scan,
-    # melted and joined back. Kept OUT of the main agg to avoid the
-    # EXPAND rewrite (docstring above); this agg has only
-    # count_distincts so the expand carries no heavy expressions.
-    # Round-5 A/B vs a melt-shuffle variant (explode to (column, value)
-    # rows, count_distinct per column — no EXPAND but shuffles
+    # exact distinct counts (grouped): dedicated scan, melted and
+    # joined back. Kept OUT of the main agg to avoid the EXPAND
+    # rewrite (docstring above); this agg has only count_distincts so
+    # the expand carries no heavy expressions. Round-5 A/B vs a
+    # melt-shuffle variant (explode to (column, value) rows,
+    # count_distinct per column — no EXPAND but shuffles
     # n_rows x n_cols rows): 3.242s vs 3.299s at sf0.1 x 32 cores, and
-    # the melt's distinct is over string casts. The dedicated scan stays.
-    cd_cols = [c for c in columns if c not in hist_nd_cols]
-    keys = [group_by] if group_by else []
-    if cd_cols:
-        dagg = (df.groupBy(*keys) if keys else df).agg(
-            *[F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in cd_cols]
-        )
-        dmelt = dagg.select(
-            *keys,
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(f"__d_{c}").cast("bigint").alias("__nd"),
-                    )
-                    for c in cd_cols
-                ])
-            ).alias("d"),
-        ).select(*keys, "d.column", "d.__nd")
-        joined = joined.join(F.broadcast(dmelt), on=keys + ["column"], how="left")
-    else:
-        joined = joined.withColumn("__nd", F.lit(None).cast("bigint"))
-    if qrel is not None and hist_nd_cols:
-        # histogram distinct where available; 0 (not NULL) for all-null
-        # columns, which the histogram omits
-        nd = F.when(
-            F.col("column").isin(*hist_nd_cols),
-            F.coalesce(F.col("__hnd"), F.lit(0)),
-        ).otherwise(F.col("__nd"))
-    else:
-        nd = F.col("__nd")
-    joined = joined.withColumn("n_distinct", nd.cast("bigint")).withColumn(
+    # the melt's distinct is over string casts. The dedicated scan
+    # stays.
+    keys = [group_by]
+    dagg = df.groupBy(*keys).agg(
+        *[F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in columns]
+    )
+    dmelt = dagg.select(
+        *keys,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__d_{c}").cast("bigint").alias("__nd"),
+                )
+                for c in columns
+            ])
+        ).alias("d"),
+    ).select(*keys, "d.column", "d.__nd")
+    joined = out.join(F.broadcast(dmelt), on=keys + ["column"], how="left")
+    joined = joined.withColumn(
+        "n_distinct", F.col("__nd").cast("bigint")
+    ).withColumn(
         "unique_ratio",
         F.when(F.col("n_rows") > 0, F.col("n_distinct") / F.col("n_rows")),
-    ).drop("__nd", "__hnd")
-    order = ([group_by] if group_by else []) + [f for f, _ in PROFILE_FIELDS]
+    ).drop("__nd")
+    order = [group_by] + [f for f, _ in PROFILE_FIELDS]
     return joined.select(*order)
+
+
+def _profile_exact_ungrouped_local(
+    df: DataFrame,
+    columns: list[str],
+    dtypes: dict,
+    fset: set[str] | None,
+    want_q: bool,
+    want_nd: bool,
+) -> DataFrame:
+    """Ungrouped exact profile assembled driver-side (r9).
+
+    Jobs: [wide struct agg -> one collected row] + the rank-search jobs
+    of _exact_quantiles_driver (histogram + summary + bounded final
+    collect) + [count_distinct row for non-injective types]. The
+    result is a LOCAL relation in PROFILE_FIELDS order — callers'
+    selects/rounds apply to literals, and the values are bit-identical
+    to the in-plan formulation's (same aggregate expressions, same
+    interpolation arithmetic; collect round-trips IEEE doubles
+    exactly).
+
+    Replaces the r8 plan: agg -> explode -> broadcast-join(quantile
+    relation) -> broadcast-join(distinct melt), whose quantile side
+    cost two redundant melt passes (broken ReusedExchange) plus a
+    dedicated (count, min, max) job. Measured at sf1.0 (local[32],
+    min-of-N): profile_lineitem 5.94s -> see OPTIMIZATION_r09.md.
+    """
+    spark = df.sparkSession
+    hist_cols = (
+        [c for c in columns if _is_numeric(dtypes[c])] if want_q else []
+    )
+    aug = fset
+    if fset is not None and hist_cols:
+        # the rank search needs (n_nonnull, min, max); n_nonnull is
+        # always computed — make sure min/max are too (they are cheap
+        # fused aggregates), and null them back out below if the
+        # caller did not ask for them
+        aug = fset | {"min_num", "max_num"}
+    structs = [
+        column_profile_struct(
+            c, dtypes[c], approx=False, with_quantiles=False, fields=aug,
+        )
+        for c in columns
+    ]
+    wide = df.agg(*structs).collect()[0]
+    srows = {c: wide[f"__p_{c}"] for c in columns}
+
+    stats = {
+        c: (srows[c]["n_nonnull"], srows[c]["min_num"], srows[c]["max_num"])
+        for c in hist_cols
+    }
+    live = [c for c in hist_cols if stats[c][0] > 0]
+    qres = _exact_quantiles_driver(df, live, stats)
+    if qres is None:
+        # pathological fallback (unsplittable over-cap region): the
+        # windowed relation is n_cols rows — collect and merge the same
+        # way
+        rel = _exact_quantile_relation_windowed(df, hist_cols)
+        rows = rel.collect() if rel is not None else []
+        qres = {
+            r["column"]: (
+                (r["__hq_0"], r["__hq_1"], r["__hq_2"]), r["__hnd"]
+            )
+            for r in rows
+        }
+
+    # exact distinct counts: the histogram row count for types whose
+    # double cast is injective (all-null live-less columns get 0 — the
+    # histogram omits them); a dedicated count_distinct scan for the
+    # rest, kept out of the main agg to avoid the EXPAND rewrite
+    # (column_profile_struct docstring)
+    hist_nd = (
+        {c for c in hist_cols if isinstance(dtypes[c], _HIST_DISTINCT_TYPES)}
+        if want_nd and live
+        else set()
+    )
+    cd_cols = [c for c in columns if c not in hist_nd] if want_nd else []
+    cd_vals: dict[str, int] = {}
+    if cd_cols:
+        drow = df.agg(
+            *[
+                F.count_distinct(F.col(c)).alias(f"__d_{i}")
+                for i, c in enumerate(cd_cols)
+            ]
+        ).collect()[0]
+        cd_vals = {c: drow[i] for i, c in enumerate(cd_cols)}
+
+    rows_out = []
+    for c in columns:
+        d = srows[c].asDict()
+        if fset is not None:
+            for f, _ in PROFILE_FIELDS:
+                if f == "column" or f in fset:
+                    continue
+                if want_q and f in ("p25", "p50", "p75"):
+                    continue
+                if want_nd and f in ("n_distinct", "unique_ratio"):
+                    continue
+                d[f] = None
+        if want_q and c in qres:
+            d["p25"], d["p50"], d["p75"] = qres[c][0]
+        if want_nd:
+            nd = (
+                (qres[c][1] if c in qres else 0)
+                if c in hist_nd
+                else cd_vals[c]
+            )
+            nd = int(nd) if nd is not None else None
+            n_rows = d["n_rows"]
+            d["n_distinct"] = nd
+            d["unique_ratio"] = (
+                nd / n_rows if nd is not None and n_rows and n_rows > 0
+                else None
+            )
+        rows_out.append(tuple(d[f] for f, _ in PROFILE_FIELDS))
+    ddl = ", ".join(f"{f} {t}" for f, t in PROFILE_FIELDS)
+    return spark.createDataFrame(rows_out, ddl)
 
 
 def outlier_pct(
