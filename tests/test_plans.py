@@ -26,19 +26,53 @@ def test_filter_pushdown_to_parquet(lineitem):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
 
 
+def _file_bytes_read(spark) -> int:
+    """JVM-global file-scheme FS read counter (Hadoop FileSystem
+    statistics) — lets tests assert column pruning BEHAVIORALLY for the
+    r9 driver-assembled exact profile, whose scans run as eager jobs
+    inside the call (the returned relation is local, so there is no
+    lazy plan with a ReadSchema to inspect)."""
+    total = 0
+    for st in spark._jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics():
+        if st.getScheme() == "file":
+            total += st.getBytesRead()
+    return total
+
+
 def test_column_pruning_excludes_bytes(spark, images_path):
+    import os
+
     images = read_images(spark, images_path)
-    prof = profile(images.drop("bytes"), columns=["w", "h"])
-    plan = _plan(prof)
-    # the parquet ReadSchema must not contain the payload column
+    # approx mode still returns a lazy plan: the parquet ReadSchema must
+    # not contain the payload column (the exact path builds its scans
+    # from the same column selection, so the pruning machinery is one
+    # and the same)
+    plan = _plan(profile(images.drop("bytes"), columns=["w", "h"], approx=True))
     assert "bytes" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # exact ungrouped mode (eager, driver-assembled): profiling (w, h)
+    # must not READ the payload — the bytes column dominates the table's
+    # on-disk size, so total file bytes read must stay far below it
+    payload = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(images_path)
+        for f in fs
+    )
+    before = _file_bytes_read(spark)
+    profile(images.drop("bytes"), columns=["w", "h"]).collect()
+    delta = _file_bytes_read(spark) - before
+    assert delta < payload / 2
 
 
 def test_profile_reads_pruned_schema(lineitem):
-    prof = profile(lineitem, columns=["l_quantity"])
+    prof = profile(lineitem, columns=["l_quantity"], approx=True)
     read_schema = _plan(prof).split("ReadSchema: ")[1].split("\n")[0]
     assert "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema
+    # the exact path must produce the same pruned-column results
+    # (its scans are eager jobs; the pruning proof for eager scans is
+    # test_column_pruning_excludes_bytes' byte-counter assertion)
+    rows = profile(lineitem, columns=["l_quantity"]).collect()
+    assert [r.column for r in rows] == ["l_quantity"]
 
 
 def test_referential_uses_broadcast_join(spark, images_path):
