@@ -311,23 +311,28 @@ def _exact_quantiles_driver(
     already has them from the wide profile aggregate (no extra job).
     ``live`` must only contain columns with n_nonnull > 0.
 
-    Shape:
-    1. ONE scan + ONE narrow shuffle builds the exact value histogram
-       (melt -> ``groupBy(cid, value)``), materialized memory-and-disk
-       for the duration of the call (released before return) — every
-       later step is a filter or tiny aggregation over these rows;
+    Per column (columns run as CONCURRENT driver jobs — an in-session
+    A/B beat the r9-draft single melted 4x-explode job 1.04s vs 1.61s
+    at sf0.1 and 1.44s vs 2.2s at sf1.0: the per-column scans read one
+    column chunk each and overlap, and the rows never carry a column
+    id):
+
+    1. ONE scan + ONE narrow shuffle builds the column's exact value
+       histogram (``groupBy(value)``), materialized memory-and-disk
+       for the call (released before return) — every later step is a
+       filter or tiny aggregation over these rows;
     2. a per-range-bucket ``(n_distinct_values, n_rows)`` summary (~1k
-       rows per column, from the DETERMINISTIC ``width_bucket`` on the
-       literal bounds — monotone in v, so bucket order == value order)
-       is collected; its distinct-row count doubles as the exact
-       distinct count (buckets partition the value space, so
-       per-bucket distincts add). The driver walks the cumulative
-       bucket counts to find which bucket holds each bracketing rank
-       (floor/ceil of (n-1)*p) and that bucket's global rank offset.
-       Any needed bucket with more than _QUANTILE_COLLECT_CAP distinct
-       values is sub-bucketed by another width_bucket pass over just
-       that bucket's value range (a filter over the materialized
-       histogram; log_buckets levels — 2 cover 10^9 distincts);
+       rows, from the DETERMINISTIC ``width_bucket`` on the literal
+       bounds — monotone in v, so bucket order == value order) is
+       collected; its distinct-row count doubles as the exact distinct
+       count (buckets partition the value space, so per-bucket
+       distincts add). The driver walks the cumulative bucket counts
+       to find which bucket holds each bracketing rank (floor/ceil of
+       (n-1)*p) and that bucket's global rank offset. Any needed
+       bucket with more than _QUANTILE_COLLECT_CAP distinct values is
+       sub-bucketed by another width_bucket pass over just that
+       bucket's value range (a filter over the materialized histogram;
+       log_buckets levels — 2 cover 10^9 distincts);
     3. a final job collects ONLY the needed regions' (value, count)
        histogram rows (CAP-bounded); the driver walks them to the
        exact bracketing values and interpolates with the same formula
@@ -341,237 +346,186 @@ def _exact_quantiles_driver(
     cap) — the caller falls back to
     _exact_quantile_relation_windowed, correct at any size.
 
-    A pre-melt repartition of under-split sources was A/B-measured and
-    REJECTED: the extra narrow shuffle cost more than the single-task
-    melt it parallelized (sf1.0 bucket-summary job 1.87s -> 3.74s with
-    the repartition; sf0.1 1.13s -> 1.29s) — the hash-aggregate
-    exchange, not the map side, bounds this job.
+    A pre-histogram repartition of under-split sources was
+    A/B-measured and REJECTED (sf1.0 summary job 1.87s -> 3.74s): the
+    hash-aggregate exchange, not the single-task map side, bounds this
+    job.
 
-    Scale shape: the widest anything gets is the histogram shuffle
-    (bounded by distinct values, not rows) and its bounded
-    materialization; every collect is either the ~1k-per-column bucket
+    Scale shape: the widest anything gets is the per-column value
+    histogram shuffle (bounded by distincts, not rows) and its bounded
+    materialization; every collect is either the ~1k-row bucket
     summary or CAP-bounded region rows; no windows, no joins.
     """
     import math
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
 
     if not live:
         return {}
 
-    melt = (
-        df.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(i).alias("cid"),
-                        F.col(c).cast("double").alias("v"),
-                    )
-                    for i, c in enumerate(live)
-                ])
-            ).alias("s")
-        )
-        .select("s.*")
-        .where(F.col("v").isNotNull())
-    )
-    v = F.col("v")
-
-    def finite_bounds(c: str) -> tuple[float, float] | None:
-        _, mn, mx = stats[c]
-        if (
+    def one_column(c: str):
+        n, mn, mx = stats[c]
+        v = F.col(c).cast("double")
+        degenerate = (
             mn is None or mx is None or mn == mx
             or not (math.isfinite(mn) and math.isfinite(mx))
-        ):
-            return None
-        return mn, mx
+        )
+        hv = F.col("v")
 
-    def bucket_over(lo: float, hi: float) -> Column:
-        b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(buckets))
-        # NaN sorts greatest in SQL ordering; keep it monotone past +max
-        return F.when(F.isnan(v), F.lit(buckets + 2)).otherwise(b)
+        def bucket_over(lo: float, hi: float) -> Column:
+            b = F.width_bucket(hv, F.lit(lo), F.lit(hi), F.lit(buckets))
+            # NaN sorts greatest in SQL ordering; keep it monotone
+            # past +max
+            return F.when(F.isnan(hv), F.lit(buckets + 2)).otherwise(b)
 
-    def sub_bounds(lo: float, hi: float, b: int) -> tuple[float, float] | None:
-        # value range of width_bucket cell b over [lo, hi] — used only
-        # to DEFINE the next sub-bucketing grid, never for membership
-        # (membership is always the same width_bucket expression ==
-        # literal, so float rounding here cannot misplace a value)
-        if not 1 <= b <= buckets:
-            return None  # boundary/NaN cells hold few values; no split
-        w = (hi - lo) / buckets
-        slo, shi = lo + (b - 1) * w, lo + b * w
-        if not (math.isfinite(slo) and math.isfinite(shi) and slo < shi):
-            return None
-        return slo, shi
+        def sub_bounds(lo, hi, b):
+            # value range of width_bucket cell b over [lo, hi] — used
+            # only to DEFINE the next sub-bucketing grid, never for
+            # membership (membership is always the same width_bucket
+            # expression == literal, so float rounding here cannot
+            # misplace a value)
+            if not 1 <= b <= buckets:
+                return None  # boundary/NaN cells hold few values
+            w = (hi - lo) / buckets
+            slo, shi = lo + (b - 1) * w, lo + b * w
+            if not (math.isfinite(slo) and math.isfinite(shi) and slo < shi):
+                return None
+            return slo, shi
 
-    # needed bracketing ranks per live column (0-indexed sorted rank)
-    need_ranks: dict[int, list[int]] = {}
-    for i, c in enumerate(live):
-        n = stats[c][0]
         rs = set()
         for p in probs:
             pos = (n - 1) * p
             rs.add(math.floor(pos))
             rs.add(math.ceil(pos))
-        need_ranks[i] = sorted(rs)
+        need = sorted(rs)
 
-    # per-cid level-1 bucket expressions + the combined case
-    lvl1 = []
-    for i, c in enumerate(live):
-        fb = finite_bounds(c)
-        e = bucket_over(*fb) if fb else F.lit(1)
-        lvl1.append((fb, e))
-    bexpr = None
-    for i, (_, e) in enumerate(lvl1):
-        bexpr = F.when(F.col("cid") == i, e) if bexpr is None else bexpr.when(
-            F.col("cid") == i, e
+        bexpr = F.lit(1) if degenerate else bucket_over(mn, mx)
+        hist = (
+            df.where(v.isNotNull())
+            .groupBy(v.alias("v"))
+            .agg(F.count(F.lit(1)).alias("f"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        try:
+            cells = (
+                hist.groupBy(bexpr.alias("b"))
+                .agg(F.count(F.lit(1)).alias("nd"), F.sum("f").alias("bf"))
+                .collect()
+            )
+            cells = sorted((r.b, r.nd, r.bf) for r in cells)
+            nd_total = sum(nd for _, nd, _ in cells)
 
-    # the exact value histogram is materialized ONCE (memory-and-disk,
-    # released before return): the bucket summary, any refinement
-    # levels, and the final bracketing-row job are all filters/tiny
-    # aggregations over these rows — without the persist each would
-    # replay the full scan+shuffle lineage
-    from pyspark import StorageLevel
-
-    hist = (
-        melt.groupBy("cid", "v")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    try:
-        cells = (
-            hist.withColumn("b", bexpr)
-            .groupBy("cid", "b")
-            .agg(F.count(F.lit(1)).alias("nd"), F.sum("f").alias("bf"))
-            .collect()
-        )
-        by_cid: dict[int, list] = {i: [] for i in range(len(live))}
-        for r in cells:
-            by_cid[r.cid].append((r.b, r.nd, r.bf))
-        for cl in by_cid.values():
-            cl.sort()
-        nd_total = {i: sum(nd for _, nd, _ in by_cid[i]) for i in by_cid}
-
-        # regions: pred is the exact width_bucket membership chain;
-        # offset the region's global rank offset; ranks the needed
-        # global ranks that fall inside it
-        regions = []
-        for i in range(len(live)):
-            fb, e = lvl1[i]
+            # regions: pred is the exact width_bucket membership chain;
+            # offset the region's global rank offset; ranks the needed
+            # global ranks inside it
+            regions = []
             cum = 0
-            it = iter(need_ranks[i])
+            it = iter(need)
             want = next(it, None)
-            for b, nd, bf in by_cid[i]:
+            for b, nd, bf in cells:
                 inside = []
                 while want is not None and cum <= want < cum + bf:
                     inside.append(want)
                     want = next(it, None)
                 if inside:
                     regions.append({
-                        "cid": i,
-                        "pred": (F.col("cid") == i) & (e == F.lit(int(b))),
-                        "bounds": sub_bounds(*fb, int(b)) if fb else None,
+                        "pred": bexpr == F.lit(int(b)),
+                        "bounds": None if degenerate
+                        else sub_bounds(mn, mx, int(b)),
                         "nd": nd,
                         "offset": cum,
                         "ranks": inside,
                     })
                 cum += bf
-        if any(r["nd"] > _QUANTILE_COLLECT_CAP and r["bounds"] is None
-               for r in regions):
-            # pathological: an unsplittable (non-finite-bounds) region
-            # too big to collect — caller falls back to the windowed
-            # formulation, which handles any size
-            return None
+            if any(r["nd"] > _QUANTILE_COLLECT_CAP and r["bounds"] is None
+                   for r in regions):
+                return None  # unsplittable over-cap region -> fallback
 
-        # --- refine oversized regions: one histogram-filter job per
-        # level ---
-        while any(r["nd"] > _QUANTILE_COLLECT_CAP for r in regions):
-            big = [r for r in regions if r["nd"] > _QUANTILE_COLLECT_CAP]
-            keep = [r for r in regions if r["nd"] <= _QUANTILE_COLLECT_CAP]
-            pred = big[0]["pred"]
-            for r in big[1:]:
-                pred = pred | r["pred"]
-            rid = None
-            sub = None
-            subs = [bucket_over(*r["bounds"]) for r in big]
-            for k, r in enumerate(big):
-                rid = F.when(r["pred"], F.lit(k)) if rid is None else rid.when(
-                    r["pred"], F.lit(k)
+            # refine oversized regions: one histogram-filter job per
+            # level
+            while any(r["nd"] > _QUANTILE_COLLECT_CAP for r in regions):
+                big = [r for r in regions
+                       if r["nd"] > _QUANTILE_COLLECT_CAP]
+                keep = [r for r in regions
+                        if r["nd"] <= _QUANTILE_COLLECT_CAP]
+                pred = big[0]["pred"]
+                for r in big[1:]:
+                    pred = pred | r["pred"]
+                rid = None
+                sub = None
+                subs = [bucket_over(*r["bounds"]) for r in big]
+                for k, r in enumerate(big):
+                    rid = (F.when(r["pred"], F.lit(k)) if rid is None
+                           else rid.when(r["pred"], F.lit(k)))
+                    sub = (F.when(r["pred"], subs[k]) if sub is None
+                           else sub.when(r["pred"], subs[k]))
+                rows = (
+                    hist.where(pred)
+                    .groupBy(rid.alias("rid"), sub.alias("sb"))
+                    .agg(F.count(F.lit(1)).alias("nd"),
+                         F.sum("f").alias("bf"))
+                    .collect()
                 )
-                sub = F.when(r["pred"], subs[k]) if sub is None else sub.when(
-                    r["pred"], subs[k]
-                )
-            rows = (
-                hist.where(pred)
-                .groupBy(rid.alias("rid"), sub.alias("sb"))
-                .agg(F.count(F.lit(1)).alias("nd"), F.sum("f").alias("bf"))
-                .collect()
-            )
-            sub_cells: dict[int, list] = {k: [] for k in range(len(big))}
-            for r in rows:
-                sub_cells[r.rid].append((r.sb, r.nd, r.bf))
-            for cl in sub_cells.values():
-                cl.sort()
-            regions = keep
-            for k, parent in enumerate(big):
-                cum = parent["offset"]
-                it = iter(parent["ranks"])
-                want = next(it, None)
-                for sb, nd, bf in sub_cells[k]:
-                    inside = []
-                    while want is not None and cum <= want < cum + bf:
-                        inside.append(want)
-                        want = next(it, None)
-                    if inside:
-                        nb = sub_bounds(*parent["bounds"], int(sb))
-                        if nb is None and nd > _QUANTILE_COLLECT_CAP:
-                            return None
-                        regions.append({
-                            "cid": parent["cid"],
-                            "pred": parent["pred"]
-                            & (subs[k] == F.lit(int(sb))),
-                            "bounds": nb,
-                            "nd": nd,
-                            "offset": cum,
-                            "ranks": inside,
-                        })
-                    cum += bf
+                sub_cells: dict[int, list] = {k: [] for k in range(len(big))}
+                for r in rows:
+                    sub_cells[r.rid].append((r.sb, r.nd, r.bf))
+                for cl in sub_cells.values():
+                    cl.sort()
+                regions = keep
+                for k, parent in enumerate(big):
+                    cum = parent["offset"]
+                    it = iter(parent["ranks"])
+                    want = next(it, None)
+                    for sb, nd, bf in sub_cells[k]:
+                        inside = []
+                        while want is not None and cum <= want < cum + bf:
+                            inside.append(want)
+                            want = next(it, None)
+                        if inside:
+                            nb = sub_bounds(*parent["bounds"], int(sb))
+                            if nb is None and nd > _QUANTILE_COLLECT_CAP:
+                                return None
+                            regions.append({
+                                "pred": parent["pred"]
+                                & (subs[k] == F.lit(int(sb))),
+                                "bounds": nb,
+                                "nd": nd,
+                                "offset": cum,
+                                "ranks": inside,
+                            })
+                        cum += bf
 
-        # --- final job: the needed regions' exact (value, count) rows
-        rank_val: dict[int, dict[int, float]] = {
-            i: {} for i in range(len(live))
-        }
-        if regions:
-            pred = regions[0]["pred"]
-            for r in regions[1:]:
-                pred = pred | r["pred"]
-            rid = None
-            for k, r in enumerate(regions):
-                rid = F.when(r["pred"], F.lit(k)) if rid is None else rid.when(
-                    r["pred"], F.lit(k)
-                )
-            rows = hist.where(pred).select(
-                rid.alias("rid"), "v", "f"
-            ).collect()
-            vals: dict[int, list] = {k: [] for k in range(len(regions))}
-            for r in rows:
-                vals[r.rid].append((r.v, r.f))
-            for k, region in enumerate(regions):
-                cum = region["offset"]
-                it = iter(region["ranks"])
-                want = next(it, None)
-                for vv, f in sorted(
-                    vals[k], key=lambda t: (math.isnan(t[0]), t[0])
-                ):
-                    while want is not None and cum <= want < cum + f:
-                        rank_val[region["cid"]][want] = vv
-                        want = next(it, None)
-                    cum += f
-    finally:
-        hist.unpersist()
+            # final job: the needed regions' exact (value, count) rows
+            rank_val: dict[int, float] = {}
+            if regions:
+                pred = regions[0]["pred"]
+                for r in regions[1:]:
+                    pred = pred | r["pred"]
+                rid = None
+                for k, r in enumerate(regions):
+                    rid = (F.when(r["pred"], F.lit(k)) if rid is None
+                           else rid.when(r["pred"], F.lit(k)))
+                rows = hist.where(pred).select(
+                    rid.alias("rid"), "v", "f"
+                ).collect()
+                vals: dict[int, list] = {k: [] for k in range(len(regions))}
+                for r in rows:
+                    vals[r.rid].append((r.v, r.f))
+                for k, region in enumerate(regions):
+                    cum = region["offset"]
+                    it = iter(region["ranks"])
+                    want = next(it, None)
+                    for vv, f in sorted(
+                        vals[k], key=lambda t: (math.isnan(t[0]), t[0])
+                    ):
+                        while want is not None and cum <= want < cum + f:
+                            rank_val[want] = vv
+                            want = next(it, None)
+                        cum += f
+        finally:
+            hist.unpersist()
 
-    out: dict[str, tuple[tuple[float, ...], int]] = {}
-    for i, c in enumerate(live):
-        n = stats[c][0]
-        rv = rank_val[i]
         qs = []
         for p in probs:
             # Spark Percentile.getPercentile interpolation, identical
@@ -579,14 +533,19 @@ def _exact_quantiles_driver(
             pos = (n - 1) * p
             lo, hi = math.floor(pos), math.ceil(pos)
             if lo == hi:
-                qs.append(float(rv[lo]))
+                qs.append(float(rank_val[lo]))
             else:
                 qs.append(
-                    (float(hi) - pos) * float(rv[lo])
-                    + (pos - float(lo)) * float(rv[hi])
+                    (float(hi) - pos) * float(rank_val[lo])
+                    + (pos - float(lo)) * float(rank_val[hi])
                 )
-        out[c] = (tuple(qs), int(nd_total[i]))
-    return out
+        return tuple(qs), int(nd_total)
+
+    with ThreadPoolExecutor(max_workers=min(len(live), 8)) as pool:
+        results = list(pool.map(one_column, live))
+    if any(r is None for r in results):
+        return None
+    return dict(zip(live, results))
 
 
 def _exact_quantile_relation_windowed(
