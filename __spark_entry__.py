@@ -385,13 +385,12 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME sketch-derived equi-mass edges. A collapsed sketch, a
     broken merge, or a mis-built grid-ECDF fails both.
 
-    r9 harness shape (identical values, faster wall-clock): the
-    sketch-estimate leg (merge + grid ECDF + edge rebuild) and the
-    exact-KS leg (distinct-value counts + global cumsum) are
-    independent, so they run as concurrent driver jobs (standard
-    multi-job scheduling — the same pattern plans/pipeline.py uses);
-    only the exact-PSI bin masses, which need both legs' outputs, run
-    after the join point."""
+    r9 harness shape (identical values, faster wall-clock): three
+    independent legs run as concurrent driver jobs (standard multi-job
+    scheduling — the same pattern plans/pipeline.py uses): the sketch
+    estimate; the edge rebuild + exact-PSI bin masses (needs only the
+    sketches and the counts relation, not the estimate); and the
+    exact-KS global cumsum. The final PSI comparison joins all three."""
     import math
     from concurrent.futures import ThreadPoolExecutor
 
@@ -422,16 +421,23 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     def leg_est():
-        # sketch estimate + the sketch-derived equi-mass edges (same
-        # construction drift_from_sketches reads off its baseline grid
-        # — see the edge_grid_indices note below)
+        # the sketch estimate (triggers the persisted sketch relation's
+        # materialization; a concurrent leg computing the same cached
+        # blocks just block-waits)
+        return drift_from_sketches(base_sk, cur_sk).collect()[0]
+
+    def leg_edges_bins():
+        # sketch-derived equi-mass edges (same construction
+        # drift_from_sketches reads off its baseline grid) + the exact
+        # bin masses on those edges from the persisted distinct-value
+        # counts — no raw events rescan; identical sums to binning raw
+        # rows. Independent of the estimate leg, so it runs alongside.
         from advanced_data_profile_spark.operators.drift import (
             DEFAULT_N_BINS,
             DEFAULT_N_GRID,
             edge_grid_indices,
         )
 
-        est = drift_from_sketches(base_sk, cur_sk).collect()[0]
         n_bins, n_grid = DEFAULT_N_BINS, DEFAULT_N_GRID
         # qb[i] == Q((i-0.5)/n_grid) at the SHARED edge_grid_indices
         # mapping, so the getter probs here reproduce those edges
@@ -449,7 +455,14 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ).collect()[0]
         )
-        return est, n_bins, edges
+        binc = sum(
+            ((F.col("value") > F.lit(float(e))).cast("int") for e in edges),
+            F.lit(0),
+        )
+        binsum = counts.groupBy(binc.alias("bin")).agg(
+            F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+        ).collect()
+        return n_bins, binsum
 
     def leg_exact_ks():
         # exact two-sample KS: global sort/cumsum over distinct values.
@@ -476,22 +489,14 @@ def q_drift_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         return tot.g, tot
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         f_est = pool.submit(leg_est)
+        f_eb = pool.submit(leg_edges_bins)
         f_ks = pool.submit(leg_exact_ks)
-        est, n_bins, edges = f_est.result()
+        est = f_est.result()
+        n_bins, binsum = f_eb.result()
         ks_exact, tot = f_ks.result()
 
-    # exact bin masses on the sketch-derived edges from the persisted
-    # distinct-value counts — no raw events rescan; identical sums to
-    # binning the raw rows
-    binc = sum(
-        ((F.col("value") > F.lit(float(e))).cast("int") for e in edges),
-        F.lit(0),
-    )
-    binsum = counts.groupBy(binc.alias("bin")).agg(
-        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
-    ).collect()
     bins_a = {r.bin: r.ca for r in binsum}
     bins_b = {r.bin: r.cb for r in binsum}
     eps = 1e-6
