@@ -115,14 +115,6 @@ def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, _NUMERIC_TYPES)
 
 
-# types whose cast to double is injective, so the exact-quantile value
-# histogram doubles as an exact distinct count (long/decimal can collapse
-# above 2^53 / 15 significant digits and keep the dedicated pass)
-_HIST_DISTINCT_TYPES = (
-    T.ByteType, T.ShortType, T.IntegerType, T.FloatType, T.DoubleType,
-)
-
-
 def _is_time(dt: T.DataType) -> bool:
     return isinstance(dt, _TIME_TYPES)
 
@@ -289,6 +281,15 @@ _QUANTILE_PROBS = (0.25, 0.5, 0.75)
 # this is sub-bucketed in another (cheap, filter-pushed) pass instead —
 # bounds driver memory by CAP x (a few regions) regardless of scale
 _QUANTILE_COLLECT_CAP = 1 << 17
+# max region ROW count for which the guarded distinct collect is tried
+# before sub-bucket refinement: under this bound a wasted attempt (the
+# region turns out to hold > CAP distinct values) costs one bounded
+# sub-second aggregation, while a successful one saves the whole
+# refinement cascade a hot value would otherwise cause
+# (log_buckets(range/ulp) raw scans); above it, refinement goes first
+# so an over-cap-distinct region never aggregates unboundedly many
+# values just to trip the limit
+_QUANTILE_ATTEMPT_ROW_CAP = 1 << 22
 
 
 def _exact_quantiles_driver(
@@ -297,15 +298,25 @@ def _exact_quantiles_driver(
     stats: dict[str, tuple[int, float | None, float | None]],
     probs: tuple[float, ...] = _QUANTILE_PROBS,
     buckets: int = _QUANTILE_BUCKETS,
-) -> dict[str, tuple[tuple[float, ...], int]] | None:
-    """Exact quantiles + exact distinct counts for numeric columns via
-    a bucketed rank search finished DRIVER-side — the replacement for
-    both ``F.percentile`` (a TypedImperativeAggregate whose boxed
+) -> dict[str, tuple[float, ...]] | None:
+    """Exact quantiles for numeric columns via a bucketed rank search
+    over RAW value scans, finished DRIVER-side — the replacement for
+    ``F.percentile`` (a TypedImperativeAggregate whose boxed
     value->count map merges single-threaded: ~13s on one 4.5M-distinct
-    double at sf1.0) and the r8 window/join formulation (whose
+    double at sf1.0), for the r8 window/join formulation (whose
     per-bucket-offset side re-built the melt histogram from raw
     because diverging pushed filters broke the intended ReusedExchange
-    — two full extra passes, 4.9s of a 5.0s profile at sf1.0).
+    — two full extra passes, 4.9s of a 5.0s profile at sf1.0), and for
+    the first r9 draft that materialized the full exact value
+    histogram (groupBy(value), persisted): building + caching a
+    distincts-sized relation cost ~1.5-1.8s on the 5.8M-distinct
+    column at sf1.0, while the rank search only ever needs ~1k-row
+    bucket summaries and CAP-bounded bracketing regions — both
+    computable from raw scans with map-side combine (0.27s + 0.3s
+    measured), and the exact distinct count now comes from the
+    caller's concurrent count_distinct leg instead of the histogram's
+    row count. At 100 TB the difference is starker still: no
+    distincts-sized cached relation exists at any point.
 
     ``stats[c] = (n_nonnull, min, max)`` — supplied by the caller, who
     already has them from the wide profile aggregate (no extra job).
@@ -317,49 +328,57 @@ def _exact_quantiles_driver(
     column chunk each and overlap, and the rows never carry a column
     id):
 
-    1. ONE scan + ONE narrow shuffle builds the column's exact value
-       histogram (``groupBy(value)``), materialized memory-and-disk
-       for the call (released before return) — every later step is a
-       filter or tiny aggregation over these rows;
-    2. a per-range-bucket ``(n_distinct_values, n_rows)`` summary (~1k
-       rows, from the DETERMINISTIC ``width_bucket`` on the literal
-       bounds — monotone in v, so bucket order == value order) is
-       collected; its distinct-row count doubles as the exact distinct
-       count (buckets partition the value space, so per-bucket
-       distincts add). The driver walks the cumulative bucket counts
-       to find which bucket holds each bracketing rank (floor/ceil of
-       (n-1)*p) and that bucket's global rank offset. Any needed
-       bucket with more than _QUANTILE_COLLECT_CAP distinct values is
+    1. ONE scan aggregates per-range-bucket row counts (~1k rows, from
+       the DETERMINISTIC ``width_bucket`` on the literal bounds —
+       monotone in v, so bucket order == value order; 1k groups means
+       map-side partial aggregation collapses the shuffle to ~1k rows
+       per task). The driver walks the cumulative bucket counts to
+       find which bucket holds each bracketing rank (floor/ceil of
+       (n-1)*p) and that bucket's global rank offset.
+    2. A needed bucket with more than _QUANTILE_COLLECT_CAP ROWS but
+       at most _QUANTILE_ATTEMPT_ROW_CAP of them is first resolved by
+       a GUARDED distinct collect (one fused groupBy(v).count() job
+       over all such regions, limited to regions x CAP + 1 rows):
+       over-cap row counts at in-cap row volume are the HOT-VALUE
+       signature (a low-cardinality column concentrates its whole
+       mass on a few buckets), and sub-bucketing a hot value would
+       recurse log_buckets(range/ulp) levels for nothing. Only a
+       region that genuinely holds more distinct values than the cap
+       (the guarded collect overflows), or more rows than the attempt
+       bound (so the wasted aggregation would not be cheap), is
        sub-bucketed by another width_bucket pass over just that
-       bucket's value range (a filter over the materialized histogram;
-       log_buckets levels — 2 cover 10^9 distincts);
-    3. a final job collects ONLY the needed regions' (value, count)
-       histogram rows (CAP-bounded); the driver walks them to the
-       exact bracketing values and interpolates with the same formula
+       bucket's value range (a raw scan with the same membership
+       predicate; log_buckets levels — 2 cover 10^9 rows). An
+       unsplittable over-cap region (NaN / boundary cells, or a range
+       narrowed below 1 ulp) whose guarded collect overflows falls
+       back.
+    3. a final job aggregates ONLY the needed regions' (value, count)
+       rows from raw (CAP-bounded: each region holds <= CAP rows, so
+       <= CAP distinct values); the driver walks them to the exact
+       bracketing values and interpolates with the same formula
        Spark's Percentile.getPercentile uses ((hi - pos) * v_lo +
        (pos - lo) * v_hi) in the same IEEE double arithmetic, so
        results are bit-identical to the in-plan formulation's.
 
-    Returns ``{column: ((q_per_prob...), n_distinct)}``, or None for
-    the pathological case it cannot bound (a needed bracketing region
-    with non-finite bounds AND more distinct values than the collect
-    cap) — the caller falls back to
-    _exact_quantile_relation_windowed, correct at any size.
+    Returns ``{column: (q_per_prob...)}``, or None for the
+    pathological case it cannot bound (a needed unsplittable region
+    with more distinct values than the collect cap) — the caller
+    falls back to _exact_quantile_relation_windowed, correct at any
+    size.
 
     A pre-histogram repartition of under-split sources was
     A/B-measured and REJECTED (sf1.0 summary job 1.87s -> 3.74s): the
     hash-aggregate exchange, not the single-task map side, bounds this
     job.
 
-    Scale shape: the widest anything gets is the per-column value
-    histogram shuffle (bounded by distincts, not rows) and its bounded
-    materialization; every collect is either the ~1k-row bucket
-    summary or CAP-bounded region rows; no windows, no joins.
+    Scale shape: every Spark job here is a raw scan + a
+    map-side-combined aggregation whose group count is <= buckets per
+    refinement level (plus the CAP-bounded final/guarded collects);
+    nothing distincts-sized is ever shuffled, cached, or collected; no
+    windows, no joins.
     """
     import math
     from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import StorageLevel
 
     if not live:
         return {}
@@ -371,6 +390,7 @@ def _exact_quantiles_driver(
             mn is None or mx is None or mn == mx
             or not (math.isfinite(mn) and math.isfinite(mx))
         )
+        raw = df.where(v.isNotNull()).select(v.alias("v"))
         hv = F.col("v")
 
         def bucket_over(lo: float, hi: float) -> Column:
@@ -400,131 +420,186 @@ def _exact_quantiles_driver(
             rs.add(math.ceil(pos))
         need = sorted(rs)
 
-        bexpr = F.lit(1) if degenerate else bucket_over(mn, mx)
-        hist = (
-            df.where(v.isNotNull())
-            .groupBy(v.alias("v"))
-            .agg(F.count(F.lit(1)).alias("f"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        try:
-            cells = (
-                hist.groupBy(bexpr.alias("b"))
-                .agg(F.count(F.lit(1)).alias("nd"), F.sum("f").alias("bf"))
+        rank_val: dict[int, float] = {}
+
+        def walk(region, rows):
+            # rows: (value, count) pairs covering the region; assign
+            # the region's needed global ranks by cumulative count in
+            # value order
+            cum = region["offset"]
+            it = iter(region["ranks"])
+            want = next(it, None)
+            for vv, f in sorted(rows, key=lambda t: (math.isnan(t[0]), t[0])):
+                while want is not None and cum <= want < cum + f:
+                    rank_val[want] = vv
+                    want = next(it, None)
+                cum += f
+
+        def attempt(region) -> bool:
+            # guarded distinct collect for one over-cap region:
+            # succeeds iff the region's DISTINCT count fits the cap
+            # (hot-value regions: huge row count, few values)
+            rows = (
+                raw.where(region["pred"])
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("f"))
+                .limit(_QUANTILE_COLLECT_CAP + 1)
                 .collect()
             )
-            cells = sorted((r.b, r.nd, r.bf) for r in cells)
-            nd_total = sum(nd for _, nd, _ in cells)
+            if len(rows) > _QUANTILE_COLLECT_CAP:
+                return False
+            walk(region, [(r.v, r.f) for r in rows])
+            return True
 
-            # regions: pred is the exact width_bucket membership chain;
-            # offset the region's global rank offset; ranks the needed
-            # global ranks inside it
-            regions = []
-            cum = 0
-            it = iter(need)
-            want = next(it, None)
-            for b, nd, bf in cells:
-                inside = []
-                while want is not None and cum <= want < cum + bf:
-                    inside.append(want)
-                    want = next(it, None)
-                if inside:
-                    regions.append({
-                        "pred": bexpr == F.lit(int(b)),
-                        "bounds": None if degenerate
-                        else sub_bounds(mn, mx, int(b)),
-                        "nd": nd,
-                        "offset": cum,
-                        "ranks": inside,
-                    })
-                cum += bf
-            if any(r["nd"] > _QUANTILE_COLLECT_CAP and r["bounds"] is None
-                   for r in regions):
-                return None  # unsplittable over-cap region -> fallback
-
-            # refine oversized regions: one histogram-filter job per
-            # level
-            while any(r["nd"] > _QUANTILE_COLLECT_CAP for r in regions):
-                big = [r for r in regions
-                       if r["nd"] > _QUANTILE_COLLECT_CAP]
-                keep = [r for r in regions
-                        if r["nd"] <= _QUANTILE_COLLECT_CAP]
-                pred = big[0]["pred"]
-                for r in big[1:]:
-                    pred = pred | r["pred"]
-                rid = None
-                sub = None
-                subs = [bucket_over(*r["bounds"]) for r in big]
-                for k, r in enumerate(big):
-                    rid = (F.when(r["pred"], F.lit(k)) if rid is None
-                           else rid.when(r["pred"], F.lit(k)))
-                    sub = (F.when(r["pred"], subs[k]) if sub is None
-                           else sub.when(r["pred"], subs[k]))
-                rows = (
-                    hist.where(pred)
-                    .groupBy(rid.alias("rid"), sub.alias("sb"))
-                    .agg(F.count(F.lit(1)).alias("nd"),
-                         F.sum("f").alias("bf"))
-                    .collect()
-                )
-                sub_cells: dict[int, list] = {k: [] for k in range(len(big))}
-                for r in rows:
-                    sub_cells[r.rid].append((r.sb, r.nd, r.bf))
-                for cl in sub_cells.values():
-                    cl.sort()
-                regions = keep
-                for k, parent in enumerate(big):
-                    cum = parent["offset"]
-                    it = iter(parent["ranks"])
-                    want = next(it, None)
-                    for sb, nd, bf in sub_cells[k]:
-                        inside = []
-                        while want is not None and cum <= want < cum + bf:
-                            inside.append(want)
-                            want = next(it, None)
-                        if inside:
-                            nb = sub_bounds(*parent["bounds"], int(sb))
-                            if nb is None and nd > _QUANTILE_COLLECT_CAP:
-                                return None
-                            regions.append({
-                                "pred": parent["pred"]
-                                & (subs[k] == F.lit(int(sb))),
-                                "bounds": nb,
-                                "nd": nd,
-                                "offset": cum,
-                                "ranks": inside,
-                            })
-                        cum += bf
-
-            # final job: the needed regions' exact (value, count) rows
-            rank_val: dict[int, float] = {}
-            if regions:
-                pred = regions[0]["pred"]
-                for r in regions[1:]:
-                    pred = pred | r["pred"]
-                rid = None
-                for k, r in enumerate(regions):
-                    rid = (F.when(r["pred"], F.lit(k)) if rid is None
-                           else rid.when(r["pred"], F.lit(k)))
-                rows = hist.where(pred).select(
-                    rid.alias("rid"), "v", "f"
-                ).collect()
+        def attempt_many(regions) -> list:
+            # fused guarded distinct collect (ONE job for all
+            # candidate regions); returns the regions it could NOT
+            # resolve. If the fused limit trips, each region is
+            # retried alone so a single over-cap-distinct region does
+            # not drag its hot-value siblings into refinement.
+            pred = regions[0]["pred"]
+            for r in regions[1:]:
+                pred = pred | r["pred"]
+            rid = None
+            for k, r in enumerate(regions):
+                rid = (F.when(r["pred"], F.lit(k)) if rid is None
+                       else rid.when(r["pred"], F.lit(k)))
+            bound = len(regions) * _QUANTILE_COLLECT_CAP
+            rows = (
+                raw.where(pred)
+                .groupBy(rid.alias("rid"), "v")
+                .agg(F.count(F.lit(1)).alias("f"))
+                .limit(bound + 1)
+                .collect()
+            )
+            if len(rows) <= bound:
                 vals: dict[int, list] = {k: [] for k in range(len(regions))}
                 for r in rows:
                     vals[r.rid].append((r.v, r.f))
                 for k, region in enumerate(regions):
-                    cum = region["offset"]
-                    it = iter(region["ranks"])
-                    want = next(it, None)
-                    for vv, f in sorted(
-                        vals[k], key=lambda t: (math.isnan(t[0]), t[0])
-                    ):
-                        while want is not None and cum <= want < cum + f:
-                            rank_val[want] = vv
-                            want = next(it, None)
-                        cum += f
-        finally:
-            hist.unpersist()
+                    walk(region, vals[k])
+                return []
+            return [r for r in regions if not attempt(r)]
+
+        bexpr = F.lit(1) if degenerate else bucket_over(mn, mx)
+        cells = (
+            raw.groupBy(bexpr.alias("b"))
+            .agg(F.count(F.lit(1)).alias("bf"))
+            .collect()
+        )
+        cells = sorted((r.b, r.bf) for r in cells)
+
+        # regions: pred is the exact width_bucket membership chain;
+        # offset the region's global rank offset; ranks the needed
+        # global ranks inside it
+        pending = []
+        cum = 0
+        it = iter(need)
+        want = next(it, None)
+        for b, bf in cells:
+            inside = []
+            while want is not None and cum <= want < cum + bf:
+                inside.append(want)
+                want = next(it, None)
+            if inside:
+                pending.append({
+                    "pred": bexpr == F.lit(int(b)),
+                    "bounds": None if degenerate
+                    else sub_bounds(mn, mx, int(b)),
+                    "bf": bf,
+                    "offset": cum,
+                    "ranks": inside,
+                })
+            cum += bf
+
+        # resolve/refine oversized regions (at most two jobs per
+        # level: one fused guarded collect, one fused sub-bucket
+        # pass); the loop terminates because each level divides a
+        # finite double range by `buckets` until sub_bounds
+        # degenerates (-> guarded collect or fallback)
+        final_regions = []
+        while pending:
+            final_regions.extend(
+                r for r in pending if r["bf"] <= _QUANTILE_COLLECT_CAP
+            )
+            over = [r for r in pending if r["bf"] > _QUANTILE_COLLECT_CAP]
+            att = [
+                r for r in over
+                if r["bounds"] is None
+                or r["bf"] <= _QUANTILE_ATTEMPT_ROW_CAP
+            ]
+            att_ids = {id(r) for r in att}
+            big = [r for r in over if id(r) not in att_ids]
+            for r in (attempt_many(att) if att else []):
+                if r["bounds"] is None:
+                    return None  # over-cap distincts, unsplittable
+                big.append(r)
+            if not big:
+                break
+            pred = big[0]["pred"]
+            for r in big[1:]:
+                pred = pred | r["pred"]
+            rid = None
+            sub = None
+            subs = [bucket_over(*r["bounds"]) for r in big]
+            for k, r in enumerate(big):
+                rid = (F.when(r["pred"], F.lit(k)) if rid is None
+                       else rid.when(r["pred"], F.lit(k)))
+                sub = (F.when(r["pred"], subs[k]) if sub is None
+                       else sub.when(r["pred"], subs[k]))
+            rows = (
+                raw.where(pred)
+                .groupBy(rid.alias("rid"), sub.alias("sb"))
+                .agg(F.count(F.lit(1)).alias("bf"))
+                .collect()
+            )
+            sub_cells: dict[int, list] = {k: [] for k in range(len(big))}
+            for r in rows:
+                sub_cells[r.rid].append((r.sb, r.bf))
+            for cl in sub_cells.values():
+                cl.sort()
+            pending = []
+            for k, parent in enumerate(big):
+                cum = parent["offset"]
+                it = iter(parent["ranks"])
+                want = next(it, None)
+                for sb, bf in sub_cells[k]:
+                    inside = []
+                    while want is not None and cum <= want < cum + bf:
+                        inside.append(want)
+                        want = next(it, None)
+                    if inside:
+                        pending.append({
+                            "pred": parent["pred"]
+                            & (subs[k] == F.lit(int(sb))),
+                            "bounds": sub_bounds(*parent["bounds"], int(sb)),
+                            "bf": bf,
+                            "offset": cum,
+                            "ranks": inside,
+                        })
+                    cum += bf
+
+        # final job: the needed regions' exact (value, count) rows,
+        # aggregated from raw (each region <= CAP rows by construction)
+        if final_regions:
+            pred = final_regions[0]["pred"]
+            for r in final_regions[1:]:
+                pred = pred | r["pred"]
+            rid = None
+            for k, r in enumerate(final_regions):
+                rid = (F.when(r["pred"], F.lit(k)) if rid is None
+                       else rid.when(r["pred"], F.lit(k)))
+            rows = (
+                raw.where(pred)
+                .groupBy(rid.alias("rid"), "v")
+                .agg(F.count(F.lit(1)).alias("f"))
+                .collect()
+            )
+            vals: dict[int, list] = {k: [] for k in range(len(final_regions))}
+            for r in rows:
+                vals[r.rid].append((r.v, r.f))
+            for k, region in enumerate(final_regions):
+                walk(region, vals[k])
 
         qs = []
         for p in probs:
@@ -539,7 +614,7 @@ def _exact_quantiles_driver(
                     (float(hi) - pos) * float(rank_val[lo])
                     + (pos - float(lo)) * float(rank_val[hi])
                 )
-        return tuple(qs), int(nd_total)
+        return tuple(qs)
 
     with ThreadPoolExecutor(max_workers=min(len(live), 8)) as pool:
         results = list(pool.map(one_column, live))
@@ -738,13 +813,14 @@ def profile(
       (per-group maps are small — grouping is partition-grained by
       contract) + a count_distinct pass joined back.
     - exact ungrouped (r9): assembled DRIVER-side as a local relation
-      (_profile_exact_ungrouped_local) — the wide struct agg is
-      collected (one row), numeric quantiles/distincts come from the
-      bucketed rank search over the materialized value histogram
-      (_exact_quantiles_driver), remaining distincts from a collected
-      count_distinct row. No melt/explode plan, no broadcast joins,
-      and no separate (count, min, max) pre-job — the collected
-      structs already carry those.
+      (_profile_exact_ungrouped_local) from three CONCURRENT legs —
+      the wide struct agg (one collected row), exact distinct counts
+      (per-column count_distinct jobs, or one fused agg when many
+      columns), and the bucketed rank search over raw scans
+      (_exact_quantiles_driver). No melt/explode plan, no broadcast
+      joins, no materialized value histogram, and no separate
+      (count, min, max) pre-job — the collected structs already carry
+      those.
     """
     if fields is not None:
         known = {f for f, _ in PROFILE_FIELDS}
@@ -857,14 +933,31 @@ def _profile_exact_ungrouped_local(
 ) -> DataFrame:
     """Ungrouped exact profile assembled driver-side (r9).
 
-    Jobs: [wide struct agg -> one collected row] + the rank-search jobs
-    of _exact_quantiles_driver (histogram + summary + bounded final
-    collect) + [count_distinct row for non-injective types]. The
-    result is a LOCAL relation in PROFILE_FIELDS order — callers'
+    Three CONCURRENT legs (driver threads — the multi-job pattern used
+    throughout plans/pipeline.py), then a LOCAL relation:
+
+    - wide struct agg -> one collected row (counts/moments/min/max);
+    - exact distinct counts: a count_distinct scan per column when few
+      columns (the per-column jobs overlap each other and both other
+      legs; no EXPAND), or ONE fused count_distinct agg when many (the
+      r5 A/B-kept expand scan — 22 per-column scans would thrash);
+      this leg depends on nothing and nothing depends on it until
+      assembly, so it runs entirely under the other legs' wall time
+      minus contention;
+    - the bucketed rank search of _exact_quantiles_driver (bucket
+      summary + bounded final collect from raw scans), which needs
+      only (n_nonnull, min, max) from the wide row.
+
+    The result rows are values in PROFILE_FIELDS order — callers'
     selects/rounds apply to literals, and the values are bit-identical
     to the in-plan formulation's (same aggregate expressions, same
     interpolation arithmetic; collect round-trips IEEE doubles
-    exactly).
+    exactly). n_distinct semantics per column are count_distinct over
+    the ORIGINAL column values for every column (the pre-r9 split —
+    histogram row count for injective-cast types, count_distinct for
+    the rest — computed the same numbers: a cast that is injective
+    preserves distinct counts, and groupBy/count_distinct normalize
+    NaN and -0.0 identically).
 
     Replaces the r8 plan: agg -> explode -> broadcast-join(quantile
     relation) -> broadcast-join(distinct melt), whose quantile side
@@ -872,6 +965,8 @@ def _profile_exact_ungrouped_local(
     dedicated (count, min, max) job. Measured at sf1.0 (local[32],
     min-of-N): profile_lineitem 5.94s -> see OPTIMIZATION_r09.md.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = df.sparkSession
     hist_cols = (
         [c for c in columns if _is_numeric(dtypes[c])] if want_q else []
@@ -889,48 +984,53 @@ def _profile_exact_ungrouped_local(
         )
         for c in columns
     ]
-    wide = df.agg(*structs).collect()[0]
-    srows = {c: wide[f"__p_{c}"] for c in columns}
 
-    stats = {
-        c: (srows[c]["n_nonnull"], srows[c]["min_num"], srows[c]["max_num"])
-        for c in hist_cols
-    }
-    live = [c for c in hist_cols if stats[c][0] > 0]
-    qres = _exact_quantiles_driver(df, live, stats)
-    if qres is None:
-        # pathological fallback (unsplittable over-cap region): the
-        # windowed relation is n_cols rows — collect and merge the same
-        # way
-        rel = _exact_quantile_relation_windowed(df, hist_cols)
-        rows = rel.collect() if rel is not None else []
-        qres = {
-            r["column"]: (
-                (r["__hq_0"], r["__hq_1"], r["__hq_2"]), r["__hnd"]
-            )
-            for r in rows
-        }
-
-    # exact distinct counts: the histogram row count for types whose
-    # double cast is injective (all-null live-less columns get 0 — the
-    # histogram omits them); a dedicated count_distinct scan for the
-    # rest, kept out of the main agg to avoid the EXPAND rewrite
-    # (column_profile_struct docstring)
-    hist_nd = (
-        {c for c in hist_cols if isinstance(dtypes[c], _HIST_DISTINCT_TYPES)}
-        if want_nd and live
-        else set()
-    )
-    cd_cols = [c for c in columns if c not in hist_nd] if want_nd else []
+    cd_cols = list(columns) if want_nd else []
     cd_vals: dict[str, int] = {}
-    if cd_cols:
+
+    def _cd_one(c: str) -> int:
+        return df.agg(F.count_distinct(F.col(c))).collect()[0][0]
+
+    def _cd_fused() -> dict[str, int]:
         drow = df.agg(
             *[
                 F.count_distinct(F.col(c)).alias(f"__d_{i}")
                 for i, c in enumerate(cd_cols)
             ]
         ).collect()[0]
-        cd_vals = {c: drow[i] for i, c in enumerate(cd_cols)}
+        return {c: drow[i] for i, c in enumerate(cd_cols)}
+
+    with ThreadPoolExecutor(max_workers=min(10, 2 + len(cd_cols))) as pool:
+        cd_futs = fused_fut = None
+        if cd_cols:
+            if len(cd_cols) <= 8:
+                cd_futs = {c: pool.submit(_cd_one, c) for c in cd_cols}
+            else:
+                fused_fut = pool.submit(_cd_fused)
+        wide = pool.submit(lambda: df.agg(*structs).collect()[0]).result()
+        srows = {c: wide[f"__p_{c}"] for c in columns}
+
+        stats = {
+            c: (srows[c]["n_nonnull"], srows[c]["min_num"], srows[c]["max_num"])
+            for c in hist_cols
+        }
+        live = [c for c in hist_cols if stats[c][0] > 0]
+        qres = _exact_quantiles_driver(df, live, stats)
+        if qres is None:
+            # pathological fallback (unsplittable over-cap region): the
+            # windowed relation is n_cols rows — collect and merge the
+            # same way (its __hnd column is ignored; distincts come
+            # from the count_distinct leg)
+            rel = _exact_quantile_relation_windowed(df, hist_cols)
+            rows = rel.collect() if rel is not None else []
+            qres = {
+                r["column"]: (r["__hq_0"], r["__hq_1"], r["__hq_2"])
+                for r in rows
+            }
+        if cd_futs is not None:
+            cd_vals = {c: f.result() for c, f in cd_futs.items()}
+        elif fused_fut is not None:
+            cd_vals = fused_fut.result()
 
     rows_out = []
     for c in columns:
@@ -945,13 +1045,9 @@ def _profile_exact_ungrouped_local(
                     continue
                 d[f] = None
         if want_q and c in qres:
-            d["p25"], d["p50"], d["p75"] = qres[c][0]
+            d["p25"], d["p50"], d["p75"] = qres[c]
         if want_nd:
-            nd = (
-                (qres[c][1] if c in qres else 0)
-                if c in hist_nd
-                else cd_vals[c]
-            )
+            nd = cd_vals[c]
             nd = int(nd) if nd is not None else None
             n_rows = d["n_rows"]
             d["n_distinct"] = nd
