@@ -312,6 +312,223 @@ def run_pipeline(
         stage_t[name] = round(time.time() - s, 3)
         return out
 
+    def _pwrite(d: DataFrame) -> DataFrame:
+        # layout stage for every part_id-partitioned result write:
+        # hash-repartition by the partition column so the write TASKS
+        # cover the dynamic partitions in parallel while each
+        # partition dir still gets exactly ONE data file (a partition
+        # value lands in exactly one task). The previous coalesce(1)
+        # kept the one-file-per-partition layout but serialized all
+        # n_parts parquet writer open/write/close cycles through a
+        # single task — A/B at the 128k steady fixture: 0.65s ->
+        # 0.28s per write job, same file count. Unkeyed plans
+        # (shuffle_partitions-wide) would instead scatter each
+        # partition's rows over many tasks = many tiny files.
+        n = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, len(pending_ids)),
+        )
+        return d.repartition(n, "part_id")
+
+    # unscorable drift cells are REPORTED, not silently dropped and not
+    # disguised as fake 0.0 timing entries: this dict lands in the
+    # manifest metrics next to (never inside) the timings
+    drift_summary: dict = {}
+
+    def _drift():
+        cols = [c for c in cfg.drift_columns if c in meta.columns]
+        hist_path = f"{output_dir}/histograms"
+        stored_base = None
+        bounds = {}
+        if str(cfg.baseline_part) not in [str(p) for p in pending_ids]:
+            # resumed run whose baseline partition is already done: the
+            # stored baseline histogram is the comparison target, and
+            # its bin edges PIN the grid (bins from different edges are
+            # not comparable). FileSystem-API existence probe instead of
+            # os.path.exists (output may live on hdfs:// or s3a://) or a
+            # read-and-catch (a real read error must propagate, not be
+            # mistaken for 'first run').
+            stored_rows, stored_schema = [], None
+            if hadoop_path_exists(spark, hist_path):
+                stored = (
+                    spark.read.parquet(hist_path)
+                    .where(F.col("grp") == cfg.baseline_part)
+                    .select("grp", "column", "bin", "lo", "hi", "cnt")
+                )
+                stored_schema = stored.schema
+                stored_rows = stored.collect()
+            if stored_rows:
+                # SNAPSHOT driver-side before the dynamic overwrite below
+                # rewrites the same files a lazy plan would re-read (the
+                # baseline histogram is n_bins x n_cols tiny rows)
+                stored_base = spark.createDataFrame(stored_rows, stored_schema)
+                bounds = {r.column: (r.lo, r.hi) for r in stored_rows}
+        missing = [c for c in cols if c not in bounds]
+        if missing:
+            # bounds for columns the stored baseline lacks (all-NULL in
+            # the baseline partition, drift_columns grew between runs,
+            # or simply a fresh run) come from a dedicated tiny min/max
+            # aggregation over the pending partitions — the SAME
+            # F.min/F.max(cast double) expressions the profile
+            # computes, so the bin edges are bit-identical to the
+            # pre-r9 profiles-derived ones, but the drift leg no longer
+            # waits for the metadata barrier: both drift legs now run
+            # CONCURRENTLY with the profile/constraint legs and the
+            # decode pass from the start of the run
+            mrow = meta_nb.agg(*[
+                e
+                for c in missing
+                for e in (
+                    F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                )
+            ]).collect()[0]
+            for c in missing:
+                bounds[c] = (mrow[f"__mn_{c}"], mrow[f"__mx_{c}"])
+        hist = _materialize(histogram(meta, cols, "part_id", bounds))
+        # per-partition dynamic overwrite: resume must never wipe the
+        # stored baseline (or any other partition's) histogram. The
+        # write reads only the persisted hist and nothing below reads
+        # what it writes, so it runs as a concurrent driver job under
+        # the scoring chain instead of gating it.
+        hw_pool = ThreadPoolExecutor(max_workers=1)
+        f_hw = hw_pool.submit(
+            lambda: _pwrite(hist.withColumn("part_id", F.col("grp")))
+            .write.mode("overwrite").partitionBy("part_id").parquet(hist_path)
+        )
+        hw_pool.shutdown(wait=False)
+        try:
+            _drift_score(hist, stored_base)
+        finally:
+            f_hw.result()
+
+    def _drift_score(hist, stored_base):
+        cols = [c for c in cfg.drift_columns if c in meta.columns]
+        have_baseline = stored_base is not None or str(cfg.baseline_part) in [
+            str(p) for p in pending_ids
+        ]
+        if not have_baseline:
+            # no baseline anywhere (e.g. prior run recorded partitions
+            # done without writing histograms): the histograms above are
+            # still stored for future runs, but there is nothing to
+            # compare against — emitting null-scored "failed" rows would
+            # be a silent lie
+            drift_summary["skipped_no_baseline"] = sorted(cols)
+            return
+        hist_all = (
+            hist.unionByName(stored_base, allowMissingColumns=True)
+            if stored_base is not None else hist
+        )
+        # persisted: BOTH the skipped-cell collect and the verdict
+        # write below read the scores — without the persist the whole
+        # ks_psi window chain re-ran for each (the categorical leg
+        # already persisted; ~0.5s of pure recompute at the 128k
+        # fixture)
+        scores = ks_psi(hist_all, cfg.baseline_part).persist()
+        persisted.append(scores)
+        # cells ks_psi dropped — an EMPTY baseline column (all-NULL in
+        # the baseline partition / drift_columns grew between runs)
+        # drops the whole column; a column empty in just ONE group
+        # drops only that (grp, column) cell. Both get explicit skipped
+        # markers, per cell, mirroring the no-baseline-at-all path —
+        # never a NULL-coerced FAIL verdict and never a silent drop.
+        scored = {
+            (str(r.grp), r.column)
+            for r in scores.select("grp", "column").collect()
+        }
+        expect_grps = sorted(
+            str(p) for p in pending_ids if str(p) != str(cfg.baseline_part)
+        )
+        skipped = [
+            {"part_id": g, "column": c}
+            for g in expect_grps for c in cols if (g, c) not in scored
+        ]
+        if skipped:
+            drift_summary["skipped"] = skipped
+        dv = drift_verdicts(scores, cfg.ks_threshold, cfg.psi_threshold)
+        _pwrite(dv).write.mode("overwrite").partitionBy("part_id").parquet(
+            f"{output_dir}/drift_results"
+        )
+
+    def _categorical_drift():
+        from advanced_data_profile_spark.operators.drift import (
+            categorical_counts,
+            categorical_psi_chi2,
+        )
+
+        cat_cols = [c for c in cfg.categorical_drift_columns if c in meta.columns]
+        if not cat_cols:
+            return
+        cc_path = f"{output_dir}/category_counts"
+        stored_base = None
+        if str(cfg.baseline_part) not in [str(p) for p in pending_ids]:
+            # resumed run: the stored baseline counts are the target
+            # (same snapshot-before-overwrite discipline as histograms)
+            stored_rows, stored_schema = [], None
+            if hadoop_path_exists(spark, cc_path):
+                stored = (
+                    spark.read.parquet(cc_path)
+                    .where(F.col("grp") == cfg.baseline_part)
+                    .select("grp", "column", "category", "cnt")
+                )
+                stored_schema = stored.schema
+                stored_rows = stored.collect()
+            if stored_rows:
+                stored_base = spark.createDataFrame(stored_rows, stored_schema)
+        counts = _materialize(categorical_counts(meta, cat_cols, "part_id"))
+        _pwrite(counts.withColumn("part_id", F.col("grp"))).write.mode(
+            "overwrite"
+        ).partitionBy("part_id").parquet(cc_path)
+        have_baseline = stored_base is not None or str(cfg.baseline_part) in [
+            str(p) for p in pending_ids
+        ]
+        if not have_baseline:
+            drift_summary["categorical_skipped_no_baseline"] = sorted(cat_cols)
+            return
+        all_counts = (
+            counts.unionByName(stored_base) if stored_base is not None else counts
+        )
+        scores = categorical_psi_chi2(all_counts, cfg.baseline_part).persist()
+        # per-cell skipped accounting, same contract as the numeric leg:
+        # cells categorical_psi_chi2 dropped (empty baseline or empty
+        # current side) get explicit markers, never a silent omission
+        scored_cells = {
+            (str(r.grp), r.column)
+            for r in scores.select("grp", "column").collect()
+        }
+        expect_grps = sorted(
+            str(p) for p in pending_ids if str(p) != str(cfg.baseline_part)
+        )
+        cat_skipped = [
+            {"part_id": g, "column": c}
+            for g in expect_grps for c in cat_cols
+            if (g, c) not in scored_cells
+        ]
+        if cat_skipped:
+            drift_summary["categorical_skipped"] = cat_skipped
+        dv = scores.select(
+            F.col("grp").cast("string").alias("part_id"),
+            F.concat(F.lit("drift_cat_"), F.col("column")).alias("constraint"),
+            F.lit("drift_categorical").alias("kind"),
+            (F.col("psi") <= cfg.psi_threshold).alias("passed"),
+            "psi", "chi2", "dof", "n_categories",
+        )
+        _pwrite(dv).write.mode("overwrite").partitionBy("part_id").parquet(
+            f"{output_dir}/drift_results_categorical"
+        )
+        scores.unpersist()
+
+    # both drift legs are INDEPENDENT of every metadata leg (bin
+    # edges come from the stored baseline or the dedicated min/max
+    # agg above, never from the profile result), so they launch WITH
+    # the metadata legs and the decode pass — the whole run is one
+    # wave of concurrent jobs, and the write phase below only ever
+    # waits on them if they outlast writes + decode tail
+    drift_pool = ThreadPoolExecutor(max_workers=2)
+    f_drift = drift_pool.submit(_drift) if cfg.drift else None
+    f_cat = drift_pool.submit(_categorical_drift) if cfg.drift else None
+    drift_pool.shutdown(wait=False)
+
     # The decode pass gets its OWN executor so its future can outlive
     # the metadata-compute barrier: only the verdict append (inside
     # _write_results below) needs the decode result, so the decode
@@ -409,20 +626,20 @@ def run_pipeline(
     results = results_row.unionByName(results_other)
     violations = violations_row.unionByName(violations_other)
 
-    # --- writes and drift overlap: both depend only on the persisted
-    # results above, so they run as concurrent driver jobs too ---
+    # --- writes: depend only on the persisted results above; the
+    # drift legs launched back at compute start keep running
+    # underneath ---
     t = time.time()
 
     def _write_profiles():
-        # results are tiny and already persisted — coalesce(1) so each
-        # dynamic-partition-overwrite commit moves a handful of files,
-        # not shuffle_partitions x n_parts empty splits
-        profiles.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
+        # results are tiny and already persisted; _pwrite parallelizes
+        # the per-partition file writes without changing the layout
+        _pwrite(profiles).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/column_profiles"
         )
         if cfg.approx and cfg.persist_sketches:
             # the sketch melt reuses the persisted wide rows — no scan
-            _sketches_from(wide).coalesce(1).write.mode(
+            _pwrite(_sketches_from(wide)).write.mode(
                 "overwrite"
             ).partitionBy("part_id").parquet(f"{output_dir}/profile_sketches")
 
@@ -447,7 +664,7 @@ def run_pipeline(
             sample.write.mode("overwrite").parquet(f"{output_dir}/row_sample")
 
     def _write_violations():
-        violations.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
+        _pwrite(violations).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/violations"
         )
 
@@ -458,12 +675,12 @@ def run_pipeline(
         # joined HERE (after the results overwrite, which needs no
         # decode output): every other write and both drift legs run
         # concurrently with the decode tail.
-        results.coalesce(1).write.mode("overwrite").partitionBy("part_id").parquet(
+        _pwrite(results).write.mode("overwrite").partitionBy("part_id").parquet(
             f"{output_dir}/constraint_results"
         )
         verdicts = f_ver.result() if f_ver is not None else None
         if verdicts is not None:
-            verdicts.coalesce(1).write.mode("append").partitionBy("part_id").parquet(
+            _pwrite(verdicts).write.mode("append").partitionBy("part_id").parquet(
                 f"{output_dir}/constraint_results"
             )
 
@@ -481,179 +698,17 @@ def run_pipeline(
             for fu in futs:
                 fu.result()
 
-    # unscorable drift cells are REPORTED, not silently dropped and not
-    # disguised as fake 0.0 timing entries: this dict lands in the
-    # manifest metrics next to (never inside) the timings
-    drift_summary: dict = {}
-
-    def _drift():
-        cols = [c for c in cfg.drift_columns if c in meta.columns]
-        hist_path = f"{output_dir}/histograms"
-        stored_base = None
-        bounds = {}
-        if str(cfg.baseline_part) not in [str(p) for p in pending_ids]:
-            # resumed run whose baseline partition is already done: the
-            # stored baseline histogram is the comparison target, and
-            # its bin edges PIN the grid (bins from different edges are
-            # not comparable). FileSystem-API existence probe instead of
-            # os.path.exists (output may live on hdfs:// or s3a://) or a
-            # read-and-catch (a real read error must propagate, not be
-            # mistaken for 'first run').
-            stored_rows, stored_schema = [], None
-            if hadoop_path_exists(spark, hist_path):
-                stored = (
-                    spark.read.parquet(hist_path)
-                    .where(F.col("grp") == cfg.baseline_part)
-                    .select("grp", "column", "bin", "lo", "hi", "cnt")
-                )
-                stored_schema = stored.schema
-                stored_rows = stored.collect()
-            if stored_rows:
-                # SNAPSHOT driver-side before the dynamic overwrite below
-                # rewrites the same files a lazy plan would re-read (the
-                # baseline histogram is n_bins x n_cols tiny rows)
-                stored_base = spark.createDataFrame(stored_rows, stored_schema)
-                bounds = {r.column: (r.lo, r.hi) for r in stored_rows}
-        missing = [c for c in cols if c not in bounds]
-        if missing:
-            # bounds for columns the stored baseline lacks (all-NULL in
-            # the baseline partition, or drift_columns grew between
-            # runs) come from the already-persisted profiles — no scan
-            prow = profiles.select("column", "min_num", "max_num").collect()
-            for c in missing:
-                vals = [(r.min_num, r.max_num) for r in prow if r.column == c]
-                mns = [v[0] for v in vals if v[0] is not None]
-                mxs = [v[1] for v in vals if v[1] is not None]
-                bounds[c] = (min(mns) if mns else None, max(mxs) if mxs else None)
-        hist = _materialize(histogram(meta, cols, "part_id", bounds))
-        # per-partition dynamic overwrite: resume must never wipe the
-        # stored baseline (or any other partition's) histogram
-        hist.withColumn("part_id", F.col("grp")).coalesce(1).write.mode(
-            "overwrite"
-        ).partitionBy("part_id").parquet(hist_path)
-        have_baseline = stored_base is not None or str(cfg.baseline_part) in [
-            str(p) for p in pending_ids
-        ]
-        if not have_baseline:
-            # no baseline anywhere (e.g. prior run recorded partitions
-            # done without writing histograms): the histograms above are
-            # still stored for future runs, but there is nothing to
-            # compare against — emitting null-scored "failed" rows would
-            # be a silent lie
-            drift_summary["skipped_no_baseline"] = sorted(cols)
-            return
-        hist_all = (
-            hist.unionByName(stored_base, allowMissingColumns=True)
-            if stored_base is not None else hist
-        )
-        scores = ks_psi(hist_all, cfg.baseline_part)
-        # cells ks_psi dropped — an EMPTY baseline column (all-NULL in
-        # the baseline partition / drift_columns grew between runs)
-        # drops the whole column; a column empty in just ONE group
-        # drops only that (grp, column) cell. Both get explicit skipped
-        # markers, per cell, mirroring the no-baseline-at-all path —
-        # never a NULL-coerced FAIL verdict and never a silent drop.
-        scored = {
-            (str(r.grp), r.column)
-            for r in scores.select("grp", "column").collect()
-        }
-        expect_grps = sorted(
-            str(p) for p in pending_ids if str(p) != str(cfg.baseline_part)
-        )
-        skipped = [
-            {"part_id": g, "column": c}
-            for g in expect_grps for c in cols if (g, c) not in scored
-        ]
-        if skipped:
-            drift_summary["skipped"] = skipped
-        dv = drift_verdicts(scores, cfg.ks_threshold, cfg.psi_threshold)
-        dv.write.mode("overwrite").partitionBy("part_id").parquet(
-            f"{output_dir}/drift_results"
-        )
-
-    def _categorical_drift():
-        from advanced_data_profile_spark.operators.drift import (
-            categorical_counts,
-            categorical_psi_chi2,
-        )
-
-        cat_cols = [c for c in cfg.categorical_drift_columns if c in meta.columns]
-        if not cat_cols:
-            return
-        cc_path = f"{output_dir}/category_counts"
-        stored_base = None
-        if str(cfg.baseline_part) not in [str(p) for p in pending_ids]:
-            # resumed run: the stored baseline counts are the target
-            # (same snapshot-before-overwrite discipline as histograms)
-            stored_rows, stored_schema = [], None
-            if hadoop_path_exists(spark, cc_path):
-                stored = (
-                    spark.read.parquet(cc_path)
-                    .where(F.col("grp") == cfg.baseline_part)
-                    .select("grp", "column", "category", "cnt")
-                )
-                stored_schema = stored.schema
-                stored_rows = stored.collect()
-            if stored_rows:
-                stored_base = spark.createDataFrame(stored_rows, stored_schema)
-        counts = _materialize(categorical_counts(meta, cat_cols, "part_id"))
-        counts.withColumn("part_id", F.col("grp")).coalesce(1).write.mode(
-            "overwrite"
-        ).partitionBy("part_id").parquet(cc_path)
-        have_baseline = stored_base is not None or str(cfg.baseline_part) in [
-            str(p) for p in pending_ids
-        ]
-        if not have_baseline:
-            drift_summary["categorical_skipped_no_baseline"] = sorted(cat_cols)
-            return
-        all_counts = (
-            counts.unionByName(stored_base) if stored_base is not None else counts
-        )
-        scores = categorical_psi_chi2(all_counts, cfg.baseline_part).persist()
-        # per-cell skipped accounting, same contract as the numeric leg:
-        # cells categorical_psi_chi2 dropped (empty baseline or empty
-        # current side) get explicit markers, never a silent omission
-        scored_cells = {
-            (str(r.grp), r.column)
-            for r in scores.select("grp", "column").collect()
-        }
-        expect_grps = sorted(
-            str(p) for p in pending_ids if str(p) != str(cfg.baseline_part)
-        )
-        cat_skipped = [
-            {"part_id": g, "column": c}
-            for g in expect_grps for c in cat_cols
-            if (g, c) not in scored_cells
-        ]
-        if cat_skipped:
-            drift_summary["categorical_skipped"] = cat_skipped
-        dv = scores.select(
-            F.col("grp").cast("string").alias("part_id"),
-            F.concat(F.lit("drift_cat_"), F.col("column")).alias("constraint"),
-            F.lit("drift_categorical").alias("kind"),
-            (F.col("psi") <= cfg.psi_threshold).alias("passed"),
-            "psi", "chi2", "dof", "n_categories",
-        )
-        dv.write.mode("overwrite").partitionBy("part_id").parquet(
-            f"{output_dir}/drift_results_categorical"
-        )
-        scores.unpersist()
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        fw = pool.submit(_write_main)
-        # numeric and categorical drift are INDEPENDENT concurrent jobs
-        # (each tracks its own baseline): running them serially was
-        # A/B-measured to extend the run's critical path by the whole
-        # categorical leg (~1.6s at the 128k bench fixture)
-        fd = pool.submit(_drift) if cfg.drift else None
-        fc = pool.submit(_categorical_drift) if cfg.drift else None
-        s = time.time()
-        fw.result()
-        timings["writes"] = time.time() - s
-        if fd is not None:
-            fd.result()
-        if fc is not None:
-            fc.result()
+    # join order: writes first (their wall time is the "writes" metric),
+    # then the drift legs launched back at compute start — by now they
+    # have been running under the metadata/decode/write jobs for the
+    # whole run and are usually already done
+    s = time.time()
+    _write_main()
+    timings["writes"] = time.time() - s
+    if f_drift is not None:
+        f_drift.result()
+    if f_cat is not None:
+        f_cat.result()
     timings["writes_and_drift"] = time.time() - t
     decode_pool.shutdown(wait=True)
     if decode_end["at"] is not None:
