@@ -348,6 +348,16 @@ def neardup_index_check(
     The returned DataFrame is lazy and never left pinned in the cache;
     a post-append evaluation recomputes the small batch's signatures
     once but reads only the snapshot's files."""
+    if append and exclude_batch_tag is not None:
+        raise ValueError(
+            "neardup_index_check(append=True) writes FLAT (untagged) "
+            "signature/bucket files, but exclude_batch_tag implies a "
+            "batch_tag-PARTITIONED index layout — appending untagged "
+            "rows would mix the two layouts and break every later "
+            "tagged read of the index. For tagged layouts, append via "
+            "neardup_index_build(..., batch_tag=...) (the replay-safe "
+            "writer curation/streaming use) and keep append=False here."
+        )
     spark = batch.sparkSession
     sigs_new = minhash_signatures(batch, id_col, text_col, k)
     b_new = lsh_band_buckets(sigs_new, bands, k // bands)

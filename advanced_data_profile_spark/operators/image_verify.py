@@ -129,11 +129,22 @@ def decode_file_tasks(
     manifest's per-file metrics instead of footer reads."""
     import pyarrow as pa
 
-    from advanced_data_profile_spark.session import hadoop_list_files
+    from advanced_data_profile_spark.session import (
+        hadoop_list_files,
+        hadoop_path_exists,
+    )
 
     files = []
     for pid in part_ids:
         d = f"{images_path}/part_id={int(pid)}"
+        # a pending partition with no hive dir has no data files —
+        # nothing to decode for it, and the metadata legs see the same
+        # empty scan. Raising here would surface only after the
+        # pipeline's results overwrite (the decode future is joined
+        # inside the write phase), so tolerate-and-skip is the correct
+        # shape for missing dirs; real listing errors still propagate.
+        if not hadoop_path_exists(spark, d):
+            continue
         files += [(p, int(pid)) for p in hadoop_list_files(spark, d)]
     if not files:
         return []

@@ -594,6 +594,20 @@ def run_pipeline(
                         validated = validate_payloads_files(
                             spark, images_path, pending_ids, tasks=tasks
                         )
+                if validated is None and cfg.decode_path == "pyarrow-files":
+                    # the user FORCED the pyarrow leg; silently running
+                    # the JVM scan instead would ignore an explicit
+                    # choice (and its measured perf expectations) —
+                    # fail loudly with the reason. "auto" keeps its
+                    # documented fallback behavior.
+                    raise ValueError(
+                        "decode_path='pyarrow-files' was forced but the "
+                        f"pyarrow decode leg cannot serve {images_path!r}: "
+                        "non-parquet table format, no part_id=K hive "
+                        "layout, or no data files under the pending "
+                        "partitions. Use decode_path='auto' to allow "
+                        "the JVM scan fallback."
+                    )
                 if validated is None:
                     # JVM scan leg in a child session (shared context,
                     # independent SQLConf). 128m splits: the old 16m

@@ -18,16 +18,19 @@ A --ppl-model relation carrying a `lang` column switches the perplexity
 stage to per-language scoring (train_char_lm_by_lang state).
 
 Replay safety: every run carries a batch tag (--batch-id, defaulting to
-a tag derived from the --docs path), and all incremental state —
-verdicts, kept docs, and the LSH index partitions — is PARTITIONED BY
-that tag with dynamic partition overwrite, while the cross-batch
-near-dup check excludes the tag's own partitions. Re-running a batch
-(orchestrator retry after partial failure, accidental re-invocation)
-therefore overwrites exactly its own state and reproduces its original
-verdicts instead of self-matching against its first attempt's appended
-survivors. Distinct batches MUST carry distinct tags (automatic when
-each arrives under its own path); one-shot (non-incremental) runs
-OVERWRITE {output}/verdicts and --kept-out outright.
+a tag derived from the --docs path PLUS its data files' name/size
+fingerprint), and all incremental state — verdicts, kept docs, and the
+LSH index partitions — is PARTITIONED BY that tag with dynamic
+partition overwrite, while the cross-batch near-dup check excludes the
+tag's own partitions. Re-running a batch (orchestrator retry after
+partial failure, accidental re-invocation) therefore overwrites exactly
+its own state and reproduces its original verdicts instead of
+self-matching against its first attempt's appended survivors. Distinct
+batches get distinct default tags even under a REUSED ingest path
+(.../incoming/): different files fingerprint differently, so the second
+batch can no longer silently overwrite the first's state; one-shot
+(non-incremental) runs OVERWRITE {output}/verdicts and --kept-out
+outright.
 """
 
 from __future__ import annotations
@@ -42,13 +45,45 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def default_batch_tag(docs_path: str) -> str:
-    """Stable tag for a batch: sanitized basename + short content-free
-    hash of the normalized path (two batches under different paths can
-    share a basename)."""
+def default_batch_tag(docs_path: str, spark=None) -> str:
+    """Stable tag for a batch: sanitized basename + short hash of the
+    normalized path PLUS the data files' (name, size) fingerprint.
+
+    The file fingerprint makes the DEFAULT replay-safe in the common
+    fixed-ingest-path pattern (e.g. .../incoming/ reused for every
+    batch): two DIFFERENT batches landing at the same path get
+    different tags (different file names/sizes), so the second run
+    lands under its own tag instead of silently dynamic-overwriting
+    the first batch's verdicts, kept docs, and index partitions —
+    while an exact replay of the same files reproduces the same tag
+    and stays idempotent. mtime is deliberately excluded so a
+    re-upload of identical bytes still counts as a replay. Listing
+    uses the Hadoop FS API (works for any scheme); if no session/FS
+    is available the tag falls back to the path-only hash, and
+    orchestrators that need hard guarantees should pass --batch-id
+    explicitly."""
     norm = docs_path.rstrip("/")
     base = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(norm)) or "batch"
-    return f"{base}-{hashlib.md5(norm.encode()).hexdigest()[:10]}"
+    h = hashlib.md5(norm.encode())
+    try:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is not None:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(norm)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            entries = sorted(
+                (st.getPath().getName(), st.getLen())
+                for st in fs.listStatus(jpath)
+                if not st.getPath().getName().startswith(("_", "."))
+            )
+            for name, ln in entries:
+                h.update(f"|{name}:{ln}".encode())
+    except Exception:
+        pass  # path-only fallback; see docstring
+    return f"{base}-{h.hexdigest()[:10]}"
 
 
 def main() -> None:
@@ -71,7 +106,10 @@ def main() -> None:
     ap.add_argument("--batch-id", default=None,
                     help="stable batch tag for replay-safe state "
                          "partitioning (default: derived from --docs "
-                         "path; distinct batches need distinct tags)")
+                         "path + its data files' name/size "
+                         "fingerprint, so distinct batches at the "
+                         "same path get distinct tags and exact "
+                         "replays reuse theirs)")
     ap.add_argument("--kept-out", default=None,
                     help="also write surviving documents here")
     ap.add_argument("--dedup-spans", default=None, metavar="DELIM",
@@ -81,7 +119,6 @@ def main() -> None:
     args = ap.parse_args()
     if args.incremental and not args.index:
         ap.error("--incremental requires --index")
-    batch_tag = args.batch_id or default_batch_tag(args.docs)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -93,6 +130,10 @@ def main() -> None:
         from advanced_data_profile_spark.session import get_spark
 
         spark = get_spark(app_name="adp-curate")
+
+    # after session init: the default tag fingerprints the batch's
+    # data files through the Hadoop FS (see default_batch_tag)
+    batch_tag = args.batch_id or default_batch_tag(args.docs, spark)
 
     from advanced_data_profile_spark.operators.curation import (
         curate_corpus,

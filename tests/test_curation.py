@@ -371,3 +371,29 @@ def test_curate_corpus_cli_replay_and_one_shot_overwrite(
     r3 = run(["--docs", docs2] + inc)
     assert r3["batch_tag"] != r1["batch_tag"]
     assert r3["n_docs"] == 3 and r3["n_keep_final"] == 1
+
+
+def test_default_batch_tag_fingerprints_data_files(spark, tmp_path):
+    """Two DIFFERENT batches landing at the SAME ingest path must get
+    different default tags (the fixed-ingest-path pattern: a silent
+    same-tag overwrite would destroy the first batch's state), while
+    an exact replay of the same files reproduces the tag."""
+    import importlib
+
+    mod = importlib.import_module("scripts.curate_corpus")
+    path = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        pd.DataFrame([(1, "a b c")], columns=["doc_id", "text"])
+    ).write.parquet(path)
+    t1 = mod.default_batch_tag(path, spark)
+    t1_replay = mod.default_batch_tag(path, spark)
+    assert t1 == t1_replay
+    # a DIFFERENT batch replaces the files at the same path
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(2, "d e f g h i j k l m"), (3, "n o p")],
+            columns=["doc_id", "text"],
+        )
+    ).write.mode("overwrite").parquet(path)
+    t2 = mod.default_batch_tag(path, spark)
+    assert t2 != t1

@@ -215,3 +215,17 @@ def test_pyarrow_decode_leg_multi_file_part_dirs(spark, tmp_path):
     assert sorted(
         (r.image_id, r.decode_ok, r.dims_match) for r in rows
     ) == sorted((r.image_id, r.decode_ok, r.dims_match) for r in jvm)
+
+
+def test_pyarrow_decode_leg_tolerates_missing_part_dir(spark, images_path):
+    """A pending partition whose hive dir is absent contributes no
+    decode tasks (same zero rows the JVM scan would see) instead of
+    raising inside the decode future — where the failure would surface
+    only after the pipeline's results overwrite."""
+    from advanced_data_profile_spark.operators.image_verify import (
+        decode_file_tasks,
+    )
+
+    with_missing = decode_file_tasks(spark, images_path, [1, 9999])
+    only_real = decode_file_tasks(spark, images_path, [1])
+    assert with_missing == only_real and len(only_real) > 0

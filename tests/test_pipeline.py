@@ -327,3 +327,31 @@ def test_pipeline_categorical_drift_flags_fmt_shift(spark, tmp_path):
     from advanced_data_profile_spark.plans.html_report import render_html
 
     assert "Categorical drift" in render_html(rep)
+
+
+def test_forced_pyarrow_decode_path_raises_when_unusable(spark, tmp_path):
+    """decode_path='pyarrow-files' is an explicit user choice; when the
+    leg cannot serve the source (flat non-hive layout here) the run
+    must fail loudly instead of silently downgrading to the JVM scan."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from advanced_data_profile_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from advanced_data_profile_spark.sources.images import (
+        generate_images,
+        write_images,
+    )
+
+    # flat layout: copy one partition's files WITHOUT the hive dirs
+    src = str(tmp_path / "hive")
+    write_images(generate_images(spark, n_parts=2, rows_per_part=20), src)
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(src).write.parquet(flat)
+    with _pytest.raises(ValueError, match="pyarrow-files"):
+        run_pipeline(
+            spark, flat, str(tmp_path / "out"),
+            cfg=PipelineConfig(decode_path="pyarrow-files"),
+        )

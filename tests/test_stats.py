@@ -142,3 +142,71 @@ def test_estimated_size_bytes(lineitem):
 
     size = estimated_size_bytes(lineitem)
     assert size > 100_000  # 6k rows x 11 cols is at least ~100KB
+
+
+def test_exact_quantiles_hot_value_and_refinement_paths(spark, monkeypatch):
+    """Exercise the r9 raw-scan rank search's guard paths, which real
+    data sizes never hit at the production CAP (1<<17 rows): shrink
+    the caps so (a) a hot value concentrates more ROWS than the
+    collect cap in its bucket (resolved by the fused guarded distinct
+    collect, NOT by refinement), (b) a dense many-distinct bucket
+    exceeds the cap AND the attempt row bound (resolved by sub-bucket
+    refinement), and assert the quantiles still match F.percentile's
+    in-plan exact interpolation bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from advanced_data_profile_spark.operators import stats as S
+
+    monkeypatch.setattr(S, "_QUANTILE_COLLECT_CAP", 50)
+    monkeypatch.setattr(S, "_QUANTILE_ATTEMPT_ROW_CAP", 400)
+
+    # hot: one value repeated 3000x (>> both caps) + a spread tail;
+    # dense: 5000 distinct values packed into a narrow range so its
+    # buckets hold > 50 distincts and > 400 rows at the shrunken caps
+    hot = spark.range(0, 3000).select(F.lit(7.5).alias("hot")).unionAll(
+        spark.range(0, 1000).select((F.col("id") * 0.01).alias("hot"))
+    )
+    dense = spark.range(0, 5000).select(
+        (F.col("id") * 1e-7 + 3.0).alias("dense")
+    )
+    for name, df in (("hot", hot), ("dense", dense)):
+        got = {
+            r.column: r
+            for r in S.profile(
+                df, fields=["n_rows", "n_nonnull", "p25", "p50", "p75"]
+            ).collect()
+        }[name]
+        exact = df.agg(
+            F.percentile(
+                F.col(name).cast("double"),
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            )
+        ).collect()[0][0]
+        assert (got.p25, got.p50, got.p75) == tuple(exact), name
+
+
+def test_neardup_index_check_rejects_append_with_tagged_layout(spark, tmp_path):
+    """append=True writes flat files; exclude_batch_tag implies the
+    batch_tag-partitioned layout — the combination must fail loudly
+    instead of corrupting the index layout."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from advanced_data_profile_spark.operators.dedup import (
+        neardup_index_build,
+        neardup_index_check,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            columns=["doc_id", "text"],
+        )
+    )
+    idx = str(tmp_path / "idx")
+    neardup_index_build(docs, "doc_id", "text", idx, batch_tag="b1")
+    with _pytest.raises(ValueError, match="batch_tag-PARTITIONED"):
+        neardup_index_check(
+            docs, "doc_id", "text", idx,
+            append=True, exclude_batch_tag="b2",
+        )
