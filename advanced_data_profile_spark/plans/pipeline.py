@@ -518,6 +518,80 @@ def run_pipeline(
         )
         scores.unpersist()
 
+    # The decode pass gets its OWN executor so its future can outlive
+    # the metadata-compute barrier: only the verdict append (inside
+    # _write_results below) needs the decode result, so the decode
+    # TAIL overlaps every metadata write and both drift legs instead
+    # of blocking them. It is submitted FIRST, before the drift and
+    # metadata legs: decode is the run's critical path (the
+    # bandwidth-bound kernel), and FIFO scheduling gives the
+    # first-submitted job's tasks priority — the metadata legs
+    # back-fill cores the decode wave leaves idle, not the reverse.
+    # On a bandwidth-saturated box (the measured 0.4-weak-scaling
+    # kernel ceiling) the decode stage elongates while everything
+    # else scales at ~1.0 — deepening this overlap is exactly what
+    # moves end-to-end weak scaling toward the metadata-side's
+    # efficiency.
+    decode_pool = ThreadPoolExecutor(max_workers=1)
+    decode_end = {"at": None}
+    f_ver = None
+    if cfg.validate_images:
+        def _decode():
+            validated = None
+            if cfg.decode_path in ("auto", "pyarrow-files"):
+                from advanced_data_profile_spark.operators.image_verify import (
+                    decode_file_tasks,
+                    validate_payloads_files,
+                )
+
+                tasks = []
+                if cfg.table_format == "parquet" and hadoop_path_exists(
+                    spark, f"{images_path}/part_id={pending_ids[0]}"
+                ):
+                    tasks = decode_file_tasks(
+                        spark, images_path, pending_ids
+                    )
+                enough = len(tasks) >= spark.sparkContext.defaultParallelism
+                if tasks and (cfg.decode_path == "pyarrow-files" or enough):
+                    validated = validate_payloads_files(
+                        spark, images_path, pending_ids, tasks=tasks
+                    )
+            if validated is None and cfg.decode_path == "pyarrow-files":
+                # the user FORCED the pyarrow leg; silently running
+                # the JVM scan instead would ignore an explicit
+                # choice (and its measured perf expectations) —
+                # fail loudly with the reason. "auto" keeps its
+                # documented fallback behavior.
+                raise ValueError(
+                    "decode_path='pyarrow-files' was forced but the "
+                    f"pyarrow decode leg cannot serve {images_path!r}: "
+                    "non-parquet table format, no part_id=K hive "
+                    "layout, or no data files under the pending "
+                    "partitions. Use decode_path='auto' to allow "
+                    "the JVM scan fallback."
+                )
+            if validated is None:
+                # JVM scan leg in a child session (shared context,
+                # independent SQLConf). 128m splits: the old 16m
+                # "balanced small tasks" sizing was A/B-measured
+                # 2x slower at scale (13.5s vs 8.1s @128m / 6.1s
+                # @256m on the 512k fixture) — per-task scheduling
+                # + Arrow-stream setup dominates below ~100m; 128m
+                # keeps a small-fixture wave balanced while near
+                # the large-split plateau.
+                s2 = spark.newSession()
+                s2.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+                df2 = read_images(
+                    s2, images_path, fmt=cfg.table_format
+                ).where(F.col("part_id").isin(pending_ids))
+                validated = validate_payloads(df2)
+            out = _mat(
+                "decode_verify", validation_verdicts(validated)
+            )
+            decode_end["at"] = time.time()
+            return out
+        f_ver = decode_pool.submit(_decode)
+
     # both drift legs are INDEPENDENT of every metadata leg (bin
     # edges come from the stored baseline or the dedicated min/max
     # agg above, never from the profile result), so they launch WITH
@@ -529,18 +603,6 @@ def run_pipeline(
     f_cat = drift_pool.submit(_categorical_drift) if cfg.drift else None
     drift_pool.shutdown(wait=False)
 
-    # The decode pass gets its OWN executor so its future can outlive
-    # the metadata-compute barrier: only the verdict append (inside
-    # _write_results below) needs the decode result, so the decode
-    # TAIL overlaps every metadata write and both drift legs instead
-    # of blocking them. On a bandwidth-saturated box (the measured
-    # 0.4-weak-scaling kernel ceiling) the decode stage elongates
-    # while everything else scales at ~1.0 — deepening this overlap is
-    # exactly what moves end-to-end weak scaling toward the
-    # metadata-side's efficiency.
-    decode_pool = ThreadPoolExecutor(max_workers=1)
-    decode_end = {"at": None}
-    f_ver = None
     with ThreadPoolExecutor(max_workers=4) as pool:
         if cfg.approx:
             def _fused():
@@ -573,152 +635,107 @@ def run_pipeline(
                      _materialize(vio_other))
         )
         f_vio = pool.submit(_mat, "violations", vio_row)
-        if cfg.validate_images:
-            def _decode():
-                validated = None
-                if cfg.decode_path in ("auto", "pyarrow-files"):
-                    from advanced_data_profile_spark.operators.image_verify import (
-                        decode_file_tasks,
-                        validate_payloads_files,
-                    )
 
-                    tasks = []
-                    if cfg.table_format == "parquet" and hadoop_path_exists(
-                        spark, f"{images_path}/part_id={pending_ids[0]}"
-                    ):
-                        tasks = decode_file_tasks(
-                            spark, images_path, pending_ids
-                        )
-                    enough = len(tasks) >= spark.sparkContext.defaultParallelism
-                    if tasks and (cfg.decode_path == "pyarrow-files" or enough):
-                        validated = validate_payloads_files(
-                            spark, images_path, pending_ids, tasks=tasks
-                        )
-                if validated is None and cfg.decode_path == "pyarrow-files":
-                    # the user FORCED the pyarrow leg; silently running
-                    # the JVM scan instead would ignore an explicit
-                    # choice (and its measured perf expectations) —
-                    # fail loudly with the reason. "auto" keeps its
-                    # documented fallback behavior.
-                    raise ValueError(
-                        "decode_path='pyarrow-files' was forced but the "
-                        f"pyarrow decode leg cannot serve {images_path!r}: "
-                        "non-parquet table format, no part_id=K hive "
-                        "layout, or no data files under the pending "
-                        "partitions. Use decode_path='auto' to allow "
-                        "the JVM scan fallback."
-                    )
-                if validated is None:
-                    # JVM scan leg in a child session (shared context,
-                    # independent SQLConf). 128m splits: the old 16m
-                    # "balanced small tasks" sizing was A/B-measured
-                    # 2x slower at scale (13.5s vs 8.1s @128m / 6.1s
-                    # @256m on the 512k fixture) — per-task scheduling
-                    # + Arrow-stream setup dominates below ~100m; 128m
-                    # keeps a small-fixture wave balanced while near
-                    # the large-split plateau.
-                    s2 = spark.newSession()
-                    s2.conf.set("spark.sql.files.maxPartitionBytes", "128m")
-                    df2 = read_images(
-                        s2, images_path, fmt=cfg.table_format
-                    ).where(F.col("part_id").isin(pending_ids))
-                    validated = validate_payloads(df2)
-                out = _mat(
-                    "decode_verify", validation_verdicts(validated)
+        # --- writes, CHAINED to their own input legs (four
+        # independent target paths; only results->verdicts is
+        # ordered, inside _write_results): each write launches the
+        # moment ITS inputs exist instead of behind the full metadata
+        # barrier — the profiles write runs while the violations leg
+        # is still aggregating, and the row_sample write (no inputs at
+        # all) runs with the compute wave itself ---
+        def _write_profiles():
+            # results are tiny and already persisted; _pwrite
+            # parallelizes the per-partition file writes without
+            # changing the layout
+            p, _ = f_prof.result()
+            _pwrite(p).write.mode("overwrite").partitionBy("part_id").parquet(
+                f"{output_dir}/column_profiles"
+            )
+            if cfg.approx and cfg.persist_sketches:
+                # the sketch melt reuses the persisted wide rows — no
+                # scan
+                _pwrite(_sketches_from(wide)).write.mode(
+                    "overwrite"
+                ).partitionBy("part_id").parquet(
+                    f"{output_dir}/profile_sketches"
                 )
-                decode_end["at"] = time.time()
-                return out
-            f_ver = decode_pool.submit(_decode)
-        profiles, results_row = f_prof.result()
-        results_other, violations_other = f_other.result()
-        violations_row = f_vio.result()
+
+        def _write_sample():
+            # ~100 seeded random rows for the report (reference ships
+            # a random sample, Profiler.py:542-543 / O3) — metadata
+            # only, never payload bytes; sampled from ONE pending
+            # partition so the scan prunes to 1/n_parts of the
+            # (already column-pruned) input. Written only when absent:
+            # a resumed run over a few late partitions must not
+            # silently REPLACE the table-wide sample with rows from
+            # just those partitions. Existence is a FileSystem-API
+            # probe, not a read-and-catch — a transient read failure
+            # must never masquerade as 'not written yet' and overwrite
+            # the table-wide sample (and the expected PATH_NOT_FOUND
+            # used to dump a stack trace into bench logs).
+            if not hadoop_path_exists(spark, f"{output_dir}/row_sample"):
+                sample = (
+                    meta_nb.where(F.col("part_id") == pending_ids[0])
+                    .sample(fraction=0.25, seed=42)
+                    .limit(100)
+                )
+                sample.write.mode("overwrite").parquet(
+                    f"{output_dir}/row_sample"
+                )
+
+        def _write_violations():
+            v = f_vio.result().unionByName(f_other.result()[1])
+            _pwrite(v).write.mode("overwrite").partitionBy("part_id").parquet(
+                f"{output_dir}/violations"
+            )
+
+        def _write_results():
+            # verdicts (sibling session) append AFTER the overwrite of
+            # the same path — strictly ordered within this task. This
+            # is the ONLY consumer of the decode result, so the decode
+            # future is joined HERE (after the results overwrite,
+            # which needs no decode output): every other write and
+            # both drift legs run concurrently with the decode tail.
+            r = f_prof.result()[1].unionByName(f_other.result()[0])
+            _pwrite(r).write.mode("overwrite").partitionBy("part_id").parquet(
+                f"{output_dir}/constraint_results"
+            )
+            verdicts = f_ver.result() if f_ver is not None else None
+            if verdicts is not None:
+                _pwrite(verdicts).write.mode("append").partitionBy(
+                    "part_id"
+                ).parquet(f"{output_dir}/constraint_results")
+
+        # >= one worker per chained task: each may block on its input
+        # futures, so fewer workers could deadlock the chain
+        w_pool = ThreadPoolExecutor(max_workers=4)
+        w_futs = [
+            w_pool.submit(f)
+            for f in (
+                _write_sample, _write_profiles,
+                _write_violations, _write_results,
+            )
+        ]
+        w_pool.shutdown(wait=False)
+
+        profiles = f_prof.result()[0]  # manifest row counts read it
+        f_other.result()
+        f_vio.result()
         # decode NOT joined here — its tail overlaps writes + drift
     meta_end = time.time()
     timings["compute_metadata"] = meta_end - t
     timings.update(stage_t)
 
-    results = results_row.unionByName(results_other)
-    violations = violations_row.unionByName(violations_other)
-
-    # --- writes: depend only on the persisted results above; the
-    # drift legs launched back at compute start keep running
-    # underneath ---
+    # join order: writes first (the residual past the metadata barrier
+    # is the "writes" metric — chained writes that finished under the
+    # compute wave cost zero here), then the drift legs launched back
+    # at compute start — by now they have been running under the
+    # metadata/decode/write jobs for the whole run and are usually
+    # already done
     t = time.time()
-
-    def _write_profiles():
-        # results are tiny and already persisted; _pwrite parallelizes
-        # the per-partition file writes without changing the layout
-        _pwrite(profiles).write.mode("overwrite").partitionBy("part_id").parquet(
-            f"{output_dir}/column_profiles"
-        )
-        if cfg.approx and cfg.persist_sketches:
-            # the sketch melt reuses the persisted wide rows — no scan
-            _pwrite(_sketches_from(wide)).write.mode(
-                "overwrite"
-            ).partitionBy("part_id").parquet(f"{output_dir}/profile_sketches")
-
-    def _write_sample():
-        # ~100 seeded random rows for the report (reference ships a
-        # random sample, Profiler.py:542-543 / O3) — metadata only,
-        # never payload bytes; sampled from ONE pending partition so
-        # the scan prunes to 1/n_parts of the (already column-pruned)
-        # input. Written only when absent: a resumed run over a few
-        # late partitions must not silently REPLACE the table-wide
-        # sample with rows from just those partitions. Existence is a
-        # FileSystem-API probe, not a read-and-catch — a transient read
-        # failure must never masquerade as 'not written yet' and
-        # overwrite the table-wide sample (and the expected
-        # PATH_NOT_FOUND used to dump a stack trace into bench logs).
-        if not hadoop_path_exists(spark, f"{output_dir}/row_sample"):
-            sample = (
-                meta_nb.where(F.col("part_id") == pending_ids[0])
-                .sample(fraction=0.25, seed=42)
-                .limit(100)
-            )
-            sample.write.mode("overwrite").parquet(f"{output_dir}/row_sample")
-
-    def _write_violations():
-        _pwrite(violations).write.mode("overwrite").partitionBy("part_id").parquet(
-            f"{output_dir}/violations"
-        )
-
-    def _write_results():
-        # verdicts (sibling session) append AFTER the overwrite of the
-        # same path — strictly ordered within this task. This is the
-        # ONLY consumer of the decode result, so the decode future is
-        # joined HERE (after the results overwrite, which needs no
-        # decode output): every other write and both drift legs run
-        # concurrently with the decode tail.
-        _pwrite(results).write.mode("overwrite").partitionBy("part_id").parquet(
-            f"{output_dir}/constraint_results"
-        )
-        verdicts = f_ver.result() if f_ver is not None else None
-        if verdicts is not None:
-            _pwrite(verdicts).write.mode("append").partitionBy("part_id").parquet(
-                f"{output_dir}/constraint_results"
-            )
-
-    def _write_main():
-        # four independent target paths (only results->verdicts is
-        # ordered, inside _write_results): submit as concurrent driver
-        # jobs — each is a tiny persisted relation whose write cost is
-        # fixed scheduling overhead, so overlapping them cuts the serial
-        # floor that strong scaling is capped by
-        with ThreadPoolExecutor(max_workers=4) as wpool:
-            futs = [
-                wpool.submit(f) for f in
-                (_write_profiles, _write_sample, _write_violations, _write_results)
-            ]
-            for fu in futs:
-                fu.result()
-
-    # join order: writes first (their wall time is the "writes" metric),
-    # then the drift legs launched back at compute start — by now they
-    # have been running under the metadata/decode/write jobs for the
-    # whole run and are usually already done
-    s = time.time()
-    _write_main()
-    timings["writes"] = time.time() - s
+    for fu in w_futs:
+        fu.result()
+    timings["writes"] = time.time() - t
     if f_drift is not None:
         f_drift.result()
     if f_cat is not None:
