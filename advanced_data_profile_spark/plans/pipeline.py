@@ -16,9 +16,17 @@ Scan economy per run (any number of partitions/columns, approx mode):
     global-within-run with
             per-partition attribution) + referential anti-join
   1 scan  — payload validation (the only scan that reads `bytes`)
-  1 scan  — drift histogram (bin edges reused from the fused profile,
-            or from the STORED baseline histogram on resume)
+  1 scan  — drift histogram (bin edges pinned by the STORED baseline
+            histogram on resume; on fresh runs a dedicated tiny
+            min/max aggregation — one extra metadata-column scan —
+            supplies bit-identical edges WITHOUT making the drift leg
+            wait for the profile, so both drift legs run concurrently
+            with every other leg from the start of the run)
 plus a violation-sample scan (filter-pushdown, violating rows only).
+Every scan above is an INDEPENDENT concurrent driver-thread job (the
+decode pass submitted first — it is the critical path and FIFO
+scheduling lets the metadata legs back-fill its idle cores), and each
+result write launches the moment its own input legs resolve.
 
 Uniqueness scope note: within one run the check is global across the
 partitions being processed (cross-partition duplicates are detected and
