@@ -607,6 +607,16 @@ def _exact_quantiles_driver(
             # IEEE double arithmetic driver-side
             pos = (n - 1) * p
             lo, hi = math.floor(pos), math.ceil(pos)
+            if lo not in rank_val or hi not in rank_val:
+                # cross-job count drift: the bucket summary and the
+                # region collects are separate jobs over `df`, so a
+                # source whose file set changes between them (e.g.
+                # concurrent appends to the scanned path) can leave a
+                # needed rank unresolved. Degrade to the windowed
+                # fallback instead of a KeyError; callers profiling a
+                # moving table get the same racy-but-defined snapshot
+                # semantics every multi-job formulation here has.
+                return None
             if lo == hi:
                 qs.append(float(rank_val[lo]))
             else:
@@ -1000,14 +1010,16 @@ def _profile_exact_ungrouped_local(
         ).collect()[0]
         return {c: drow[i] for i, c in enumerate(cd_cols)}
 
-    with ThreadPoolExecutor(max_workers=min(10, 2 + len(cd_cols))) as pool:
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(cd_cols)))) as pool:
         cd_futs = fused_fut = None
         if cd_cols:
             if len(cd_cols) <= 8:
                 cd_futs = {c: pool.submit(_cd_one, c) for c in cd_cols}
             else:
                 fused_fut = pool.submit(_cd_fused)
-        wide = pool.submit(lambda: df.agg(*structs).collect()[0]).result()
+        # the wide agg runs inline on THIS thread — the cd futures
+        # above already overlap it from the pool
+        wide = df.agg(*structs).collect()[0]
         srows = {c: wide[f"__p_{c}"] for c in columns}
 
         stats = {

@@ -163,16 +163,58 @@ def run_pipeline(
     resume: bool = True,
     cfg: PipelineConfig | None = None,
 ) -> dict:
-    """Returns a run summary dict (rows processed, timings, verdicts)."""
+    """Returns a run summary dict (rows processed, timings, verdicts).
+
+    Exception hygiene: the run launches background driver threads
+    (decode, drift legs, chained writes). If any leg raises, this
+    wrapper JOINS every outstanding thread before propagating — a
+    caller that catches the error and retries must never race zombie
+    writer threads from the failed run against the retry's
+    reads/overwrites of the same output paths — then releases every
+    persisted relation and restores the session's split-size conf.
+    Secondary errors from the join are suppressed (the primary
+    propagates; they remain reachable via __context__ where raised)."""
+    state: dict = {"persisted": [], "futs": [], "orig_split": None}
+    try:
+        return _run_pipeline(
+            spark, images_path, output_dir, phash_ref, resume, cfg, state
+        )
+    finally:
+        for f in state["futs"]:
+            try:
+                f.result()
+            except Exception:
+                pass  # secondary; the primary error propagates
+        for d in state["persisted"]:
+            try:
+                d.unpersist()
+            except Exception:
+                pass
+        if state["orig_split"] is not None:
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", state["orig_split"]
+            )
+
+
+def _run_pipeline(
+    spark: SparkSession,
+    images_path: str,
+    output_dir: str,
+    phash_ref: DataFrame | None,
+    resume: bool,
+    cfg: PipelineConfig | None,
+    state: dict,
+) -> dict:
     cfg = cfg or PipelineConfig()
     t0 = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    orig_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    state["orig_split"] = spark.conf.get("spark.sql.files.maxPartitionBytes")
 
     # small result DataFrames are persisted (eagerly) before their
     # parquet writes: every .write otherwise re-computes its full
     # lineage — measured ~2x the whole run at bench scale
-    persisted = []
+    persisted = state["persisted"]
+    bg_futs = state["futs"]
 
     def _materialize(d):
         d = d.persist()
@@ -405,10 +447,21 @@ def run_pipeline(
             .write.mode("overwrite").partitionBy("part_id").parquet(hist_path)
         )
         hw_pool.shutdown(wait=False)
+        score_err = None
         try:
             _drift_score(hist, stored_base)
-        finally:
+        except BaseException as e:
+            score_err = e
+        try:
             f_hw.result()
+        except Exception:
+            # a write failure must not MASK a concurrent scoring
+            # failure (an exception raised while another is in flight
+            # would replace it as the propagated error)
+            if score_err is None:
+                raise
+        if score_err is not None:
+            raise score_err
 
     def _drift_score(hist, stored_base):
         cols = [c for c in cfg.drift_columns if c in meta.columns]
@@ -552,10 +605,13 @@ def run_pipeline(
                     validate_payloads_files,
                 )
 
+                # no first-partition existence gate: decode_file_tasks
+                # itself skips pending partitions without a hive dir,
+                # so a missing FIRST partition no longer vetoes the
+                # pyarrow leg for the rest (and a flat non-hive layout
+                # simply yields zero tasks)
                 tasks = []
-                if cfg.table_format == "parquet" and hadoop_path_exists(
-                    spark, f"{images_path}/part_id={pending_ids[0]}"
-                ):
+                if cfg.table_format == "parquet":
                     tasks = decode_file_tasks(
                         spark, images_path, pending_ids
                     )
@@ -599,6 +655,7 @@ def run_pipeline(
             decode_end["at"] = time.time()
             return out
         f_ver = decode_pool.submit(_decode)
+        bg_futs.append(f_ver)
 
     # both drift legs are INDEPENDENT of every metadata leg (bin
     # edges come from the stored baseline or the dedicated min/max
@@ -610,6 +667,7 @@ def run_pipeline(
     f_drift = drift_pool.submit(_drift) if cfg.drift else None
     f_cat = drift_pool.submit(_categorical_drift) if cfg.drift else None
     drift_pool.shutdown(wait=False)
+    bg_futs.extend(f for f in (f_drift, f_cat) if f is not None)
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         if cfg.approx:
@@ -725,6 +783,7 @@ def run_pipeline(
             )
         ]
         w_pool.shutdown(wait=False)
+        bg_futs.extend(w_futs)
 
         profiles = f_prof.result()[0]  # manifest row counts read it
         f_other.result()
@@ -849,10 +908,8 @@ def run_pipeline(
         for pid in pending_ids
     ])
     timings["manifest"] = time.time() - t
-
-    for d in persisted:
-        d.unpersist()
-    spark.conf.set("spark.sql.files.maxPartitionBytes", orig_split)
+    # unpersist + split-size conf restore happen in run_pipeline's
+    # finally (exception hygiene: they must run on failures too)
 
     total_rows = sum(part_rows.values())
     elapsed = time.time() - t0

@@ -57,32 +57,52 @@ def default_batch_tag(docs_path: str, spark=None) -> str:
     the first batch's verdicts, kept docs, and index partitions —
     while an exact replay of the same files reproduces the same tag
     and stays idempotent. mtime is deliberately excluded so a
-    re-upload of identical bytes still counts as a replay. Listing
-    uses the Hadoop FS API (works for any scheme); if no session/FS
-    is available the tag falls back to the path-only hash, and
-    orchestrators that need hard guarantees should pass --batch-id
-    explicitly."""
+    re-upload of identical bytes still counts as a replay. Listing is
+    RECURSIVE (Hadoop listFiles), so partitioned layouts under the
+    ingest path (lang=en/part-*.parquet) fingerprint their data
+    files, not just unchanged subdir names. Failure policy: with no
+    Spark session the tag falls back to the path-only hash
+    (programmatic callers without FS access); with a session, a
+    listing error RAISES instead of silently degrading — a
+    transiently different default tag would make an orchestrator
+    retry land under a NEW tag, self-match against its first
+    attempt's appended survivors, and leave the original partitions
+    as duplicates. Pass --batch-id for hard guarantees either way."""
     norm = docs_path.rstrip("/")
     base = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(norm)) or "batch"
     h = hashlib.md5(norm.encode())
-    try:
-        if spark is None:
-            from pyspark.sql import SparkSession
+    if spark is None:
+        from pyspark.sql import SparkSession
 
-            spark = SparkSession.getActiveSession()
-        if spark is not None:
+        spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(norm)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            entries = sorted(
-                (st.getPath().getName(), st.getLen())
-                for st in fs.listStatus(jpath)
-                if not st.getPath().getName().startswith(("_", "."))
-            )
-            for name, ln in entries:
+            prefix = len(fs.makeQualified(jpath).toString())
+            entries = []
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                st = it.next()
+                p = st.getPath().toString()
+                name = p[prefix:]
+                if any(
+                    seg.startswith(("_", "."))
+                    for seg in name.strip("/").split("/")
+                ):
+                    continue  # hidden/_SUCCESS-style entries
+                entries.append((name, st.getLen()))
+            for name, ln in sorted(entries):
                 h.update(f"|{name}:{ln}".encode())
-    except Exception:
-        pass  # path-only fallback; see docstring
+        except Exception as e:
+            raise RuntimeError(
+                f"default batch tag: cannot fingerprint the data files "
+                f"under {norm!r} ({e}); pass an explicit --batch-id — "
+                "falling back to a path-only tag here could make a "
+                "retry land under a different tag than its first "
+                "attempt and corrupt replay safety"
+            ) from e
     return f"{base}-{h.hexdigest()[:10]}"
 
 

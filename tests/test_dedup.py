@@ -605,3 +605,27 @@ def test_corpus_dup_ngrams_signal(spark):
     assert by[3].frac_dup == round(4 / 6, 6)
     assert by[4].frac_dup == 0.0 and by[4].n_dup == 0
     assert by[5].n_ngrams == 0 and by[5].frac_dup == 0.0
+
+
+def test_neardup_index_check_rejects_append_with_tagged_layout(spark, tmp_path):
+    """append=True writes flat files; exclude_batch_tag implies the
+    batch_tag-partitioned layout — the combination must fail loudly
+    instead of corrupting the index layout."""
+    from advanced_data_profile_spark.operators.dedup import (
+        neardup_index_build,
+        neardup_index_check,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            columns=["doc_id", "text"],
+        )
+    )
+    idx = str(tmp_path / "idx")
+    neardup_index_build(docs, "doc_id", "text", idx, batch_tag="b1")
+    with pytest.raises(ValueError, match="batch_tag-PARTITIONED"):
+        neardup_index_check(
+            docs, "doc_id", "text", idx,
+            append=True, exclude_batch_tag="b2",
+        )

@@ -183,30 +183,3 @@ def test_exact_quantiles_hot_value_and_refinement_paths(spark, monkeypatch):
             )
         ).collect()[0][0]
         assert (got.p25, got.p50, got.p75) == tuple(exact), name
-
-
-def test_neardup_index_check_rejects_append_with_tagged_layout(spark, tmp_path):
-    """append=True writes flat files; exclude_batch_tag implies the
-    batch_tag-partitioned layout — the combination must fail loudly
-    instead of corrupting the index layout."""
-    import pandas as pd
-    import pytest as _pytest
-
-    from advanced_data_profile_spark.operators.dedup import (
-        neardup_index_build,
-        neardup_index_check,
-    )
-
-    docs = spark.createDataFrame(
-        pd.DataFrame(
-            [(1, "alpha beta gamma delta epsilon zeta")],
-            columns=["doc_id", "text"],
-        )
-    )
-    idx = str(tmp_path / "idx")
-    neardup_index_build(docs, "doc_id", "text", idx, batch_tag="b1")
-    with _pytest.raises(ValueError, match="batch_tag-PARTITIONED"):
-        neardup_index_check(
-            docs, "doc_id", "text", idx,
-            append=True, exclude_batch_tag="b2",
-        )
